@@ -1,0 +1,78 @@
+"""Statement records produced by the KernelBuilder front end.
+
+The reference keeps four parallel lists — ``LHS``, ``RHS``, ``directions``,
+``struct_inclusion`` (``exahype/KernelBuilder.py:81-84``) — as its entire
+intermediate representation of a kernel.  Here each entry is a proper record;
+the KernelBuilder still exposes the parallel lists as views for API parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import sympy
+
+
+class StatementKind(enum.Enum):
+    #: A nested-loop assignment or bare call (the common case).
+    LOOP = "loop"
+    #: A scalar assignment of a directional constant before a directional
+    #: sweep (emitted flat, outside any loop: ``normal = 0;`` in the golden
+    #: kernel, ``Unit test/test.cpp:20``).
+    CONST_ASSIGN = "const_assign"
+
+
+@dataclasses.dataclass(frozen=True)
+class Statement:
+    """One kernel statement with its loop metadata.
+
+    ``lhs``/``rhs`` are fully index-injected SymPy expressions (every array
+    access carries explicit ``patch, i, j[, k][, var]`` indices with any
+    directional offset applied).  ``rhs`` is ``None`` for bare call statements
+    such as ``Flux(Q, normal, F)`` whose result is written through an output
+    pointer parameter.
+
+    ``direction`` encoding follows the reference (``exahype/KernelBuilder.py:
+    157-160``): ``-2`` = write-back to the kernel input (interior only),
+    ``-1`` = non-directional, ``1..dim`` = directional sweep along x/y/z.
+
+    ``struct_inclusion`` encoding (``exahype/KernelBuilder.py:144-155``):
+    ``-1`` = not applicable (const assign), ``0`` = no var loop, ``1`` = loop
+    ``n_real`` variables, ``2`` = loop ``n_real + n_aux``.
+    """
+
+    lhs: sympy.Basic
+    rhs: Optional[sympy.Basic]
+    direction: int
+    struct_inclusion: int
+    kind: StatementKind = StatementKind.LOOP
+
+    def exprs(self) -> tuple[sympy.Basic, ...]:
+        return (self.lhs,) if self.rhs is None else (self.lhs, self.rhs)
+
+    @property
+    def indexed_base_names(self) -> frozenset[str]:
+        """Names of every array (IndexedBase) read or written by the statement."""
+        names: set[str] = set()
+        for expr in self.exprs():
+            for atom in expr.atoms(sympy.tensor.indexed.IndexedBase):
+                names.add(str(atom.label))
+        return frozenset(names)
+
+    def has_spatial_offset(self, spatial_names: tuple[str, ...]) -> bool:
+        """True if any array access shifts a spatial index (e.g. ``i+1``).
+
+        This is the tree-level equivalent of the reference CPPPrinter's
+        string scan for ``'i +'``/``'i -'`` etc. (``CPPPrinter.py:114``).
+        """
+        spatial = set(spatial_names)
+        for expr in self.exprs():
+            for access in expr.atoms(sympy.Indexed):
+                for idx in access.indices:
+                    if isinstance(idx, (sympy.Symbol, sympy.Idx)):
+                        continue
+                    if any(str(s) in spatial for s in idx.free_symbols):
+                        return True
+        return False
