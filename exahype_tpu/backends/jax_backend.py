@@ -235,13 +235,25 @@ class JAXPrinter(CodePrinter):
         if isinstance(expr, AppliedUndef):
             return self._eval_call(env, expr.func, list(expr.args), spatial)
         if isinstance(expr, sympy.Add):
-            vals = [self._eval(env, a, spatial, vb) for a in expr.args]
+            # Fold in the same order sympy's C printer emits, so the JAX,
+            # oracle, and native backends agree bitwise (summation order).
+            vals = [self._eval(env, a, spatial, vb) for a in expr.as_ordered_terms()]
             return _combine(vals, lambda x, y: x + y)
         if isinstance(expr, sympy.Mul):
-            vals = [self._eval(env, a, spatial, vb) for a in expr.args]
+            vals = [self._eval(env, a, spatial, vb) for a in expr.as_ordered_factors()]
             return _combine(vals, lambda x, y: x * y)
         if isinstance(expr, sympy.Pow):
             bk, bv = self._eval(env, expr.base, spatial, vb)
+            # Exact shared forms across all backends (pow() is not
+            # ulp-consistent between libm/XLA): see cpp_backend._render.
+            if expr.exp == sympy.Integer(-1):
+                return bk, 1.0 / bv
+            if expr.exp == sympy.Integer(2):
+                return bk, bv * bv
+            if expr.exp == sympy.Rational(1, 2):
+                return bk, jnp.sqrt(bv)
+            if expr.exp == sympy.Rational(-1, 2):
+                return bk, 1.0 / jnp.sqrt(bv)
             ek, ev = self._eval(env, expr.exp, spatial, vb)
             if ek != _SCALAR:
                 raise LoweringError("array-valued exponents are unsupported")
@@ -278,12 +290,15 @@ class JAXPrinter(CodePrinter):
                         f"argument {a} of {typed.name} must be scalar or array"
                     )
                 evaluated.append((_SCALAR, v))
-        in_axes = tuple(0 if k != _SCALAR else None for k, _ in evaluated)
-        cell_fn = typed.jax_impl
-        mapped = cell_fn
-        for _ in range(cfg.dim + 1):  # patch + spatial axes
-            mapped = jax.vmap(mapped, in_axes=in_axes)
-        result = mapped(*[v for _, v in evaluated])
+        if typed.vectorized:
+            # Batch-native impl: one fused op over the whole region.
+            result = typed.jax_impl(*[v for _, v in evaluated])
+        else:
+            in_axes = tuple(0 if k != _SCALAR else None for k, _ in evaluated)
+            mapped = typed.jax_impl
+            for _ in range(cfg.dim + 1):  # patch + spatial axes
+                mapped = jax.vmap(mapped, in_axes=in_axes)
+            result = mapped(*[v for _, v in evaluated])
         if result.ndim == cfg.dim + 1:
             return _FIELD, result
         if result.ndim == cfg.dim + 2:

@@ -160,7 +160,8 @@ def _compile(expr, kernel, np_impls) -> Compiled:
                 arg_fns.append(_compile(a, kernel, np_impls))
         return lambda env, pt: impl(*[f(env, pt) for f in arg_fns])
     if isinstance(expr, sympy.Add):
-        fns = [_compile(a, kernel, np_impls) for a in expr.args]
+        # Same fold order as the C printer (see jax_backend note).
+        fns = [_compile(a, kernel, np_impls) for a in expr.as_ordered_terms()]
         def add(env, pt):
             out = fns[0](env, pt)
             for f in fns[1:]:
@@ -168,7 +169,7 @@ def _compile(expr, kernel, np_impls) -> Compiled:
             return out
         return add
     if isinstance(expr, sympy.Mul):
-        fns = [_compile(a, kernel, np_impls) for a in expr.args]
+        fns = [_compile(a, kernel, np_impls) for a in expr.as_ordered_factors()]
         def mul(env, pt):
             out = fns[0](env, pt)
             for f in fns[1:]:
@@ -177,6 +178,19 @@ def _compile(expr, kernel, np_impls) -> Compiled:
         return mul
     if isinstance(expr, sympy.Pow):
         base = _compile(expr.base, kernel, np_impls)
+        # Exact shared forms across backends (see cpp_backend._render).
+        if expr.exp == sympy.Integer(-1):
+            return lambda env, pt: 1.0 / base(env, pt)
+        if expr.exp == sympy.Integer(2):
+            return lambda env, pt: (lambda b: b * b)(base(env, pt))
+        if expr.exp == sympy.Rational(1, 2):
+            import math
+
+            return lambda env, pt: math.sqrt(base(env, pt))
+        if expr.exp == sympy.Rational(-1, 2):
+            import math
+
+            return lambda env, pt: 1.0 / math.sqrt(base(env, pt))
         exp = _compile(expr.exp, kernel, np_impls)
         return lambda env, pt: base(env, pt) ** exp(env, pt)
     if isinstance(expr, (sympy.Max, sympy.Min)):

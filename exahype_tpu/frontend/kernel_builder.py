@@ -224,6 +224,7 @@ class KernelBuilder:
         return_type: Any = none,
         jax_impl: Optional[Callable] = None,
         out_param: Optional[int] = None,
+        vectorized: bool = False,
     ) -> TypedFunction:
         """Register a typed external function (``KernelBuilder.py:134-142``).
 
@@ -231,6 +232,8 @@ class KernelBuilder:
         JAX/Pallas backends inline (the reference links opaque C++ symbols).
         ``out_param`` marks an output-pointer parameter index if the function
         writes through an argument (``Flux(Q, normal, F)`` writes ``F``).
+        ``vectorized=True`` declares the impl batch-native (fast path; see
+        :class:`TypedFunction`).
         """
         if parent is not None:
             self.parents[expr] = str(parent)
@@ -240,6 +243,7 @@ class KernelBuilder:
             return_type=return_type,
             jax_impl=jax_impl,
             out_param=out_param,
+            vectorized=vectorized,
         )
         self.functions[expr] = typed
         self.all_items[expr] = typed.fn

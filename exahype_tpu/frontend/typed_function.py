@@ -37,6 +37,7 @@ class TypedFunction:
         return_type: Any = none,
         jax_impl: Callable | None = None,
         out_param: int | None = None,
+        vectorized: bool = False,
     ):
         self.name = name
         self.parameter_types = list(parameter_types)
@@ -48,6 +49,14 @@ class TypedFunction:
         #: result through an argument instead of returning it (the reference's
         #: ``Flux(Q, normal, F)`` convention, ``Unit test/Functions.cpp:9-37``).
         self.out_param = out_param
+        #: If True, ``jax_impl`` natively handles batched cell axes: struct
+        #: pointer parameters arrive as ``[patch, *spatial, var]`` arrays,
+        #: scalar-field pointers as ``[patch, *spatial]``, and it returns an
+        #: array with the same leading axes.  This is the fast path on TPU —
+        #: one fused VPU op over the whole region instead of a per-cell vmap
+        #: nest (hugely smaller HLO, better fusion).  If False, the impl is
+        #: per-cell (vectors/scalars) and the backend vmaps it.
+        self.vectorized = vectorized
 
         fn = sympy.Function(name)
         # Reference-compatible accessors (``exahype/TypedFunction.py:26-34``):

@@ -85,3 +85,53 @@ def flux_fn(dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
 
 def max_eigenvalue_fn(dim: int = 2, gamma: float = GAMMA):
     return partial(max_eigenvalue, dim=dim, gamma=gamma)
+
+
+# ---------------------------------------------------------------- vectorized
+# Batch-native variants (TypedFunction(vectorized=True) contract): the
+# variable axis is the LAST axis, any number of leading cell axes.  Same
+# arithmetic, same operation order as the per-cell forms — differential
+# parity with the NumPy oracle is preserved bit-for-bit on CPU — but they
+# trace to one fused VPU op over the whole region instead of a vmap nest,
+# which is the TPU-native shape of the reference's per-cell C callbacks.
+
+
+def _pressure_v(Q, dim: int, gamma: float):
+    rho = Q[..., 0]
+    inv_rho = 1.0 / rho
+    kinetic = Q[..., 1] * Q[..., 1] + Q[..., 2] * Q[..., 2]
+    if dim == 3:
+        kinetic = kinetic + Q[..., 3] * Q[..., 3]
+    e = Q[..., dim + 1]
+    return (gamma - 1.0) * (e - 0.5 * inv_rho * kinetic)
+
+
+def flux_v(Q, normal, *, dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
+    n = int(normal)
+    rho = Q[..., 0]
+    inv_rho = 1.0 / rho
+    p = _pressure_v(Q, dim, gamma)
+    coeff = inv_rho * Q[..., n + 1]
+    comps = [coeff * Q[..., k] for k in range(dim + 1)]
+    comps[n + 1] = comps[n + 1] + p
+    comps.append(coeff * Q[..., dim + 1] + coeff * p)
+    while len(comps) < n_real:
+        comps.append(jnp.zeros_like(rho))
+    return jnp.stack(comps[:n_real], axis=-1)
+
+
+def max_eigenvalue_v(Q, normal, *, dim: int = 2, gamma: float = GAMMA):
+    n = int(normal)
+    inv_rho = 1.0 / jnp.abs(Q[..., 0])
+    p = _pressure_v(Q, dim, gamma)
+    c = jnp.sqrt(gamma * jnp.abs(p) * inv_rho)
+    u_n = Q[..., n + 1] * inv_rho
+    return jnp.maximum(jnp.abs(u_n - c), jnp.abs(u_n + c))
+
+
+def flux_v_fn(dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
+    return partial(flux_v, dim=dim, n_real=n_real, gamma=gamma)
+
+
+def max_eigenvalue_v_fn(dim: int = 2, gamma: float = GAMMA):
+    return partial(max_eigenvalue_v, dim=dim, gamma=gamma)

@@ -32,17 +32,28 @@ def build_rusanov_kernel(
     n_patches: int = 1,
     flux_impl: Optional[Callable] = None,
     eigenvalue_impl: Optional[Callable] = None,
+    vectorized: bool = True,
 ) -> KernelBuilder:
     """Build the canonical Rusanov patch-update kernel spec.
 
     Defaults reproduce the reference test configuration
     (``Unit test/correctness_test.cpp:177-181``): 2-D, patch 4, halo 1,
-    5 real + 5 aux variables, compressible Euler physics.
+    5 real + 5 aux variables, compressible Euler physics.  ``vectorized``
+    selects the batch-native physics (fast path); per-cell impls are the
+    reference-ABI-shaped alternative.
     """
     if flux_impl is None:
-        flux_impl = euler.flux_fn(dim=dim, n_real=n_real)
+        flux_impl = (
+            euler.flux_v_fn(dim=dim, n_real=n_real)
+            if vectorized
+            else euler.flux_fn(dim=dim, n_real=n_real)
+        )
     if eigenvalue_impl is None:
-        eigenvalue_impl = euler.max_eigenvalue_fn(dim=dim)
+        eigenvalue_impl = (
+            euler.max_eigenvalue_v_fn(dim=dim)
+            if vectorized
+            else euler.max_eigenvalue_fn(dim=dim)
+        )
 
     kernel = KernelBuilder(
         dim=dim,
@@ -80,6 +91,7 @@ def build_rusanov_kernel(
         parameter_types=[Q, Q],
         return_type=none,
         jax_impl=euler.scalar_max,
+        vectorized=vectorized,  # jnp.maximum is batch-native already
     )
 
     kernel.single(Q_copy[0], Q[0])

@@ -1,0 +1,19 @@
+from exahype_tpu.parallel.grid import PatchGrid
+from exahype_tpu.parallel.mesh import (
+    PATCH_AXIS,
+    make_mesh,
+    replicated,
+    shard_state,
+    state_sharding,
+)
+from exahype_tpu.parallel.solver import GridSolver
+
+__all__ = [
+    "PatchGrid",
+    "GridSolver",
+    "make_mesh",
+    "state_sharding",
+    "shard_state",
+    "replicated",
+    "PATCH_AXIS",
+]

@@ -99,3 +99,16 @@ def test_jaxpr_text_renders():
     kb = build_rusanov_kernel()
     text = JAXPrinter(kb).jaxpr_text
     assert "lambda" in text and len(text) > 100
+
+
+def test_per_cell_and_vectorized_physics_agree():
+    """Both jax_impl contracts (per-cell vmapped, batch-native) must produce
+    identical kernels."""
+    Q0 = positive_random_init((2, 6, 6, 10), seed=11)
+    out_v = np.asarray(
+        JAXPrinter(build_rusanov_kernel(n_patches=2, vectorized=True)).build()(Q0, 0.01)
+    )
+    out_c = np.asarray(
+        JAXPrinter(build_rusanov_kernel(n_patches=2, vectorized=False)).build()(Q0, 0.01)
+    )
+    np.testing.assert_allclose(out_v, out_c, rtol=0, atol=1e-14)
