@@ -252,6 +252,11 @@ class CPPPrinter(CodePrinter):
             return out
         if isinstance(expr, sympy.Abs):
             return f"fabs({self._render(expr.args[0], vb)})"
+        if isinstance(expr, sympy.FiniteSet):
+            # Brace-initializer argument (the reference's ``{i,j}`` volume
+            # index convention, ``examples/kernel-generator.py:34``).
+            inner = ", ".join(self._render(a, vb) for a in expr.args)
+            return f"{{{inner}}}"
         raise LoweringError(
             f"C printer cannot render {type(expr).__name__}: {expr}"
         )
@@ -286,21 +291,41 @@ class CPPPrinter(CodePrinter):
         return f"{parent}.{name}"
 
     def _access_text(self, access: sympy.Indexed, vb: int) -> str:
-        """AoS stride linearization (``CPPPrinter.py:247-276`` equivalent)."""
+        """AoS stride linearization (``CPPPrinter.py:247-276`` equivalent).
+
+        Items with a parent use the ExaHyPE2 ``CellData`` convention — the
+        member is an array of per-patch pointers, so the patch index becomes
+        its own subscript: ``member[patch][<per-patch linear index>]`` (what
+        the reference's post-pass ``parse()`` rewrites textually,
+        ``CPPPrinter.py:278-316``).
+        """
         kb = self._kernel
         cfg = kb.config
         name = str(access.base.label)
         if name not in kb.item_struct:
             raise LoweringError(f"unknown item {name!r}")
         shape = kb.item_shape(name)
-        strides = []
-        acc = 1
-        for s in reversed(shape):
-            strides.insert(0, acc)
-            acc *= s
+        parented = name in kb.parents
+
+        def row_major_strides(dims):
+            strides, acc = [], 1
+            for s in reversed(dims):
+                strides.insert(0, acc)
+                acc *= s
+            return strides
+
+        if parented:
+            strides = [None] + row_major_strides(shape[1:])  # patch handled apart
+        else:
+            strides = row_major_strides(shape)
+
         terms = []
-        for idx_expr, stride in zip(access.indices, strides):
+        patch_txt = None
+        for pos, (idx_expr, stride) in enumerate(zip(access.indices, strides)):
             idx_name = str(next(iter(idx_expr.free_symbols)))
+            if parented and pos == 0:
+                patch_txt = str(idx_expr)
+                continue
             if idx_name == "var" and vb == 1 and len(access.indices) == len(shape):
                 continue  # collapsed var loop: index value is 0
             idx_txt = (
@@ -309,5 +334,7 @@ class CPPPrinter(CodePrinter):
                 else f"({sympy.ccode(idx_expr)})"
             )
             terms.append(idx_txt if stride == 1 else f"{stride}*{idx_txt}")
-        qualified = self._qualify(name)
-        return f"{qualified}[{' + '.join(terms) if terms else '0'}]"
+        linear = " + ".join(terms) if terms else "0"
+        if parented:
+            return f"{name}[{patch_txt}][{linear}]"
+        return f"{self._qualify(name)}[{linear}]"

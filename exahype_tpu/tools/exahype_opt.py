@@ -1,0 +1,109 @@
+"""exahype-opt — the IR driver CLI.
+
+Working rebuild of the reference's broken driver
+(``exahype/tools/exahype-opt:17-114``, whose two registered passes are
+dangling imports and which references an undefined ``PsyOptMain``): parse a
+textual IR file, verify it, optionally lower and run passes, print the
+result or split modules into per-function files.
+
+Usage:
+    exahype-opt kernel.eir                          # parse + verify + print
+    exahype-opt kernel.eir -p exahype-to-standard   # lower to Loop IR
+    exahype-opt fn.lir -p for-to-parallel           # run Loop IR passes
+    exahype-opt kernel.eir -p exahype-to-standard,for-to-parallel -o out.lir
+    exahype-opt kernel.eir --output-module-files    # write generated/<name>
+
+File kinds are inferred from content: ``exahype.kernel`` → Kernel IR,
+``loop.func`` → Loop IR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+from exahype_tpu.ir import kernel_ir, loop_ir
+from exahype_tpu.ir.passes import LOOP_PASSES, kernel_to_loops
+from exahype_tpu.utils.errors import SemanticError, VerifyError
+
+#: Pass aliases: the reference registered 'exahype-to-standard'
+#: (``tools/exahype-opt:19-22``); our lowering keeps that name.
+KERNEL_PASSES = {"exahype-to-standard": kernel_to_loops}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="exahype-opt", description="exahype_tpu IR optimizer driver"
+    )
+    p.add_argument("input", help="input IR file (.eir kernel IR / .lir loop IR)")
+    p.add_argument(
+        "-p",
+        "--passes",
+        default="",
+        help="comma-separated pass pipeline "
+        f"(kernel: {', '.join(KERNEL_PASSES)}; loop: {', '.join(LOOP_PASSES)})",
+    )
+    p.add_argument("-o", "--output", default=None, help="output file (default stdout)")
+    p.add_argument(
+        "--output-module-files",
+        action="store_true",
+        help="write each function/kernel to generated/<name> instead of stdout",
+    )
+    return p
+
+
+def run(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    text = pathlib.Path(args.input).read_text()
+
+    try:
+        module: object
+        if "exahype.kernel" in text:
+            module = kernel_ir.parse_kernel(text)
+        elif "loop.func" in text:
+            module = loop_ir.parse_function(text)
+        else:
+            raise SemanticError(
+                f"{args.input}: neither Kernel IR (exahype.kernel) nor "
+                "Loop IR (loop.func)"
+            )
+
+        for name in [p for p in args.passes.split(",") if p]:
+            if isinstance(module, kernel_ir.Kernel) and name in KERNEL_PASSES:
+                module = KERNEL_PASSES[name](module)
+            elif isinstance(module, loop_ir.LoopFunction) and name in LOOP_PASSES:
+                module = LOOP_PASSES[name](module)
+            else:
+                raise SemanticError(
+                    f"pass {name!r} does not apply to {type(module).__name__}"
+                )
+
+        if isinstance(module, kernel_ir.Kernel):
+            out_text = kernel_ir.print_kernel(module)
+            out_name = "kernel.eir"
+        else:
+            out_text = loop_ir.print_function(module)
+            out_name = f"{module.name}.lir"
+    except (SemanticError, VerifyError) as err:
+        print(f"exahype-opt: error: {err}", file=sys.stderr)
+        return 1
+
+    if args.output_module_files:
+        outdir = pathlib.Path("generated")
+        outdir.mkdir(exist_ok=True)
+        (outdir / out_name).write_text(out_text)
+        print(f"wrote generated/{out_name}")
+    elif args.output:
+        pathlib.Path(args.output).write_text(out_text)
+    else:
+        sys.stdout.write(out_text)
+    return 0
+
+
+def main() -> None:
+    raise SystemExit(run())
+
+
+if __name__ == "__main__":
+    main()

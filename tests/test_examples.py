@@ -1,0 +1,60 @@
+"""The example scripts are the reference's smoke-test layer (SURVEY.md §4);
+run them end to end."""
+
+import pathlib
+import runpy
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+def run_example(name, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    runpy.run_path(str(EXAMPLES / name), run_name="__main__")
+
+
+def test_batched_stateless(tmp_path, monkeypatch, capsys):
+    run_example("batched_stateless.py", tmp_path, monkeypatch)
+    assert (tmp_path / "test.cpp").exists()
+    assert (tmp_path / "test.lir").exists()
+    code = (tmp_path / "test.cpp").read_text()
+    assert 'extern "C" void time_step(double* Q, double dt)' in code
+    # The emitted C++ must actually compile against the bundled physics.
+    from exahype_tpu.backends.cpp_runtime import NATIVE_DIR
+
+    proc = subprocess.run(
+        [
+            "g++", "-O2", "-fsyntax-only", f"-I{NATIVE_DIR}",
+            str(tmp_path / "test.cpp"),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_exahype_ir_demo(tmp_path, monkeypatch):
+    run_example("exahype_ir_demo.py", tmp_path, monkeypatch)
+    text = (tmp_path / "demo.eir").read_text()
+    from exahype_tpu.ir import parse_kernel
+
+    kernel = parse_kernel(text)
+    assert len(kernel.stencils) == 2
+    assert kernel.stencils[0].fluxes[0].call.func == "Flux_x"
+
+
+def test_kernel_generator(tmp_path, monkeypatch):
+    run_example("kernel_generator.py", tmp_path, monkeypatch)
+    code = (tmp_path / "generated_kernel.cpp").read_text()
+    assert "void time_step(::exahype2::CellData& patchData, ::tarch::timing::Measurement& timingComputeKernel)" in code
+    assert '#include "peano4/peano.h"' in code
+    # CellData member convention: member[patch][per-patch linear index].
+    assert "QIn[patch][" in code
+    assert "patchData.dt" in code
+    # Solver-instance-qualified physics call.
+    assert "instanceOfFVRusanovSolver.flux(" in code
+    # Namespace-qualified helper.
+    assert "exahype2::fv::getVolumeCentre(" in code

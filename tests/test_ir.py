@@ -1,0 +1,164 @@
+"""IR layer tests: builders, verifier, print/parse round-trips, passes, CLI.
+
+The builder flow mirrors the reference's path-B example
+(``examples/exahype_test.py:9-31`` producing ``examples/demo.mlir``).
+"""
+
+import copy
+
+import pytest
+import sympy
+
+from exahype_tpu.ir import (
+    DType,
+    FluxBuilder,
+    IRBuilder,
+    Kernel,
+    PatchBuilder,
+    StencilBuilder,
+    for_to_parallel,
+    kernel_to_loops,
+    parse_function,
+    parse_kernel,
+    print_function,
+    print_kernel,
+    spec_to_loops,
+)
+from exahype_tpu.ir.loop_ir import Loop
+from exahype_tpu.models.rusanov import build_rusanov_kernel
+from exahype_tpu.tools.exahype_opt import run as opt_run
+from exahype_tpu.utils.errors import VerifyError
+
+
+def demo_kernel() -> Kernel:
+    """The reference demo kernel (``examples/exahype_test.py``) via builders."""
+    patch1 = PatchBuilder.build("Qcopy", [4, 4], type=DType.f64)
+    patch2 = copy.deepcopy(patch1)
+
+    flux_x = FluxBuilder.build("flux_x", "Flux_x", [4, 4], halo=[1, 0, 0])
+    flux_y = FluxBuilder.build("flux_y", "Flux_y", [4, 4], halo=[0, 1, 0])
+    eig_x = FluxBuilder.build("tmp_x_eigen", "X_max_eigenvalues", [4, 4], halo=[1, 0, 0])
+    eig_y = FluxBuilder.build("tmp_y_eigen", "Y_max_eigenvalues", [4, 4], halo=[0, 1, 0])
+
+    st1 = StencilBuilder.build(
+        patch1, [flux_x, flux_y], ["0[010],0[0-10]", "1[001],1[00-1]"],
+        [[1, -1], [1, -1]],
+    )
+    st2 = StencilBuilder.build(
+        patch2, [eig_x, eig_y], ["0[010],0[0-10]", "1[001],1[00-1]"],
+        [[0.5, 0.5], [0.5, 0.5]],
+    )
+    kernel = Kernel()
+    kernel.addStencil(st1)
+    kernel.addStencil(st2)
+    return kernel
+
+
+def test_builder_arity_check():
+    patch = PatchBuilder.build("Q", [4, 4])
+    flux = FluxBuilder.build("f", "F", [4, 4], halo=[1, 0, 0])
+    with pytest.raises(VerifyError):
+        StencilBuilder.build(patch, [flux], ["0[00]", "0[01]"], [[1], [1]])
+
+
+def test_builder_does_not_mutate_flux_list():
+    patch = PatchBuilder.build("Q", [4, 4])
+    fluxes = [FluxBuilder.build("f", "F", [4, 4], halo=[1, 0, 0])]
+    StencilBuilder.build(patch, fluxes, ["0[10],0[-10]"], [[1, -1]])
+    assert len(fluxes) == 1  # reference inserts the patch into the caller's list
+
+
+def test_kernel_ir_roundtrip(tmp_path):
+    kernel = demo_kernel()
+    text = print_kernel(kernel)
+    assert "exahype.kernel" in text and 'func = "Flux_x"' in text
+    parsed = parse_kernel(text)
+    assert print_kernel(parsed) == text  # stable round-trip
+    # IRBuilder writes the same text.
+    out = tmp_path / "demo.eir"
+    b = IRBuilder(str(out))
+    k = b.addKernel()
+    for st in kernel.stencils:
+        k.addStencil(st)
+    b.writeOutput()
+    assert out.read_text() == text
+
+
+def test_malformed_stencil_pattern_rejected():
+    patch = PatchBuilder.build("Q", [4, 4])
+    flux = FluxBuilder.build("f", "F", [4, 4], halo=[1, 0, 0])
+    with pytest.raises(VerifyError):
+        StencilBuilder.build(patch, [flux], ["nonsense"], [[1]])
+
+
+def test_stencil_offsets_parse():
+    kernel = demo_kernel()
+    st = kernel.stencils[0]
+    assert st.offsets(0) == [(0, [0, 1, 0]), (0, [0, -1, 0])]
+    assert st.offsets(1) == [(1, [0, 0, 1]), (1, [0, 0, -1])]
+
+
+def test_spec_to_loops_matches_backend_structure():
+    kb = build_rusanov_kernel()
+    fn = spec_to_loops(kb)
+    text = print_function(fn)
+    assert "loop.func @time_step(Q: memref<f64>, dt: f64)" in text
+    assert "loop.alloc Q_copy : [1, 6, 6, 10]" in text
+    assert "loop.for patch = 0 to 1 {" in text
+    assert "loop.for i = 1 to 5 {" in text  # golden trimmed sweep
+    assert "normal = 0.0" in text
+    # Round-trip.
+    parsed = parse_function(text)
+    assert print_function(parsed) == text
+
+
+def test_for_to_parallel():
+    kb = build_rusanov_kernel()
+    fn = for_to_parallel(spec_to_loops(kb))
+    text = print_function(fn)
+    assert "loop.parallel patch = 0 to 1 {" in text
+    assert "loop.parallel i" not in text
+
+
+def test_kernel_to_loops_lowering():
+    fn = kernel_to_loops(demo_kernel())
+    text = print_function(fn)
+    assert "loop.alloc flux_x : [4, 4]" in text
+    assert "Flux_x(Qcopy[i, j])" in text
+    # Stencil accumulation with shifted reads (pattern offsets are 3-wide in
+    # the reference example; the trailing axes map to i/j).
+    assert "flux_x[" in text
+    parsed = parse_function(text)
+    assert print_function(parsed) == text
+
+
+def test_opt_cli_kernel_roundtrip(tmp_path, capsys):
+    path = tmp_path / "demo.eir"
+    path.write_text(print_kernel(demo_kernel()))
+    assert opt_run([str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "exahype.kernel" in out
+
+
+def test_opt_cli_pipeline(tmp_path, capsys):
+    path = tmp_path / "demo.eir"
+    path.write_text(print_kernel(demo_kernel()))
+    out_file = tmp_path / "out.lir"
+    assert opt_run([str(path), "-p", "exahype-to-standard,for-to-parallel", "-o", str(out_file)]) == 0
+    text = out_file.read_text()
+    assert "loop.func" in text
+
+
+def test_opt_cli_bad_pass(tmp_path, capsys):
+    path = tmp_path / "demo.eir"
+    path.write_text(print_kernel(demo_kernel()))
+    assert opt_run([str(path), "-p", "no-such-pass"]) == 1
+    assert "error" in capsys.readouterr().err
+
+
+def test_opt_cli_module_files(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path = tmp_path / "demo.eir"
+    path.write_text(print_kernel(demo_kernel()))
+    assert opt_run([str(path), "-p", "exahype-to-standard", "--output-module-files"]) == 0
+    assert (tmp_path / "generated" / "kernel.lir").exists()
