@@ -27,7 +27,7 @@ def main():
     from exahype_tpu.utils.config import KernelConfig
 
     dim = 3
-    patch_size = 8
+    patch_size = 6  # extent 8: lane-tiled Pallas working set fits VMEM
     grid_shape = (16, 16, 8)  # 2048 patches
     n_real, n_aux = 5, 0
     chunk = 10  # steps fused into one dispatch via scan

@@ -225,6 +225,7 @@ class KernelBuilder:
         jax_impl: Optional[Callable] = None,
         out_param: Optional[int] = None,
         vectorized: bool = False,
+        tpu_impl: Optional[Callable] = None,
     ) -> TypedFunction:
         """Register a typed external function (``KernelBuilder.py:134-142``).
 
@@ -244,6 +245,7 @@ class KernelBuilder:
             jax_impl=jax_impl,
             out_param=out_param,
             vectorized=vectorized,
+            tpu_impl=tpu_impl,
         )
         self.functions[expr] = typed
         self.all_items[expr] = typed.fn

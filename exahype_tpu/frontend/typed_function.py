@@ -38,6 +38,7 @@ class TypedFunction:
         jax_impl: Callable | None = None,
         out_param: int | None = None,
         vectorized: bool = False,
+        tpu_impl: Callable | None = None,
     ):
         self.name = name
         self.parameter_types = list(parameter_types)
@@ -57,6 +58,11 @@ class TypedFunction:
         #: nest (hugely smaller HLO, better fusion).  If False, the impl is
         #: per-cell (vectors/scalars) and the backend vmaps it.
         self.vectorized = vectorized
+        #: SoA-P-layout implementation for the Pallas backend: struct
+        #: pointer parameters arrive as ``[*spatial, var, patch]`` arrays
+        #: (variable axis at -2, patch lanes last), scalar fields as
+        #: ``[*spatial, patch]``.
+        self.tpu_impl = tpu_impl
 
         fn = sympy.Function(name)
         # Reference-compatible accessors (``exahype/TypedFunction.py:26-34``):

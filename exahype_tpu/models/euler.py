@@ -135,3 +135,47 @@ def flux_v_fn(dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
 
 def max_eigenvalue_v_fn(dim: int = 2, gamma: float = GAMMA):
     return partial(max_eigenvalue_v, dim=dim, gamma=gamma)
+
+
+# --------------------------------------------------------------- SoA-P (TPU)
+# Pallas-backend contract (TypedFunction.tpu_impl): variable axis at -2,
+# patch lanes last — ``Q[..., k, :]`` picks variable k across all patches.
+# Same arithmetic and operation order as the other variants.
+
+
+def _pressure_tpu(Q, dim: int, gamma: float):
+    inv_rho = 1.0 / Q[..., 0, :]
+    kinetic = Q[..., 1, :] * Q[..., 1, :] + Q[..., 2, :] * Q[..., 2, :]
+    if dim == 3:
+        kinetic = kinetic + Q[..., 3, :] * Q[..., 3, :]
+    return (gamma - 1.0) * (Q[..., dim + 1, :] - 0.5 * inv_rho * kinetic)
+
+
+def flux_tpu(Q, normal, *, dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
+    n = int(normal)
+    inv_rho = 1.0 / Q[..., 0, :]
+    p = _pressure_tpu(Q, dim, gamma)
+    coeff = inv_rho * Q[..., n + 1, :]
+    comps = [coeff * Q[..., k, :] for k in range(dim + 1)]
+    comps[n + 1] = comps[n + 1] + p
+    comps.append(coeff * Q[..., dim + 1, :] + coeff * p)
+    while len(comps) < n_real:
+        comps.append(jnp.zeros_like(p))
+    return jnp.stack(comps[:n_real], axis=-2)
+
+
+def max_eigenvalue_tpu(Q, normal, *, dim: int = 2, gamma: float = GAMMA):
+    n = int(normal)
+    inv_rho = 1.0 / jnp.abs(Q[..., 0, :])
+    p = _pressure_tpu(Q, dim, gamma)
+    c = jnp.sqrt(gamma * jnp.abs(p) * inv_rho)
+    u_n = Q[..., n + 1, :] * inv_rho
+    return jnp.maximum(jnp.abs(u_n - c), jnp.abs(u_n + c))
+
+
+def flux_tpu_fn(dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
+    return partial(flux_tpu, dim=dim, n_real=n_real, gamma=gamma)
+
+
+def max_eigenvalue_tpu_fn(dim: int = 2, gamma: float = GAMMA):
+    return partial(max_eigenvalue_tpu, dim=dim, gamma=gamma)

@@ -79,12 +79,16 @@ def build_rusanov_kernel(
         return_type=integer,
         jax_impl=flux_impl,
         out_param=2,
+        vectorized=vectorized,
+        tpu_impl=euler.flux_tpu_fn(dim=dim, n_real=n_real),
     )
     Eigen = kernel.function(
         "maxEigenvalue",
         parameter_types=[Q, real],
         return_type=real,
         jax_impl=eigenvalue_impl,
+        vectorized=vectorized,
+        tpu_impl=euler.max_eigenvalue_tpu_fn(dim=dim),
     )
     Max = kernel.function(
         "max",
@@ -92,6 +96,7 @@ def build_rusanov_kernel(
         return_type=none,
         jax_impl=euler.scalar_max,
         vectorized=vectorized,  # jnp.maximum is batch-native already
+        tpu_impl=euler.scalar_max,
     )
 
     kernel.single(Q_copy[0], Q[0])

@@ -1,0 +1,147 @@
+"""Time-loop driver: chunked integration with checkpointing, failure
+detection, and metrics.
+
+The production harness around :class:`GridSolver` — the subsystems the
+reference delegates to Peano (SURVEY.md §5): the solver's ``lax.scan`` chunk
+runs entirely on device; between chunks the driver (host side)
+
+- checkpoints ``{step, t, dt, Q}`` (orbax-backed, resumable),
+- detects non-finite states (failure detection) and either aborts or rolls
+  back to the last checkpoint with a reduced dt (elastic recovery),
+- emits JSON-line metrics (steps/sec, DOF/sec, sim time) through standard
+  logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.parallel.solver import GridSolver
+from exahype_tpu.utils.checkpoint import CheckpointManager
+
+logger = logging.getLogger("exahype_tpu.driver")
+
+
+@dataclasses.dataclass
+class DriverConfig:
+    chunk_steps: int = 10  # scan length per device dispatch
+    checkpoint_every: int = 0  # chunks between checkpoints; 0 = off
+    checkpoint_dir: Optional[str] = None
+    max_recoveries: int = 2  # rollback attempts on non-finite state
+    recovery_dt_factor: float = 0.5
+    log_metrics: bool = True
+
+
+class TimeLoopDriver:
+    def __init__(
+        self,
+        solver: GridSolver,
+        config: DriverConfig = DriverConfig(),
+        sharding=None,
+    ):
+        self.solver = solver
+        self.config = config
+        self.ckpt = (
+            CheckpointManager(config.checkpoint_dir)
+            if config.checkpoint_every and config.checkpoint_dir
+            else None
+        )
+        in_shardings = (sharding, None) if sharding is not None else None
+        kwargs = {}
+        if sharding is not None:
+            kwargs = {"in_shardings": in_shardings, "out_shardings": (sharding, None)}
+        self._run_chunk = jax.jit(
+            lambda Q, dt: self.solver.run(Q, config.chunk_steps, dt=dt), **kwargs
+        )
+
+    def resume_or_init(self, Q0):
+        """Restore the latest checkpoint if one exists, else start fresh."""
+        if self.ckpt is not None:
+            state = self.ckpt.restore()
+            if state is not None:
+                logger.info("resuming from step %d", int(state["step"]))
+                return (
+                    jnp.asarray(state["Q"]),
+                    float(state["t"]),
+                    int(state["step"]),
+                )
+        return jnp.asarray(Q0), 0.0, 0
+
+    def run(self, Q0, n_steps: int, dt: float):
+        """Integrate ``n_steps`` with fixed dt; returns (Q, t, stats dict)."""
+        cfg = self.config
+        Q, t, start_step = self.resume_or_init(Q0)
+        step = start_step
+        recoveries = 0
+        dof = self.solver.grid.config.dofs()
+        wall0 = time.perf_counter()
+
+        while step < n_steps:
+            chunk = min(cfg.chunk_steps, n_steps - step)
+            if chunk != cfg.chunk_steps:
+                Qn, t_inc = jax.jit(
+                    lambda q, d: self.solver.run(q, chunk, dt=d)
+                )(Q, dt)
+            else:
+                Qn, t_inc = self._run_chunk(Q, dt)
+            Qn.block_until_ready()
+
+            if not bool(jnp.isfinite(Qn).all()):
+                # Failure detection + elastic recovery.
+                recoveries += 1
+                if recoveries > cfg.max_recoveries or self.ckpt is None:
+                    raise FloatingPointError(
+                        f"non-finite state at step {step + chunk}; "
+                        f"no recovery possible"
+                    )
+                state = self.ckpt.restore()
+                if state is None:
+                    raise FloatingPointError(
+                        f"non-finite state at step {step + chunk}; "
+                        "no checkpoint to roll back to"
+                    )
+                Q = jnp.asarray(state["Q"])
+                t = float(state["t"])
+                step = int(state["step"])
+                dt = dt * cfg.recovery_dt_factor
+                logger.warning(
+                    "non-finite state: rolled back to step %d, dt -> %g", step, dt
+                )
+                continue
+
+            Q = Qn
+            t += float(t_inc)
+            step += chunk
+
+            if self.ckpt is not None and (step // cfg.chunk_steps) % cfg.checkpoint_every == 0:
+                self.ckpt.save(step, {"step": step, "t": t, "dt": dt, "Q": Q})
+
+            if cfg.log_metrics:
+                elapsed = time.perf_counter() - wall0
+                done = step - start_step
+                logger.info(
+                    "%s",
+                    json.dumps(
+                        {
+                            "step": step,
+                            "t": t,
+                            "steps_per_sec": done / elapsed if elapsed else None,
+                            "dof_per_sec": dof * done / elapsed if elapsed else None,
+                        }
+                    ),
+                )
+
+        stats = {
+            "steps": step - start_step,
+            "recoveries": recoveries,
+            "wall_seconds": time.perf_counter() - wall0,
+        }
+        return Q, t, stats

@@ -1,0 +1,151 @@
+"""Auxiliary-subsystem tests: profiling/cost model, checkpointing, driver
+(failure detection + recovery), logging metrics."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models import build_rusanov_kernel, euler
+from exahype_tpu.parallel import GridSolver, PatchGrid
+from exahype_tpu.parallel.driver import DriverConfig, TimeLoopDriver
+from exahype_tpu.utils.checkpoint import CheckpointManager
+from exahype_tpu.utils.config import KernelConfig
+from exahype_tpu.utils.profiling import estimate_cost, time_fn
+
+
+def test_cost_model_scales_with_patches():
+    kb1 = build_rusanov_kernel(n_patches=1)
+    kb8 = build_rusanov_kernel(n_patches=8)
+    c1, c8 = estimate_cost(kb1), estimate_cost(kb8)
+    assert c8.flops == 8 * c1.flops
+    assert c8.bytes_total == 8 * c1.bytes_total
+    assert c1.flops > 0 and c1.arithmetic_intensity > 0
+    assert c1.roofline_seconds() > 0
+
+
+def test_time_fn_runs():
+    kb = build_rusanov_kernel()
+    from exahype_tpu.backends.jax_backend import JAXPrinter
+
+    fn = JAXPrinter(kb).jit(donate_input=False)
+    rng = np.random.default_rng(0)
+    Q = rng.uniform(1.0, 2.0, size=kb.item_shape("Q"))
+    Q[..., 3] += 5.0
+    sec = time_fn(fn, Q, 0.001, iters=2, warmup=1)
+    assert sec > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    state = {"step": 10, "t": 0.5, "dt": 0.01, "Q": np.arange(12.0).reshape(3, 4)}
+    mgr.save(10, state)
+    mgr.save(20, {**state, "step": 20})
+    mgr.save(30, {**state, "step": 30})
+    assert mgr.steps() == [20, 30]  # gc kept the newest two
+    restored = mgr.restore()
+    assert int(restored["step"]) == 30
+    np.testing.assert_array_equal(restored["Q"], state["Q"])
+    assert mgr.restore(20) is not None
+
+
+def make_solver(gx=2, gy=2):
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=gx * gy
+    )
+    return GridSolver(grid, kb, dx=0.1)
+
+
+def euler_state(grid, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = rng.uniform(0.1, 1.0, size=grid.state_shape)
+    Q[..., 0] += 1.0
+    Q[..., 3] += 5.0
+    Q[..., 4] += 5.0
+    return Q
+
+
+def test_driver_runs_and_checkpoints(tmp_path, caplog):
+    solver = make_solver()
+    driver = TimeLoopDriver(
+        solver,
+        DriverConfig(
+            chunk_steps=2,
+            checkpoint_every=1,
+            checkpoint_dir=str(tmp_path / "ck"),
+            log_metrics=True,
+        ),
+    )
+    Q0 = euler_state(solver.grid)
+    with caplog.at_level(logging.INFO, logger="exahype_tpu.driver"):
+        Q, t, stats = driver.run(Q0, n_steps=5, dt=1e-3)
+    assert stats["steps"] == 5
+    assert t == pytest.approx(5e-3)
+    assert driver.ckpt.latest_step() is not None
+    assert any("dof_per_sec" in r.message for r in caplog.records)
+
+    # Resume: a new driver picks up from the checkpoint.
+    driver2 = TimeLoopDriver(
+        solver,
+        DriverConfig(
+            chunk_steps=2, checkpoint_every=1, checkpoint_dir=str(tmp_path / "ck")
+        ),
+    )
+    Qr, tr, start = driver2.resume_or_init(Q0)
+    assert start > 0
+
+
+def test_driver_failure_detection_without_checkpoint():
+    solver = make_solver()
+    driver = TimeLoopDriver(solver, DriverConfig(chunk_steps=2, log_metrics=False))
+    Q0 = euler_state(solver.grid)
+    Q0[0, 0, 2, 2, 0] = 0.0  # zero density -> 1/rho = inf
+    with pytest.raises(FloatingPointError):
+        driver.run(Q0, n_steps=4, dt=1e-3)
+
+
+def test_driver_elastic_recovery(tmp_path, caplog):
+    """A non-finite state rolls back to the last checkpoint with reduced dt."""
+    solver = make_solver()
+    config = DriverConfig(
+        chunk_steps=1,
+        checkpoint_every=1,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_recoveries=3,
+        log_metrics=False,
+    )
+    driver = TimeLoopDriver(solver, config)
+    Q0 = euler_state(solver.grid)
+
+    # Prime a good checkpoint at step 1, then poison the state so the next
+    # chunk goes non-finite and the driver must roll back.
+    Q, t, stats = driver.run(Q0, n_steps=1, dt=1e-3)
+    bad = np.asarray(Q).copy()
+    bad[0, 0, 2, 2, 0] = np.inf
+
+    class PoisonOnce:
+        """Wrap the chunk fn: first call returns the poisoned state."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.fired = False
+
+        def __call__(self, Q, dt):
+            Qn, t_inc = self.inner(Q, dt)
+            if not self.fired:
+                self.fired = True
+                return jnp.asarray(bad), t_inc
+            return Qn, t_inc
+
+    driver._run_chunk = PoisonOnce(driver._run_chunk)
+    with caplog.at_level(logging.WARNING, logger="exahype_tpu.driver"):
+        Q2, t2, stats2 = driver.run(np.asarray(Q), n_steps=3, dt=1e-3)
+    assert stats2["recoveries"] == 1
+    assert np.isfinite(np.asarray(Q2)).all()
+    assert any("rolled back" in r.message for r in caplog.records)
