@@ -4,8 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md north star): 1e9 DOF-updates/sec/chip.
 
 Runs on the default platform (the real TPU chip under axon).  The measured
-program is the full solver step — halo exchange + FV Rusanov patch update —
-scanned CHUNK steps per dispatch, input donated so XLA updates in place.
+program is the full solver step — halo exchange + the fused Pallas FV
+Rusanov patch-update kernel (SoA-P layout, VMEM-resident temps) — scanned
+CHUNK steps per dispatch with the state donated.
 """
 
 from __future__ import annotations
@@ -21,14 +22,13 @@ BASELINE_DOF_PER_SEC = 1.0e9
 
 
 def main():
-    from exahype_tpu.models import euler
     from exahype_tpu.models.rusanov import build_rusanov_kernel
-    from exahype_tpu.parallel import GridSolver, PatchGrid
+    from exahype_tpu.parallel import GridSolver, TpuPatchGrid
     from exahype_tpu.utils.config import KernelConfig
 
     dim = 3
-    patch_size = 6  # extent 8: lane-tiled Pallas working set fits VMEM
-    grid_shape = (16, 16, 8)  # 2048 patches
+    patch_size = 4  # extent 6; the VMEM working set allows lane tile 256
+    grid_shape = (32, 16, 16)  # 8192 patches
     n_real, n_aux = 5, 0
     chunk = 10  # steps fused into one dispatch via scan
     dtype = np.float32
@@ -41,7 +41,7 @@ def main():
         n_aux=n_aux,
         n_patches=int(np.prod(grid_shape)),
     )
-    grid = PatchGrid(config=cfg, grid_shape=grid_shape)
+    grid = TpuPatchGrid(config=cfg, grid_shape=grid_shape)
     kb = build_rusanov_kernel(
         dim=dim,
         patch_size=patch_size,
@@ -50,13 +50,13 @@ def main():
         n_aux=n_aux,
         n_patches=cfg.n_patches,
     )
-    solver = GridSolver(grid, kb, dx=0.1)
+    solver = GridSolver(grid, kb, dx=0.1, backend="pallas")
 
     rng = np.random.default_rng(0)
-    Q = rng.uniform(0.1, 1.0, size=grid.state_shape).astype(dtype)
-    Q[..., 0] += 1.0
-    Q[..., dim + 1] += 5.0
-    Q = jnp.asarray(Q)
+    aos = rng.uniform(0.1, 1.0, size=(cfg.n_patches,) + (cfg.extent,) * dim + (cfg.n_vars,))
+    aos[..., 0] += 1.0
+    aos[..., dim + 1] += 5.0
+    Q = grid.from_aos(jnp.asarray(aos.astype(dtype)))
 
     dt = jnp.asarray(1e-4, dtype)
 
@@ -73,7 +73,7 @@ def main():
     Q.block_until_ready()
 
     # Timed.
-    n_rounds = 5
+    n_rounds = 10
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         Q = run_chunk(Q)

@@ -1,0 +1,76 @@
+"""Nodal DG operators: Gauss-Legendre quadrature and Lagrange matrices.
+
+Building blocks for the ADER-DG solver (the reference framework's headline
+scheme; BASELINE.md north star is 3-D Euler ADER-DG order 3).  Everything is
+nodal on Gauss-Legendre points of [0, 1] with collocation quadrature — the
+ExaHyPE2 convention — so mass matrices are diagonal.
+
+All matrices are computed in float64 NumPy at setup time (they are tiny,
+(order+1)²) and cast to the state dtype when applied.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def gauss_legendre(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """``n`` Gauss-Legendre nodes and weights on [0, 1]."""
+    x, w = np.polynomial.legendre.leggauss(n)  # on [-1, 1]
+    return (x + 1.0) / 2.0, w / 2.0
+
+
+def lagrange_eval(nodes: np.ndarray, x: float) -> np.ndarray:
+    """Values ℓ_i(x) of the Lagrange basis through ``nodes``."""
+    n = len(nodes)
+    out = np.ones(n)
+    for i in range(n):
+        for j in range(n):
+            if j != i:
+                out[i] *= (x - nodes[j]) / (nodes[i] - nodes[j])
+    return out
+
+
+def lagrange_diff_matrix(nodes: np.ndarray) -> np.ndarray:
+    """D[i, j] = ℓ'_j(ξ_i): nodal derivative matrix."""
+    n = len(nodes)
+    D = np.zeros((n, n))
+    for j in range(n):
+        for i in range(n):
+            if i == j:
+                D[i, j] = sum(
+                    1.0 / (nodes[j] - nodes[k]) for k in range(n) if k != j
+                )
+            else:
+                num = 1.0
+                for k in range(n):
+                    if k != j and k != i:
+                        num *= (nodes[i] - nodes[k]) / (nodes[j] - nodes[k])
+                D[i, j] = num / (nodes[j] - nodes[i])
+    return D
+
+
+class DGOperators:
+    """Precomputed 1-D operator set for a given order.
+
+    - ``nodes``, ``weights``: GL points/weights on [0,1] (order+1 of each)
+    - ``D``: nodal derivative matrix
+    - ``phi0``, ``phi1``: basis values at the faces x=0, x=1
+    - ``K1inv``: inverse space-time predictor matrix
+      (K1[σ,τ] = θ_σ(1)θ_τ(1) − w_τ D[τ,σ], the weak-in-time operator)
+    """
+
+    def __init__(self, order: int):
+        self.order = order
+        self.n_nodes = order + 1
+        self.nodes, self.weights = gauss_legendre(self.n_nodes)
+        self.D = lagrange_diff_matrix(self.nodes)
+        self.phi0 = lagrange_eval(self.nodes, 0.0)
+        self.phi1 = lagrange_eval(self.nodes, 1.0)
+        # Kp[σ,τ] = ∫ θ'_σ θ_τ = w_τ D[τ,σ] under GL collocation (exact:
+        # the integrand has degree ≤ 2·order−1 < 2·order+1).
+        Kp = self.weights[None, :] * self.D.T
+        K1 = np.outer(self.phi1, self.phi1) - Kp
+        self.K1inv = np.linalg.inv(K1)
+        # Volume stiffness applied transposed: Kvol[i,j] = w_j D[j,i] / w_i.
+        self.Kvol = (self.weights[None, :] * self.D.T) / self.weights[:, None]

@@ -1,4 +1,4 @@
-from exahype_tpu.parallel.grid import PatchGrid
+from exahype_tpu.parallel.grid import PatchGrid, TpuPatchGrid
 from exahype_tpu.parallel.mesh import (
     PATCH_AXIS,
     make_mesh,
@@ -10,6 +10,7 @@ from exahype_tpu.parallel.solver import GridSolver
 
 __all__ = [
     "PatchGrid",
+    "TpuPatchGrid",
     "GridSolver",
     "make_mesh",
     "state_sharding",

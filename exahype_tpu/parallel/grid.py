@@ -129,3 +129,101 @@ class PatchGrid:
         Q = Q.at[sl((0, 1), (0, h))].set(interior_lo)
         Q = Q.at[sl((n_g - 1, n_g), (P + h, P + 2 * h))].set(interior_hi)
         return Q
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuPatchGrid:
+    """Patch grid in the Pallas backend's SoA-P layout.
+
+    State shape ``[*extent, n_vars, *grid_shape]`` — patch lanes last, split
+    into their grid axes.  ``to_batched`` flattens the grid axes into the
+    single patch-lane axis the fused kernel consumes (a free reshape: the
+    grid axes are trailing and contiguous).  Halo exchange is the same
+    slab-roll algorithm as :class:`PatchGrid`, with grid axes at the tail —
+    under GSPMD sharding of a grid axis the rolls again become
+    ``collective_permute`` over ICI.
+    """
+
+    config: KernelConfig
+    grid_shape: tuple[int, ...]
+    boundary: Boundary = "periodic"
+
+    def __post_init__(self):
+        if len(self.grid_shape) != self.config.dim:
+            raise SemanticError(
+                f"grid_shape {self.grid_shape} must have {self.config.dim} axes"
+            )
+        if self.config.n_patches != math.prod(self.grid_shape):
+            raise SemanticError(
+                f"config.n_patches ({self.config.n_patches}) must equal "
+                f"prod(grid_shape) ({math.prod(self.grid_shape)})"
+            )
+
+    @property
+    def state_shape(self) -> tuple[int, ...]:
+        cfg = self.config
+        return (cfg.extent,) * cfg.dim + (cfg.n_vars,) + self.grid_shape
+
+    @property
+    def batched_shape(self) -> tuple[int, ...]:
+        cfg = self.config
+        return (cfg.extent,) * cfg.dim + (cfg.n_vars, cfg.n_patches)
+
+    def to_batched(self, Q):
+        return Q.reshape(self.batched_shape)
+
+    def from_batched(self, Q):
+        return Q.reshape(self.state_shape)
+
+    def from_aos(self, Q):
+        """[patch, *spatial, var] (JAX-backend layout) → grid SoA-P state."""
+        nd = Q.ndim
+        t = jnp.transpose(Q, tuple(range(1, nd)) + (0,))
+        return t.reshape(self.state_shape)
+
+    def to_aos(self, Q):
+        cfg = self.config
+        flat = self.to_batched(Q)
+        nd = flat.ndim
+        return jnp.transpose(flat, (nd - 1,) + tuple(range(nd - 1)))
+
+    def halo_fill(self, Q):
+        cfg = self.config
+        h, P = cfg.halo_size, cfg.patch_size
+        if h == 0:
+            return Q
+        nd = Q.ndim
+        for d in range(cfg.dim):
+            spat_ax = d
+            grid_ax = cfg.dim + 1 + d
+            lo_nbr = jnp.roll(Q, shift=1, axis=grid_ax)
+            hi_nbr = jnp.roll(Q, shift=-1, axis=grid_ax)
+            Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(
+                lo_nbr[_axis_slice(nd, spat_ax, P, P + h)]
+            )
+            Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(
+                hi_nbr[_axis_slice(nd, spat_ax, h, 2 * h)]
+            )
+            if self.boundary == "reflective":
+                Q = self._reflect(Q, d)
+        return Q
+
+    def _reflect(self, Q, d: int):
+        cfg = self.config
+        h, P = cfg.halo_size, cfg.patch_size
+        nd = Q.ndim
+        spat_ax = d
+        grid_ax = cfg.dim + 1 + d
+        n_g = self.grid_shape[d]
+
+        def sl(grid_rng, spat_rng):
+            s = [slice(None)] * nd
+            s[grid_ax] = slice(*grid_rng)
+            s[spat_ax] = slice(*spat_rng)
+            return tuple(s)
+
+        interior_lo = jnp.flip(Q[sl((0, 1), (h, 2 * h))], axis=spat_ax)
+        interior_hi = jnp.flip(Q[sl((n_g - 1, n_g), (P, P + h))], axis=spat_ax)
+        Q = Q.at[sl((0, 1), (0, h))].set(interior_lo)
+        Q = Q.at[sl((n_g - 1, n_g), (P + h, P + 2 * h))].set(interior_hi)
+        return Q

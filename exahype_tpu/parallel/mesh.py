@@ -15,7 +15,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from exahype_tpu.parallel.grid import PatchGrid
+from exahype_tpu.parallel.grid import PatchGrid, TpuPatchGrid
 from exahype_tpu.utils.errors import SemanticError
 
 PATCH_AXIS = "patches"
@@ -38,8 +38,13 @@ def make_mesh(
     return Mesh(np.array(devices), (axis_name,))
 
 
-def state_sharding(mesh: Mesh, grid: PatchGrid, axis_name: str = PATCH_AXIS) -> NamedSharding:
-    """Shard the grid state ``[*grid, *extent, n_vars]`` on grid axis 0."""
+def state_sharding(mesh: Mesh, grid, axis_name: str = PATCH_AXIS) -> NamedSharding:
+    """Shard the grid state over devices along grid axis 0.
+
+    - :class:`PatchGrid` (AoS): grid axes lead → shard tensor axis 0.
+    - :class:`TpuPatchGrid` (SoA-P): grid axes trail the spatial/var axes →
+      shard tensor axis ``dim + 1`` (the first grid axis).
+    """
     n_dev = mesh.shape[axis_name]
     if grid.grid_shape[0] % n_dev != 0:
         raise SemanticError(
@@ -47,7 +52,13 @@ def state_sharding(mesh: Mesh, grid: PatchGrid, axis_name: str = PATCH_AXIS) -> 
             f"mesh size ({n_dev})"
         )
     ndim = len(grid.state_shape)
-    spec = PartitionSpec(axis_name, *([None] * (ndim - 1)))
+    if isinstance(grid, TpuPatchGrid):
+        lead = grid.config.dim + 1
+        spec = PartitionSpec(
+            *([None] * lead), axis_name, *([None] * (ndim - lead - 1))
+        )
+    else:
+        spec = PartitionSpec(axis_name, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
 
@@ -55,5 +66,5 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
-def shard_state(Q, mesh: Mesh, grid: PatchGrid, axis_name: str = PATCH_AXIS):
+def shard_state(Q, mesh: Mesh, grid, axis_name: str = PATCH_AXIS):
     return jax.device_put(Q, state_sharding(mesh, grid, axis_name))

@@ -9,44 +9,59 @@ into a jittable step:
       → patch-update kernel (vectorized over the flattened patch axis)
       → optional CFL dt from the global max wave speed (all-reduce)
 
+Two kernel backends: ``"jax"`` (AoS layout, :class:`PatchGrid`) and
+``"pallas"`` (fused VMEM kernel, SoA-P layout, :class:`TpuPatchGrid`).
 ``run`` integrates with ``lax.scan`` so the whole time loop is one XLA
 program (no per-step host round trips).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Literal, Optional, Union
 
 import jax
 import jax.numpy as jnp
 
-from exahype_tpu.backends.jax_backend import JAXPrinter
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
-from exahype_tpu.parallel.grid import PatchGrid
+from exahype_tpu.parallel.grid import PatchGrid, TpuPatchGrid
+from exahype_tpu.utils.errors import SemanticError
 
 
 class GridSolver:
-    """Drives a patch-update kernel over a :class:`PatchGrid`.
+    """Drives a patch-update kernel over a patch grid.
 
-    ``eigenvalue_fn(Q_cells) -> wave speeds`` (batch-native over
-    ``[..., n_vars]`` cells) enables CFL-controlled adaptive dt; omit it for
-    fixed-dt stepping.
+    ``eigenvalue_fn(interior) -> wave speeds`` (same layout as the grid
+    state) enables CFL-controlled adaptive dt; omit it for fixed-dt stepping.
     """
 
     def __init__(
         self,
-        grid: PatchGrid,
+        grid: Union[PatchGrid, TpuPatchGrid],
         kernel: KernelBuilder,
         dx: float = 1.0,
         cfl: float = 0.45,
         eigenvalue_fn: Optional[Callable] = None,
+        backend: Literal["jax", "pallas"] = "jax",
+        **backend_kwargs,
     ):
         self.grid = grid
         self.kernel = kernel
         self.dx = dx
         self.cfl = cfl
         self.eigenvalue_fn = eigenvalue_fn
-        self._kernel_fn = JAXPrinter(kernel).build()
+        self.backend = backend
+        if backend == "pallas":
+            if not isinstance(grid, TpuPatchGrid):
+                raise SemanticError("backend='pallas' requires a TpuPatchGrid")
+            from exahype_tpu.backends.pallas_backend import PallasPrinter
+
+            self._kernel_fn = PallasPrinter(kernel, **backend_kwargs).build()
+        else:
+            if not isinstance(grid, PatchGrid):
+                raise SemanticError("backend='jax' requires a PatchGrid")
+            from exahype_tpu.backends.jax_backend import JAXPrinter
+
+            self._kernel_fn = JAXPrinter(kernel, **backend_kwargs).build()
 
     # ------------------------------------------------------------------ step
 
@@ -57,24 +72,28 @@ class GridSolver:
         Qb = self._kernel_fn(Qb, dt)
         return self.grid.from_batched(Qb)
 
+    def _interior(self, Q):
+        cfg = self.grid.config
+        h = cfg.halo_size
+        spatial_base = 0 if isinstance(self.grid, TpuPatchGrid) else cfg.dim
+        out = Q
+        for d in range(cfg.dim):
+            ax = spatial_base + d
+            sl = [slice(None)] * Q.ndim
+            sl[ax] = slice(h, h + cfg.patch_size)
+            out = out[tuple(sl)]
+        return out
+
     def compute_dt(self, Q):
         """CFL time step from the global maximum wave speed (all-reduce
         under sharding)."""
         if self.eigenvalue_fn is None:
             raise ValueError("GridSolver needs eigenvalue_fn for adaptive dt")
-        cfg = self.grid.config
-        h = cfg.halo_size
-        interior = Q
-        for d in range(cfg.dim):
-            ax = cfg.dim + d
-            sl = [slice(None)] * Q.ndim
-            sl[ax] = slice(h, h + cfg.patch_size)
-            interior = interior[tuple(sl)]
-        lam = jnp.max(self.eigenvalue_fn(interior))
+        lam = jnp.max(self.eigenvalue_fn(self._interior(Q)))
         return self.cfl * self.dx / lam
 
     def run(self, Q, n_steps: int, dt=None):
-        """Integrate ``n_steps`` with ``lax.scan``; returns final state.
+        """Integrate ``n_steps`` with ``lax.scan``; returns (state, t).
 
         Fixed ``dt`` if given, else adaptive CFL dt each step.
         """
@@ -85,5 +104,7 @@ class GridSolver:
             Qn = self.step(Q, step_dt)
             return (Qn, t + step_dt), None
 
-        (Qf, tf), _ = jax.lax.scan(body, (Q, jnp.asarray(0.0, Q.dtype)), None, length=n_steps)
+        (Qf, tf), _ = jax.lax.scan(
+            body, (Q, jnp.asarray(0.0, Q.dtype)), None, length=n_steps
+        )
         return Qf, tf

@@ -165,3 +165,61 @@ def test_sharded_program_contains_collectives():
     assert "collective-permute" in hlo or "all-to-all" in hlo or "all-gather" in hlo, (
         "sharded halo exchange should lower to ICI collectives"
     )
+
+
+def test_tpu_grid_solver_matches_aos_solver():
+    """Pallas/SoA-P full step == JAX/AoS full step on the same physics."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.parallel import TpuPatchGrid
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=8
+    )
+    aos_grid = PatchGrid(config=cfg, grid_shape=(4, 2))
+    tpu_grid = TpuPatchGrid(config=cfg, grid_shape=(4, 2))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=8
+    )
+    aos_solver = GridSolver(aos_grid, kb, dx=0.1)
+    tpu_solver = GridSolver(
+        tpu_grid, kb, dx=0.1, backend="pallas", interpret=True, tile_patches=4
+    )
+
+    rng = np.random.default_rng(12)
+    aos_state = rng.uniform(0.1, 1.0, size=aos_grid.state_shape)
+    aos_state[..., 0] += 1.0
+    aos_state[..., 3] += 5.0
+    aos_state[..., 4] += 5.0
+    aos_state = jnp.asarray(aos_state)
+
+    ref = np.asarray(aos_solver.step(aos_state, 1e-3))
+    # Same state in SoA-P: flatten grid axes to the patch axis, convert.
+    batched = aos_grid.to_batched(aos_state)
+    tpu_state = tpu_grid.from_aos(batched)
+    out = np.asarray(tpu_grid.to_aos(tpu_solver.step(tpu_state, 1e-3)))
+    np.testing.assert_allclose(
+        out.reshape(ref.shape), np.asarray(aos_grid.to_batched(ref)).reshape(out.shape).reshape(ref.shape), atol=1e-13, rtol=0
+    )
+
+
+def test_tpu_grid_sharded_collectives():
+    """TpuPatchGrid halo exchange lowers to collectives when a grid axis is
+    sharded."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.parallel import TpuPatchGrid
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(8, 2))
+    mesh = make_mesh(8)
+    sharding = state_sharding(mesh, grid)
+    rng = np.random.default_rng(3)
+    Q = jnp.asarray(rng.normal(size=grid.state_shape))
+    Qs = jax.device_put(Q, sharding)
+    fn = jax.jit(grid.halo_fill, in_shardings=(sharding,), out_shardings=sharding)
+    hlo = fn.lower(Qs).compile().as_text()
+    assert "collective-permute" in hlo or "all-gather" in hlo
+    np.testing.assert_array_equal(np.asarray(fn(Qs)), np.asarray(grid.halo_fill(Q)))
