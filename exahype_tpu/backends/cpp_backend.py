@@ -32,7 +32,7 @@ import sympy
 from sympy.core.function import AppliedUndef
 
 from exahype_tpu.backends.base import CodePrinter
-from exahype_tpu.frontend.bounds import Policy, statement_ranges
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.utils.errors import LoweringError
@@ -82,7 +82,7 @@ class CPPPrinter(CodePrinter):
         self,
         kernel: KernelBuilder,
         function_name: str = "time_step",
-        policy: Policy = "golden",
+        policy: Policy = DEFAULT_POLICY,
         extern_c: bool = True,
         exahype2: bool = False,
         parallel_patches: bool = False,

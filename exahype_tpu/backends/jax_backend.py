@@ -34,7 +34,7 @@ import sympy
 from sympy.core.function import AppliedUndef
 
 from exahype_tpu.backends.base import CodePrinter
-from exahype_tpu.frontend.bounds import Policy, statement_ranges, var_range
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges, var_range
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.frontend.typed_function import TypedFunction
@@ -73,7 +73,7 @@ class JAXPrinter(CodePrinter):
         self,
         kernel: KernelBuilder,
         function_name: str = "time_step",
-        policy: Policy = "golden",
+        policy: Policy = DEFAULT_POLICY,
     ):
         super().__init__(kernel, function_name=function_name)
         self.policy = policy

@@ -24,7 +24,7 @@ import numpy as np
 import sympy
 from sympy.core.function import AppliedUndef
 
-from exahype_tpu.frontend.bounds import Policy, statement_ranges
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import StatementKind
 from exahype_tpu.utils.errors import LoweringError
@@ -40,7 +40,7 @@ def run_oracle(
     *scalars: float,
     np_impls: Optional[Mapping[str, Callable]] = None,
     params: Optional[Mapping[str, float]] = None,
-    policy: Policy = "golden",
+    policy: Policy = DEFAULT_POLICY,
 ) -> np.ndarray:
     """Execute the kernel spec interpretively; returns the updated ``Q``.
 

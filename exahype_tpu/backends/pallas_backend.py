@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sympy.core.function import AppliedUndef
 
 from exahype_tpu.backends.base import CodePrinter
-from exahype_tpu.frontend.bounds import Policy, statement_ranges
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.utils.errors import LoweringError
@@ -70,7 +70,7 @@ class PallasPrinter(CodePrinter):
         self,
         kernel: KernelBuilder,
         function_name: str = "time_step",
-        policy: Policy = "golden",
+        policy: Policy = DEFAULT_POLICY,
         tile_patches: Optional[int] = None,
         interpret: bool = False,
         vmem_limit_bytes: Optional[int] = None,

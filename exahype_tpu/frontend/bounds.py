@@ -13,16 +13,32 @@ The reference computes loop bounds in two subtly different places:
   statement's LHS forces trimming).
 
 The two disagree, which is exactly the kind of latent inconsistency this
-rebuild must not replicate (SURVEY.md §7 "hard parts").  This module defines
-ONE bounds function with an explicit ``policy`` switch:
+rebuild must not replicate (SURVEY.md §7 "hard parts").  Worse, BOTH are
+unsound at patch edges:
 
-- ``"golden"`` (default): the Unit-test-golden semantics.  This is what the
-  reference's differential correctness harness validates against
-  (``Unit test/correctness_test.cpp:191-211``).
+- under "golden", a directional flux evaluation trims the swept axis to the
+  interior, but the stencil update then reads the flux at ``i±1`` over the
+  full extent — the edge reads hit array elements no statement ever wrote
+  (uninitialized ``new[]`` memory in the reference's generated C++,
+  ``Unit test/test.cpp:24-27`` vs ``:66-69``);
+- under "cpp", the non-directional copy trims, so flux evaluations read
+  uninitialized ``Q_copy`` halo cells instead.
+
+This module defines ONE bounds function with an explicit ``policy`` switch:
+
+- ``"sound"`` (default): physically correct bounds — pointwise directional
+  evaluations (no stencil offset) cover the full halo-padded extent, stencil
+  updates trim only the swept axis, non-directional statements stay full,
+  write-backs to the kernel input trim everywhere.  Every read is then a
+  written (or input) element.
+- ``"golden"``: the Unit-test-golden reference semantics, used by the
+  reference-parity differential tests (the oracle and all backends share the
+  policy, so parity is exact — with zero-initialized temps standing in for
+  the reference's uninitialized memory).
 - ``"cpp"``: the current CPPPrinter semantics, for studying/diffing the
   reference's drifted backend.
 
-Both policies share the patch and var levels, which agree between the two
+All policies share the patch and var levels, which agree between the two
 reference printers.
 """
 
@@ -34,7 +50,10 @@ from exahype_tpu.frontend.statements import Statement
 from exahype_tpu.utils.config import KernelConfig
 from exahype_tpu.utils.errors import SemanticError
 
-Policy = Literal["golden", "cpp"]
+Policy = Literal["sound", "golden", "cpp"]
+
+#: The framework-wide default bounds policy.
+DEFAULT_POLICY: Policy = "sound"
 
 #: Half-open range.
 Range = tuple[int, int]
@@ -65,7 +84,7 @@ def spatial_range(
     level: int,
     direction: int,
     *,
-    policy: Policy = "golden",
+    policy: Policy = DEFAULT_POLICY,
     has_offset: bool = False,
     is_last_lhs: bool = False,
 ) -> Range:
@@ -76,6 +95,12 @@ def spatial_range(
     """
     full: Range = (0, cfg.extent)
     trimmed: Range = cfg.interior
+    if policy == "sound":
+        if direction == -2:
+            return trimmed  # write-back: interior only
+        if direction >= 1 and level == direction and has_offset:
+            return trimmed  # stencil update: swept axis needs neighbours
+        return full
     if policy == "golden":
         # MLIRPrinter.py:127-132 — produced the golden Unit test/test.cpp.
         if direction == -1:
@@ -102,7 +127,7 @@ def statement_ranges(
     stmt: Statement,
     item_struct: Mapping[str, int],
     *,
-    policy: Policy = "golden",
+    policy: Policy = DEFAULT_POLICY,
     is_last_lhs: bool = False,
 ) -> tuple[Range, ...]:
     """Half-open loop ranges for a statement, outermost first.

@@ -46,7 +46,7 @@ from sympy import Idx, IndexedBase, Symbol, symbols, sympify
 from sympy.codegen.ast import none
 from sympy.core.function import AppliedUndef
 
-from exahype_tpu.frontend.bounds import Policy, statement_ranges
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.frontend.typed_function import TypedFunction
 from exahype_tpu.utils.config import KernelConfig
@@ -382,7 +382,7 @@ class KernelBuilder:
     # -------------------------------------------------------------- analysis
 
     def loop_ranges(
-        self, stmt: Statement, policy: Policy = "golden"
+        self, stmt: Statement, policy: Policy = DEFAULT_POLICY
     ) -> tuple[tuple[int, int], ...]:
         """Half-open loop ranges for a statement under the given policy."""
         is_last_lhs = bool(self.LHS) and stmt.lhs == self.LHS[-1]

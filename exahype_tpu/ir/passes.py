@@ -23,7 +23,7 @@ from typing import Callable
 
 import sympy
 
-from exahype_tpu.frontend.bounds import Policy, statement_ranges
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import StatementKind
 from exahype_tpu.ir import kernel_ir, loop_ir
@@ -31,7 +31,7 @@ from exahype_tpu.utils.errors import VerifyError
 
 
 def spec_to_loops(
-    kb: KernelBuilder, function_name: str = "time_step", policy: Policy = "golden"
+    kb: KernelBuilder, function_name: str = "time_step", policy: Policy = DEFAULT_POLICY
 ) -> loop_ir.LoopFunction:
     """Lower a KernelBuilder spec to Loop IR (per-statement loop nests)."""
     params = [(n, "memref<f64>" if t.endswith("*") else "f64") for n, t in zip(kb.inputs, kb.input_types)]

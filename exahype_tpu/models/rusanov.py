@@ -33,6 +33,8 @@ def build_rusanov_kernel(
     flux_impl: Optional[Callable] = None,
     eigenvalue_impl: Optional[Callable] = None,
     vectorized: bool = True,
+    tpu_flux_impl: Optional[Callable] = None,
+    tpu_eigenvalue_impl: Optional[Callable] = None,
 ) -> KernelBuilder:
     """Build the canonical Rusanov patch-update kernel spec.
 
@@ -40,8 +42,13 @@ def build_rusanov_kernel(
     (``Unit test/correctness_test.cpp:177-181``): 2-D, patch 4, halo 1,
     5 real + 5 aux variables, compressible Euler physics.  ``vectorized``
     selects the batch-native physics (fast path); per-cell impls are the
-    reference-ABI-shaped alternative.
+    reference-ABI-shaped alternative.  Custom physics: pass batch-native
+    ``flux_impl(Q, normal)`` / ``eigenvalue_impl(Q, normal)``; SoA-P (Pallas)
+    variants are derived automatically unless given explicitly.
     """
+    from exahype_tpu.models.hyperbolic import as_tpu_impl
+
+    custom_physics = flux_impl is not None
     if flux_impl is None:
         flux_impl = (
             euler.flux_v_fn(dim=dim, n_real=n_real)
@@ -53,6 +60,18 @@ def build_rusanov_kernel(
             euler.max_eigenvalue_v_fn(dim=dim)
             if vectorized
             else euler.max_eigenvalue_fn(dim=dim)
+        )
+    if tpu_flux_impl is None:
+        tpu_flux_impl = (
+            as_tpu_impl(flux_impl, dim)
+            if custom_physics
+            else euler.flux_tpu_fn(dim=dim, n_real=n_real)
+        )
+    if tpu_eigenvalue_impl is None:
+        tpu_eigenvalue_impl = (
+            as_tpu_impl(eigenvalue_impl, dim)
+            if custom_physics
+            else euler.max_eigenvalue_tpu_fn(dim=dim)
         )
 
     kernel = KernelBuilder(
@@ -80,7 +99,7 @@ def build_rusanov_kernel(
         jax_impl=flux_impl,
         out_param=2,
         vectorized=vectorized,
-        tpu_impl=euler.flux_tpu_fn(dim=dim, n_real=n_real),
+        tpu_impl=tpu_flux_impl,
     )
     Eigen = kernel.function(
         "maxEigenvalue",
@@ -88,7 +107,7 @@ def build_rusanov_kernel(
         return_type=real,
         jax_impl=eigenvalue_impl,
         vectorized=vectorized,
-        tpu_impl=euler.max_eigenvalue_tpu_fn(dim=dim),
+        tpu_impl=tpu_eigenvalue_impl,
     )
     Max = kernel.function(
         "max",

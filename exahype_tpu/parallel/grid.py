@@ -94,16 +94,18 @@ class PatchGrid:
         for d in range(cfg.dim):
             grid_ax = d
             spat_ax = cfg.dim + d
-            # Neighbour in -d direction appears at my grid position after a
-            # +1 roll; its interior high-side slab becomes my low-side halo.
-            lo_nbr = jnp.roll(Q, shift=1, axis=grid_ax)
-            hi_nbr = jnp.roll(Q, shift=-1, axis=grid_ax)
-            Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(
-                lo_nbr[_axis_slice(nd, spat_ax, P, P + h)]
+            # Slice the interior edge slabs FIRST, then roll only the slabs —
+            # traffic is h/extent of the state per exchange instead of 6 full
+            # passes (the slab roll still lowers to collective_permute when
+            # the grid axis is sharded).
+            lo_halo = jnp.roll(
+                Q[_axis_slice(nd, spat_ax, P, P + h)], shift=1, axis=grid_ax
             )
-            Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(
-                hi_nbr[_axis_slice(nd, spat_ax, h, 2 * h)]
+            hi_halo = jnp.roll(
+                Q[_axis_slice(nd, spat_ax, h, 2 * h)], shift=-1, axis=grid_ax
             )
+            Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(lo_halo)
+            Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(hi_halo)
             if self.boundary == "reflective":
                 Q = self._reflect(Q, d)
         return Q
@@ -196,14 +198,15 @@ class TpuPatchGrid:
         for d in range(cfg.dim):
             spat_ax = d
             grid_ax = cfg.dim + 1 + d
-            lo_nbr = jnp.roll(Q, shift=1, axis=grid_ax)
-            hi_nbr = jnp.roll(Q, shift=-1, axis=grid_ax)
-            Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(
-                lo_nbr[_axis_slice(nd, spat_ax, P, P + h)]
+            # Slice-then-roll: move only the edge slabs (see PatchGrid note).
+            lo_halo = jnp.roll(
+                Q[_axis_slice(nd, spat_ax, P, P + h)], shift=1, axis=grid_ax
             )
-            Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(
-                hi_nbr[_axis_slice(nd, spat_ax, h, 2 * h)]
+            hi_halo = jnp.roll(
+                Q[_axis_slice(nd, spat_ax, h, 2 * h)], shift=-1, axis=grid_ax
             )
+            Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(lo_halo)
+            Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(hi_halo)
             if self.boundary == "reflective":
                 Q = self._reflect(Q, d)
         return Q

@@ -24,7 +24,7 @@ from typing import Callable, Optional
 import sympy
 from sympy.core.function import AppliedUndef
 
-from exahype_tpu.frontend.bounds import Policy, statement_ranges
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import StatementKind
 
@@ -115,7 +115,7 @@ def _expr_reads(expr, itemsize: int, vb: int, kernel: KernelBuilder) -> int:
 def estimate_cost(
     kernel: KernelBuilder,
     itemsize: int = 4,
-    policy: Policy = "golden",
+    policy: Policy = DEFAULT_POLICY,
     fn_flops: Optional[dict[str, int]] = None,
 ) -> KernelCost:
     """Walk the statement list and sum loop-trip-count × per-point cost."""

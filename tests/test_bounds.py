@@ -36,13 +36,36 @@ def test_golden_policy_3d():
     kb = build_rusanov_kernel(dim=3, patch_size=4, halo_size=1, n_real=5, n_aux=0)
     loops = [s for s in kb.statements if s.kind is StatementKind.LOOP]
     # copy: full everywhere, all 5 vars
-    assert kb.loop_ranges(loops[0]) == ((0, 1), (0, 6), (0, 6), (0, 6), (0, 5))
+    assert kb.loop_ranges(loops[0], policy="golden") == (
+        (0, 1), (0, 6), (0, 6), (0, 6), (0, 5)
+    )
     # Flux z (direction 3): trimmed k only
     flux_z = loops[3]
     assert flux_z.direction == 3
-    assert kb.loop_ranges(flux_z) == ((0, 1), (0, 6), (0, 6), (1, 5), (0, 1))
+    assert kb.loop_ranges(flux_z, policy="golden") == (
+        (0, 1), (0, 6), (0, 6), (1, 5), (0, 1)
+    )
     # write-back: trimmed everywhere
-    assert kb.loop_ranges(loops[-1]) == ((0, 1), (1, 5), (1, 5), (1, 5), (0, 5))
+    assert kb.loop_ranges(loops[-1], policy="golden") == (
+        (0, 1), (1, 5), (1, 5), (1, 5), (0, 5)
+    )
+
+
+def test_sound_policy_reads_are_all_written():
+    """Under 'sound', flux/eig evaluations cover the full extent, so the
+    stencil updates' shifted reads never touch unwritten elements."""
+    kb = build_rusanov_kernel()
+    loops = [s for s in kb.statements if s.kind is StatementKind.LOOP]
+    flux_x = loops[1]
+    # Pointwise directional evaluation: full on every spatial axis.
+    assert kb.loop_ranges(flux_x, policy="sound") == ((0, 1), (0, 6), (0, 6), (0, 1))
+    # Stencil update: swept axis trimmed, transverse full.
+    fluxdiff_x = loops[5]
+    assert kb.loop_ranges(fluxdiff_x, policy="sound") == (
+        (0, 1), (1, 5), (0, 6), (0, 5)
+    )
+    # Write-back: interior only.
+    assert kb.loop_ranges(loops[-1], policy="sound") == ((0, 1), (1, 5), (1, 5), (0, 10))
 
 
 def test_cpp_policy_differs_as_documented():
