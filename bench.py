@@ -27,8 +27,12 @@ def main():
     from exahype_tpu.utils.config import KernelConfig
 
     dim = 3
-    patch_size = 4  # extent 6; the VMEM working set allows lane tile 256
-    grid_shape = (32, 16, 16)  # 8192 patches
+    patch_size = 4  # extent 6
+    # Grid tail chosen for perfect VMEM tiling of the SoA-P state: the
+    # trailing axes (8, 128) are exactly one (sublane, lane) tile, so the
+    # fused kernel and the halo exchange run with zero lane padding and no
+    # per-step relayouts.
+    grid_shape = (8, 8, 128)  # 8192 patches
     n_real, n_aux = 5, 0
     chunk = 10  # steps fused into one dispatch via scan
     dtype = np.float32

@@ -3,22 +3,23 @@
 The performance path.  The JAX backend materializes every temp array
 (``Q_copy``, per-direction fluxes, eigenvalues) in HBM — ~12 passes over
 patch-sized arrays per step.  This backend compiles the SAME statement list
-(same bounds module, same golden policy) into a single ``pl.pallas_call``:
+(same bounds module, same policy) into a single ``pl.pallas_call``:
 
-- **Layout**: patches batch into the *lane* (last) dimension —
-  ``[x, y(, z), n_vars, n_patches]`` ("SoA-P").  With thousands of patches
-  the 128-wide lanes are fully utilized, every statement is elementwise
-  across patches on the VPU, and stencil shifts land on leading (sublane/
-  outer) axes where they are just different rows.  The reference's AoS
-  ``[patch, cells, var]`` enumeration (``CPPPrinter.py:247-261``) is the
-  wrong shape for a vector machine; transposition helpers convert.
-- **Grid**: 1-D over patch tiles; each grid step loads one
-  ``[*extent, n_vars, tile_p]`` block into VMEM, runs the whole statement
-  sequence on values (temps never touch HBM), and writes the block back —
-  2 HBM passes per step instead of ~12.
-- **Physics**: external functions use the ``tpu_impl`` contract — batch
-  arrays with the variable axis at ``-2`` and the patch axis last (see
-  :mod:`exahype_tpu.models.euler` ``*_tpu`` variants).
+- **Layout**: patches batch into the trailing (lane) dimensions —
+  ``[x, y(, z), n_vars, *patch_tail]`` ("SoA-P").  With the patch tail's last
+  axis a multiple of 128 the lanes are fully utilized, every statement is
+  elementwise across patches on the VPU, and stencil shifts land on leading
+  axes where they are just different rows.  The patch tail may be the flat
+  patch count or the patch-grid axes themselves (``patch_grid_shape=``) — the
+  latter lets the solver keep ONE layout for both halo exchange and the
+  kernel, with no per-step relayouts.
+- **Grid**: 1-D over tiles of the first patch-tail axis; each grid step
+  loads one block into VMEM, runs the whole statement sequence on refs
+  (temps never touch HBM), and writes the block back — 2 HBM passes per
+  step instead of ~12.
+- **Physics**: external functions use the ``tpu_impl`` contract — the
+  variable axis sits at position ``dim`` (counted from the front, after the
+  spatial region axes), patch axes trail.  See the ``*_tpu`` Euler variants.
 
 Statement semantics (regions, var collapse, pointer args) are identical to
 the JAX backend; differential tests assert equality against it.
@@ -28,7 +29,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,7 @@ class PallasPrinter(CodePrinter):
     """Lower a kernel spec to a fused Pallas TPU kernel.
 
     ``build()`` returns ``fn(Q_tpu, *scalars) -> Q_tpu`` over SoA-P layout
-    ``[*extent, n_vars, n_patches]``.  ``build_aos()`` wraps it with layout
+    ``[*extent, n_vars, *patch_tail]``.  ``build_aos()`` wraps it with layout
     transposes so it is drop-in for the JAX backend's AoS convention.
     """
 
@@ -74,6 +75,7 @@ class PallasPrinter(CodePrinter):
         tile_patches: Optional[int] = None,
         interpret: bool = False,
         vmem_limit_bytes: Optional[int] = None,
+        patch_grid_shape: Optional[Sequence[int]] = None,
     ):
         super().__init__(kernel, function_name=function_name)
         self.policy = policy
@@ -82,23 +84,41 @@ class PallasPrinter(CodePrinter):
         #: compiler default (~16 MiB).
         self.vmem_limit_bytes = vmem_limit_bytes
         cfg = kernel.config
+        if patch_grid_shape is not None:
+            self.patch_tail = tuple(patch_grid_shape)
+            if math.prod(self.patch_tail) != cfg.n_patches:
+                raise LoweringError(
+                    f"patch_grid_shape {self.patch_tail} does not cover "
+                    f"n_patches={cfg.n_patches}"
+                )
+        else:
+            self.patch_tail = (cfg.n_patches,)
+        self._tail_rest = math.prod(self.patch_tail[1:]) if len(self.patch_tail) > 1 else 1
+
+        budget = (vmem_limit_bytes or 16 * 1024 * 1024) * 3 // 4
         if tile_patches is None:
-            budget = (vmem_limit_bytes or 16 * 1024 * 1024) * 3 // 4
             tile_patches = self._default_tile(vmem_budget=budget)
-        if cfg.n_patches % tile_patches != 0:
+        if tile_patches % self._tail_rest != 0 or (
+            self.patch_tail[0] % (tile_patches // self._tail_rest) != 0
+        ):
             raise LoweringError(
-                f"n_patches ({cfg.n_patches}) must be divisible by "
-                f"tile_patches ({tile_patches})"
+                f"tile_patches ({tile_patches}) must be a multiple of the "
+                f"trailing patch-tail size ({self._tail_rest}) and divide the "
+                f"leading tail axis ({self.patch_tail[0]})"
             )
         self.tile_patches = tile_patches
+        #: Tile length along the FIRST patch-tail axis.
+        self.tile0 = tile_patches // self._tail_rest
         self._fn: Optional[Callable] = None
+
+    # ----------------------------------------------------------- tile sizing
 
     def _vmem_bytes_per_patch(self, itemsize: int = 4) -> int:
         """Peak VMEM estimate per patch lane: in+out blocks of the primary
         (double-buffered by the pipeline) plus every temp array.
 
-        The second-to-last dim (vars) is padded to the sublane width (8 for
-        f32) by the (8, 128) VMEM tiling; count the padded size.
+        The second-to-last dim is padded to the sublane width (8 for f32) by
+        the (8, 128) VMEM tiling; count the padded size.
         """
         kb = self._kernel
         cfg = kb.config
@@ -108,8 +128,12 @@ class PallasPrinter(CodePrinter):
         def item_bytes(name):
             struct = kb.item_struct[name]
             vars_ = {0: None, 1: cfg.n_real, 2: cfg.n_vars}[struct]
+            if len(self.patch_tail) > 1:
+                # Patch tail supplies both sublane and lane dims; the var
+                # axis is an outer dim — no var padding.
+                return cells * (vars_ or 1) * itemsize
             if vars_ is None:
-                return cells * itemsize  # scalar field: spatial dim is sublane
+                return cells * itemsize
             padded = -(-vars_ // sublane) * sublane
             return cells * padded * itemsize
 
@@ -119,13 +143,20 @@ class PallasPrinter(CodePrinter):
         return total
 
     def _default_tile(self, vmem_budget: int = 12 * 1024 * 1024) -> int:
-        """Largest lane-aligned patch tile whose working set fits VMEM.
-
-        Mosaic requires the last block dim to be a multiple of 128 (or the
-        full array dim); pick the biggest such tile under the budget.
-        """
+        """Largest legal patch tile whose working set fits VMEM."""
         cfg = self._kernel.config
         per_patch = self._vmem_bytes_per_patch()
+        if len(self.patch_tail) > 1:
+            # Lane alignment comes from the trailing tail axes; the leading
+            # axis tiles freely.
+            g0 = self.patch_tail[0]
+            for t0 in range(g0, 0, -1):
+                if g0 % t0 == 0 and t0 * self._tail_rest * per_patch <= vmem_budget:
+                    return t0 * self._tail_rest
+            raise LoweringError(
+                f"no tile of leading grid axis {g0} fits VMEM "
+                f"(~{per_patch} bytes/patch × trailing {self._tail_rest})"
+            )
         candidates = [t for t in (1024, 512, 384, 256, 128) if cfg.n_patches % t == 0]
         for t in candidates:
             if t * per_patch <= vmem_budget:
@@ -140,6 +171,11 @@ class PallasPrinter(CodePrinter):
 
     # ----------------------------------------------------------------- build
 
+    @property
+    def state_shape(self) -> tuple[int, ...]:
+        cfg = self._kernel.config
+        return (cfg.extent,) * cfg.dim + (cfg.n_vars,) + self.patch_tail
+
     def build(self) -> Callable:
         if self._fn is not None:
             return self._fn
@@ -147,11 +183,18 @@ class PallasPrinter(CodePrinter):
         cfg = kb.config
         primary = kb.inputs[0]
         scalar_inputs = kb.inputs[1:]
-        tile = self.tile_patches
-        block_shape = (cfg.extent,) * cfg.dim + (cfg.n_vars, tile)
-        n_tiles = cfg.n_patches // tile
-        spatial_zeros = (0,) * (cfg.dim + 1)
+        tail = self.patch_tail
+        n_tail = len(tail)
+        block_shape = (
+            (cfg.extent,) * cfg.dim + (cfg.n_vars, self.tile0) + tail[1:]
+        )
+        n_tiles = tail[0] // self.tile0
+        lead_zeros = (0,) * (cfg.dim + 1)
+        tail_zeros = (0,) * (n_tail - 1)
         temp_names = kb.temp_items()
+
+        def index_map(i, *_):
+            return lead_zeros + (i,) + tail_zeros
 
         def body(*refs):
             scalar_refs = refs[: len(scalar_inputs)]
@@ -174,9 +217,9 @@ class PallasPrinter(CodePrinter):
                 if stmt.kind is StatementKind.CONST_ASSIGN:
                     env[str(stmt.lhs)] = float(stmt.rhs)
                 else:
-                    self._apply_statement(env, stmt, last_lhs, tile)
+                    self._apply_statement(env, stmt, last_lhs)
 
-        state_shape = (cfg.extent,) * cfg.dim + (cfg.n_vars, cfg.n_patches)
+        state_shape = self.state_shape
 
         def fn(Q, *scalars):
             if len(scalars) != len(scalar_inputs):
@@ -188,19 +231,13 @@ class PallasPrinter(CodePrinter):
                 num_scalar_prefetch=len(scalar_inputs),
                 grid=(n_tiles,),
                 in_specs=[
-                    pl.BlockSpec(
-                        block_shape,
-                        lambda i, *_: spatial_zeros + (i,),
-                        memory_space=pltpu.VMEM,
-                    ),
+                    pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    block_shape,
-                    lambda i, *_: spatial_zeros + (i,),
-                    memory_space=pltpu.VMEM,
+                    block_shape, index_map, memory_space=pltpu.VMEM
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM(self._item_block_shape(name, tile), Q.dtype)
+                    pltpu.VMEM(self._item_block_shape(name), Q.dtype)
                     for name in temp_names
                 ],
             )
@@ -228,25 +265,30 @@ class PallasPrinter(CodePrinter):
     def build_aos(self) -> Callable:
         """AoS-convention wrapper: same signature as the JAX backend."""
         inner = self.build()
+        state_shape = self.state_shape
 
         def fn(Q, *scalars):
-            return from_tpu_layout(inner(to_tpu_layout(jnp.asarray(Q)), *scalars))
+            Qt = to_tpu_layout(jnp.asarray(Q)).reshape(state_shape)
+            out = inner(Qt, *scalars)
+            flat = out.reshape(out.shape[: self._kernel.config.dim + 1] + (-1,))
+            return from_tpu_layout(flat)
 
         return fn
 
-    def _item_block_shape(self, name: str, tile: int) -> tuple[int, ...]:
+    def _item_block_shape(self, name: str) -> tuple[int, ...]:
         cfg = self._kernel.config
         struct = self._kernel.item_struct[name]
         base = (cfg.extent,) * cfg.dim
+        tail = (self.tile0,) + self.patch_tail[1:]
         if struct == 0:
-            return base + (tile,)
+            return base + tail
         if struct == 1:
-            return base + (cfg.n_real, tile)
-        return base + (cfg.n_vars, tile)
+            return base + (cfg.n_real,) + tail
+        return base + (cfg.n_vars,) + tail
 
     # ------------------------------------------------------------ statements
 
-    def _apply_statement(self, env, stmt: Statement, last_lhs, tile) -> None:
+    def _apply_statement(self, env, stmt: Statement, last_lhs) -> None:
         kb = self._kernel
         cfg = kb.config
         ranges = statement_ranges(
@@ -258,6 +300,7 @@ class PallasPrinter(CodePrinter):
         )
         spatial = ranges[1 : 1 + cfg.dim]
         vb = ranges[-1][1]
+        var_axis = cfg.dim  # var sits after the spatial region axes
 
         if isinstance(stmt.lhs, AppliedUndef):
             typed = kb.functions.get(type(stmt.lhs).__name__)
@@ -270,9 +313,9 @@ class PallasPrinter(CodePrinter):
             kind, value = self._eval_call(env, typed, in_args, spatial)
             name, slices, has_var = self._access_slices(out_arg, spatial, vb=None)
             if has_var:
-                nvar = value.shape[-2]
+                nvar = value.shape[var_axis]
                 slices = (
-                    slices[: cfg.dim] + (slice(0, nvar),) + slices[cfg.dim + 1 :]
+                    slices[:var_axis] + (slice(0, nvar),) + slices[var_axis + 1 :]
                 )
             _store(env[name], slices, value)
             return
@@ -281,14 +324,15 @@ class PallasPrinter(CodePrinter):
         kind, value = self._eval(env, stmt.rhs, spatial, vb)
         name, slices, has_var = self._access_slices(stmt.lhs, spatial, vb)
         if has_var and kind == _FIELD:
-            value = value[..., None, :]
+            value = jnp.expand_dims(value, var_axis)
         if not has_var and kind == _VFIELD:
-            value = value[..., 0, :]
+            value = jnp.take(value, 0, axis=var_axis)
         _store(env[name], slices, value)
 
     # ------------------------------------------------------------ expression
 
     def _eval(self, env, expr, spatial, vb):
+        var_axis = self._kernel.config.dim
         if expr is None:
             raise LoweringError("missing RHS")
         if expr.is_Number:
@@ -307,10 +351,10 @@ class PallasPrinter(CodePrinter):
             return self._eval_call(env, typed, list(expr.args), spatial)
         if isinstance(expr, sympy.Add):
             vals = [self._eval(env, a, spatial, vb) for a in expr.as_ordered_terms()]
-            return _combine(vals, lambda x, y: x + y)
+            return _combine(vals, lambda x, y: x + y, var_axis)
         if isinstance(expr, sympy.Mul):
             vals = [self._eval(env, a, spatial, vb) for a in expr.as_ordered_factors()]
-            return _combine(vals, lambda x, y: x * y)
+            return _combine(vals, lambda x, y: x * y, var_axis)
         if isinstance(expr, sympy.Pow):
             bk, bv = self._eval(env, expr.base, spatial, vb)
             if expr.exp == sympy.Integer(-1):
@@ -326,7 +370,7 @@ class PallasPrinter(CodePrinter):
         if isinstance(expr, (sympy.Max, sympy.Min)):
             op = jnp.maximum if isinstance(expr, sympy.Max) else jnp.minimum
             vals = [self._eval(env, a, spatial, vb) for a in expr.args]
-            return _combine(vals, op)
+            return _combine(vals, op, var_axis)
         if isinstance(expr, sympy.Abs):
             k, v = self._eval(env, expr.args[0], spatial, vb)
             return k, jnp.abs(v)
@@ -350,12 +394,13 @@ class PallasPrinter(CodePrinter):
                 evaluated.append((_SCALAR, v))
         result = impl(*[v for _, v in evaluated])
         cfg = self._kernel.config
-        if result.ndim == cfg.dim + 1:
+        n_tail = len(self.patch_tail)
+        if result.ndim == cfg.dim + n_tail:
             return _FIELD, result
-        if result.ndim == cfg.dim + 2:
+        if result.ndim == cfg.dim + 1 + n_tail:
             return _VFIELD, result
         raise LoweringError(
-            f"{typed.name} returned rank-{result.ndim}; expected per-region "
+            f"{typed.name} returned rank-{result.ndim}; expected a per-region "
             "field or vfield in SoA-P layout"
         )
 
@@ -364,7 +409,7 @@ class PallasPrinter(CodePrinter):
         return (_VFIELD if has_var else _FIELD), env[name][slices]
 
     def _access_slices(self, access: sympy.Indexed, spatial, vb):
-        """Index layout: [*spatial, (var,) patch]; patch axis always full."""
+        """Index layout: [*spatial, (var,) *patch_tail]; tail always full."""
         kb = self._kernel
         cfg = kb.config
         name = str(access.base.label)
@@ -389,7 +434,7 @@ class PallasPrinter(CodePrinter):
             size = cfg.n_real if struct == 1 else cfg.n_vars
             take = size if vb is None else min(vb, size)
             slices.append(slice(0, take))
-        slices.append(slice(None))  # patch lane axis
+        slices.extend([slice(None)] * len(self.patch_tail))
         return name, tuple(slices), has_var
 
 
@@ -415,13 +460,13 @@ def _offset_of(idx_expr) -> int:
     return int(off)
 
 
-def _combine(vals, op):
+def _combine(vals, op, var_axis: int):
     has_vfield = any(k == _VFIELD for k, _ in vals)
     has_field = any(k == _FIELD for k, _ in vals)
     norm = []
     for k, v in vals:
         if has_vfield and k == _FIELD:
-            v = v[..., None, :]
+            v = jnp.expand_dims(v, var_axis)
         norm.append(v)
     out = norm[0]
     for v in norm[1:]:

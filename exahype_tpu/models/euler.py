@@ -138,38 +138,44 @@ def max_eigenvalue_v_fn(dim: int = 2, gamma: float = GAMMA):
 
 
 # --------------------------------------------------------------- SoA-P (TPU)
-# Pallas-backend contract (TypedFunction.tpu_impl): variable axis at -2,
-# patch lanes last — ``Q[..., k, :]`` picks variable k across all patches.
+# Pallas-backend contract (TypedFunction.tpu_impl): the variable axis sits at
+# position ``dim`` counted from the FRONT (after the spatial region axes);
+# any number of patch axes trail — ``[*spatial, var, *patch_tail]``.
 # Same arithmetic and operation order as the other variants.
 
 
+def _v(Q, k: int, dim: int):
+    """Select variable ``k`` (var axis at front position ``dim``)."""
+    return Q[(slice(None),) * dim + (k,)]
+
+
 def _pressure_tpu(Q, dim: int, gamma: float):
-    inv_rho = 1.0 / Q[..., 0, :]
-    kinetic = Q[..., 1, :] * Q[..., 1, :] + Q[..., 2, :] * Q[..., 2, :]
+    inv_rho = 1.0 / _v(Q, 0, dim)
+    kinetic = _v(Q, 1, dim) * _v(Q, 1, dim) + _v(Q, 2, dim) * _v(Q, 2, dim)
     if dim == 3:
-        kinetic = kinetic + Q[..., 3, :] * Q[..., 3, :]
-    return (gamma - 1.0) * (Q[..., dim + 1, :] - 0.5 * inv_rho * kinetic)
+        kinetic = kinetic + _v(Q, 3, dim) * _v(Q, 3, dim)
+    return (gamma - 1.0) * (_v(Q, dim + 1, dim) - 0.5 * inv_rho * kinetic)
 
 
 def flux_tpu(Q, normal, *, dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
     n = int(normal)
-    inv_rho = 1.0 / Q[..., 0, :]
+    inv_rho = 1.0 / _v(Q, 0, dim)
     p = _pressure_tpu(Q, dim, gamma)
-    coeff = inv_rho * Q[..., n + 1, :]
-    comps = [coeff * Q[..., k, :] for k in range(dim + 1)]
+    coeff = inv_rho * _v(Q, n + 1, dim)
+    comps = [coeff * _v(Q, k, dim) for k in range(dim + 1)]
     comps[n + 1] = comps[n + 1] + p
-    comps.append(coeff * Q[..., dim + 1, :] + coeff * p)
+    comps.append(coeff * _v(Q, dim + 1, dim) + coeff * p)
     while len(comps) < n_real:
         comps.append(jnp.zeros_like(p))
-    return jnp.stack(comps[:n_real], axis=-2)
+    return jnp.stack(comps[:n_real], axis=dim)
 
 
 def max_eigenvalue_tpu(Q, normal, *, dim: int = 2, gamma: float = GAMMA):
     n = int(normal)
-    inv_rho = 1.0 / jnp.abs(Q[..., 0, :])
+    inv_rho = 1.0 / jnp.abs(_v(Q, 0, dim))
     p = _pressure_tpu(Q, dim, gamma)
     c = jnp.sqrt(gamma * jnp.abs(p) * inv_rho)
-    u_n = Q[..., n + 1, :] * inv_rho
+    u_n = _v(Q, n + 1, dim) * inv_rho
     return jnp.maximum(jnp.abs(u_n - c), jnp.abs(u_n + c))
 
 

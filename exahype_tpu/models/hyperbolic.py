@@ -24,23 +24,26 @@ import jax.numpy as jnp
 
 
 def as_tpu_impl(batch_fn: Callable, dim: int) -> Callable:
-    """Adapt var-axis-last physics to the SoA-P (var at -2) contract.
+    """Adapt var-axis-last physics to the SoA-P contract (var axis at front
+    position ``dim``, arbitrary patch axes trailing).
 
-    ``dim`` disambiguates ranks: over a region, struct arguments/results have
-    rank ``dim + 2`` ([*spatial, var, patch] in SoA-P) and scalar fields rank
-    ``dim + 1`` — only the former get their var axis moved.
+    Struct arguments (rank > ``dim`` + number of patch axes) get their var
+    axis moved to the back for the batch-native fn and the result moved
+    back.  Physics callbacks take struct states plus scalars, so any array
+    argument of rank above ``dim`` is treated as a struct state.
     """
 
     def tpu_fn(*args):
         moved = [
-            jnp.moveaxis(a, -2, -1)
-            if hasattr(a, "ndim") and a.ndim == dim + 2
-            else a
+            jnp.moveaxis(a, dim, -1) if hasattr(a, "ndim") and a.ndim > dim else a
             for a in args
         ]
         out = batch_fn(*moved)
-        if out.ndim == dim + 2:
-            out = jnp.moveaxis(out, -1, -2)
+        ref_ndim = max(
+            (a.ndim for a in args if hasattr(a, "ndim")), default=out.ndim
+        )
+        if out.ndim == ref_ndim:  # vector result: restore the var axis
+            out = jnp.moveaxis(out, -1, dim)
         return out
 
     return tpu_fn

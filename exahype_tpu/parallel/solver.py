@@ -55,7 +55,12 @@ class GridSolver:
                 raise SemanticError("backend='pallas' requires a TpuPatchGrid")
             from exahype_tpu.backends.pallas_backend import PallasPrinter
 
-            self._kernel_fn = PallasPrinter(kernel, **backend_kwargs).build()
+            # The fused kernel consumes the grid-shaped SoA-P state directly
+            # (patch tail = grid axes): no per-step reshape/relayout.
+            backend_kwargs.setdefault("patch_grid_shape", grid.grid_shape)
+            printer = PallasPrinter(kernel, **backend_kwargs)
+            self._grid_native = printer.patch_tail == tuple(grid.grid_shape)
+            self._kernel_fn = printer.build()
         else:
             if not isinstance(grid, PatchGrid):
                 raise SemanticError("backend='jax' requires a PatchGrid")
@@ -68,6 +73,8 @@ class GridSolver:
     def step(self, Q, dt):
         """One halo-exchange + patch-update step on grid-shaped state."""
         Q = self.grid.halo_fill(Q)
+        if getattr(self, "_grid_native", False):
+            return self._kernel_fn(Q, dt)
         Qb = self.grid.to_batched(Q)
         Qb = self._kernel_fn(Qb, dt)
         return self.grid.from_batched(Qb)
