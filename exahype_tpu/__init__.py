@@ -54,4 +54,8 @@ def __getattr__(name):
         from exahype_tpu.backends.pallas_backend import PallasPrinter
 
         return PallasPrinter
+    if name == "MLIRPrinter":
+        from exahype_tpu.backends.mlir_backend import MLIRPrinter
+
+        return MLIRPrinter
     raise AttributeError(f"module 'exahype_tpu' has no attribute {name!r}")
