@@ -13,9 +13,20 @@ ADER-DG — BASELINE.md's north star is 3-D compressible Euler ADER-DG order
    (→ ``collective_permute`` over ICI when a grid axis is sharded).
 4. **Corrector**: nodal update from volume and surface contributions.
 
-Everything is batched einsums over the cell grid — XLA maps the node-axis
-contractions onto the MXU, cells are the batch.  No halo storage: DG cells
-exchange only face data, so the state is ``[*grid, (order+1)ᵈ nodes, n_vars]``.
+**TPU layout** (the SoA-P convention shared with the Pallas FV backend):
+state ``[n_1..n_d (node axes), n_vars, g_1..g_d (cell-grid axes)]`` — the
+cell grid occupies the trailing (sublane/lane) dims, so every nodal
+operation is elementwise across thousands of cells at full lane utilization,
+operator contractions touch only outer axes, and face rolls are cheap lane
+permutes.  (The naive ``[cells..., nodes..., V]`` layout leaves V=5 in the
+lanes — measured 50× slower on a v5e chip.)  Pick ``grid_shape`` with the
+last axis a multiple of 128 for exact tiling.
+
+Physics contract: ``flux_fn(Q, axis, var_axis)`` / ``max_eigenvalue_fn(Q,
+axis, var_axis)`` batch-native with the variable axis at ``var_axis``
+(face-projected arrays have one node axis fewer, hence the explicit
+position).  :func:`euler_physics` builds the Euler pair;
+:func:`wrap_var_last` adapts var-axis-last model callbacks.
 
 Validated by convergence tests (order+1 rate on smooth advection) and
 conservation tests in ``tests/test_aderdg.py``.
@@ -24,19 +35,20 @@ conservation tests in ``tests/test_aderdg.py``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from exahype_tpu.models import euler
 from exahype_tpu.models.dg import DGOperators
 from exahype_tpu.utils.errors import SemanticError
 
 
 def _apply(mat, x, axis):
-    """Contract ``mat[i, j] x[..., j, ...]`` along ``axis``."""
+    """Contract ``mat[i, j] x[..., j, ...]`` along ``axis`` (an outer axis:
+    the trailing lane dims never move)."""
     out = jnp.tensordot(jnp.asarray(mat, x.dtype), x, axes=([1], [axis]))
     return jnp.moveaxis(out, 0, axis)
 
@@ -46,16 +58,38 @@ def _project(vec, x, axis):
     return jnp.tensordot(jnp.asarray(vec, x.dtype), x, axes=([0], [axis]))
 
 
+def euler_physics(dim: int, n_real: int = 5, gamma: float = euler.GAMMA):
+    """(flux_fn, max_eigenvalue_fn) for compressible Euler in this layout."""
+
+    def flux(Q, axis, var_axis):
+        return euler.flux_tpu(
+            Q, axis, dim=dim, n_real=n_real, gamma=gamma, var_axis=var_axis
+        )
+
+    def eig(Q, axis, var_axis):
+        return euler.max_eigenvalue_tpu(
+            Q, axis, dim=dim, gamma=gamma, var_axis=var_axis
+        )
+
+    return flux, eig
+
+
+def wrap_var_last(batch_fn: Callable):
+    """Adapt a var-axis-last callback (models/hyperbolic.py style) to the
+    (Q, axis, var_axis) contract (correct for any layout; costs moveaxes)."""
+
+    def fn(Q, axis, var_axis):
+        out = batch_fn(jnp.moveaxis(Q, var_axis, -1), axis)
+        if out.ndim == Q.ndim:
+            out = jnp.moveaxis(out, -1, var_axis)
+        return out
+
+    return fn
+
+
 @dataclasses.dataclass
 class ADERDGSolver:
-    """ADER-DG on a periodic Cartesian grid of cells.
-
-    - ``dim``: 2 or 3; ``order``: polynomial order N (N+1 nodes per axis)
-    - ``grid_shape``: cells per axis
-    - ``flux_fn(Q, axis)``: batch-native flux, variable axis last
-    - ``max_eigenvalue_fn(Q, axis)``: batch-native max wave speed
-    - ``dx``: cell size (uniform)
-    """
+    """ADER-DG on a periodic Cartesian grid of cells (SoA-P layout)."""
 
     dim: int
     order: int
@@ -83,11 +117,17 @@ class ADERDGSolver:
 
     @property
     def state_shape(self) -> tuple[int, ...]:
-        return self.grid_shape + (self.n_nodes,) * self.dim + (self.n_vars,)
+        return (self.n_nodes,) * self.dim + (self.n_vars,) + self.grid_shape
 
     def node_axis(self, d: int) -> int:
-        """Tensor axis of spatial node dimension ``d`` in the state."""
-        return self.dim + d
+        return d
+
+    @property
+    def var_axis(self) -> int:
+        return self.dim
+
+    def grid_axis(self, d: int) -> int:
+        return self.dim + 1 + d
 
     def dofs(self) -> int:
         return int(np.prod(self.grid_shape)) * self.n_nodes**self.dim * self.n_vars
@@ -96,10 +136,11 @@ class ADERDGSolver:
 
     def predictor(self, u, dt):
         """Picard iteration; returns time-averaged state ``qbar`` and
-        time-averaged fluxes ``fbar[d]``."""
+        time-averaged fluxes ``fbar[d]``.  Space-time arrays carry a leading
+        time-node axis (all state axes shift by one)."""
         ops = self.ops
         lam = dt / self.dx
-        # Space-time state with a leading time-node axis.
+        va = 1 + self.var_axis  # var axis inside space-time arrays
         q = jnp.broadcast_to(u, (self.n_nodes,) + u.shape)
         # θ_σ(0)·u with a leading time-node axis, broadcast over cells.
         f0u = jnp.asarray(ops.phi0, u.dtype).reshape(
@@ -112,7 +153,7 @@ class ADERDGSolver:
         def one_iter(q):
             rhs = f0u
             for d in range(self.dim):
-                F = self.flux_fn(q, d)
+                F = self.flux_fn(q, d, va)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
                 rhs = rhs - lam * w_t * dF
             return jnp.tensordot(
@@ -125,7 +166,7 @@ class ADERDGSolver:
         wvec = jnp.asarray(ops.weights, u.dtype)
         qbar = jnp.tensordot(wvec, q, axes=([0], [0]))
         fbar = [
-            jnp.tensordot(wvec, self.flux_fn(q, d), axes=([0], [0]))
+            jnp.tensordot(wvec, self.flux_fn(q, d, va), axes=([0], [0]))
             for d in range(self.dim)
         ]
         return qbar, fbar
@@ -138,10 +179,11 @@ class ADERDGSolver:
         lam = dt / self.dx
         qbar, fbar = self.predictor(u, dt)
         new = u
+        face_va = self.var_axis - 1  # one node axis projected away
 
         for d in range(self.dim):
-            grid_ax = d
             node_ax = self.node_axis(d)
+            face_grid_ax = self.grid_axis(d) - 1
 
             # Volume integral: (λ/w_i) Σ_j w_j D[j,i] F̄_j along axis d.
             new = new + lam * _apply(ops.Kvol, fbar[d], axis=node_ax)
@@ -154,15 +196,19 @@ class ADERDGSolver:
 
             # Face between me and my +d neighbour: left state = my high
             # face, right state = neighbour's low face (periodic roll).
-            q_plus = jnp.roll(q_lo, shift=-1, axis=grid_ax)
-            f_plus = jnp.roll(f_lo, shift=-1, axis=grid_ax)
-            s_hi = jnp.maximum(
-                self.max_eigenvalue_fn(q_hi, d), self.max_eigenvalue_fn(q_plus, d)
-            )[..., None]
+            q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
+            f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
+            s_hi = jnp.expand_dims(
+                jnp.maximum(
+                    self.max_eigenvalue_fn(q_hi, d, face_va),
+                    self.max_eigenvalue_fn(q_plus, d, face_va),
+                ),
+                face_va,
+            )
             fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * (q_plus - q_hi)
 
             # Face between my -d neighbour and me: that neighbour's fhat_hi.
-            fhat_lo = jnp.roll(fhat_hi, shift=1, axis=grid_ax)
+            fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
 
             # Surface contribution: −(λ/w_i)(ℓ_i(1) F̂_hi − ℓ_i(0) F̂_lo).
             shape_i = [1] * new.ndim
@@ -181,7 +227,7 @@ class ADERDGSolver:
         """PNPM-style CFL: dt = cfl · dx / (λ_max · (2N+1))."""
         s = 0.0
         for d in range(self.dim):
-            s = jnp.maximum(s, jnp.max(self.max_eigenvalue_fn(u, d)))
+            s = jnp.maximum(s, jnp.max(self.max_eigenvalue_fn(u, d, self.var_axis)))
         return cfl * self.dx / (s * (2 * self.order + 1))
 
     def run(self, u, n_steps: int, dt):
@@ -200,23 +246,19 @@ class ADERDGSolver:
         # Project node axes last-to-first so remaining axis indices stay valid.
         for d in reversed(range(self.dim)):
             out = _project(jnp.asarray(w, u.dtype), out, self.node_axis(d))
-        # out now has shape [*grid, n_vars]
+        # out: [n_vars, *grid]
         vol = self.dx**self.dim
-        return jnp.sum(out, axis=tuple(range(self.dim))) * vol
+        return jnp.sum(out, axis=tuple(range(1, 1 + self.dim))) * vol
 
     def nodes_meshgrid(self):
-        """Physical coordinates of every node: list of dim arrays shaped like
-        the state without the variable axis."""
-        axes = []
-        for d in range(self.dim):
-            cell_idx = np.arange(self.grid_shape[d])
-            coords = (cell_idx[:, None] + self.ops.nodes[None, :]) * self.dx
-            axes.append(coords)  # [cells_d, nodes]
-        # Build broadcastable grids.
+        """Physical node coordinates: one array per dim, broadcastable to the
+        state shape (singleton var axis)."""
         full = []
         for d in range(self.dim):
-            shape = [1] * (2 * self.dim)
-            shape[d] = self.grid_shape[d]
-            shape[self.dim + d] = self.n_nodes
-            full.append(axes[d].reshape(shape))
+            cell_idx = np.arange(self.grid_shape[d])
+            coords = (self.ops.nodes[:, None] + cell_idx[None, :]) * self.dx
+            shape = [1] * (2 * self.dim + 1)
+            shape[self.node_axis(d)] = self.n_nodes
+            shape[self.grid_axis(d)] = self.grid_shape[d]
+            full.append(coords.reshape(shape))
         return full

@@ -144,38 +144,45 @@ def max_eigenvalue_v_fn(dim: int = 2, gamma: float = GAMMA):
 # Same arithmetic and operation order as the other variants.
 
 
-def _v(Q, k: int, dim: int):
-    """Select variable ``k`` (var axis at front position ``dim``)."""
-    return Q[(slice(None),) * dim + (k,)]
+def _v(Q, k: int, axis: int):
+    """Select variable ``k`` (var axis at front position ``axis``)."""
+    return Q[(slice(None),) * axis + (k,)]
 
 
-def _pressure_tpu(Q, dim: int, gamma: float):
-    inv_rho = 1.0 / _v(Q, 0, dim)
-    kinetic = _v(Q, 1, dim) * _v(Q, 1, dim) + _v(Q, 2, dim) * _v(Q, 2, dim)
+def _pressure_tpu(Q, dim: int, gamma: float, va: int):
+    inv_rho = 1.0 / _v(Q, 0, va)
+    kinetic = _v(Q, 1, va) * _v(Q, 1, va) + _v(Q, 2, va) * _v(Q, 2, va)
     if dim == 3:
-        kinetic = kinetic + _v(Q, 3, dim) * _v(Q, 3, dim)
-    return (gamma - 1.0) * (_v(Q, dim + 1, dim) - 0.5 * inv_rho * kinetic)
+        kinetic = kinetic + _v(Q, 3, va) * _v(Q, 3, va)
+    return (gamma - 1.0) * (_v(Q, dim + 1, va) - 0.5 * inv_rho * kinetic)
 
 
-def flux_tpu(Q, normal, *, dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
+def flux_tpu(
+    Q, normal, *, dim: int = 2, n_real: int = 5, gamma: float = GAMMA,
+    var_axis: int | None = None,
+):
     n = int(normal)
-    inv_rho = 1.0 / _v(Q, 0, dim)
-    p = _pressure_tpu(Q, dim, gamma)
-    coeff = inv_rho * _v(Q, n + 1, dim)
-    comps = [coeff * _v(Q, k, dim) for k in range(dim + 1)]
+    va = dim if var_axis is None else var_axis
+    inv_rho = 1.0 / _v(Q, 0, va)
+    p = _pressure_tpu(Q, dim, gamma, va)
+    coeff = inv_rho * _v(Q, n + 1, va)
+    comps = [coeff * _v(Q, k, va) for k in range(dim + 1)]
     comps[n + 1] = comps[n + 1] + p
-    comps.append(coeff * _v(Q, dim + 1, dim) + coeff * p)
+    comps.append(coeff * _v(Q, dim + 1, va) + coeff * p)
     while len(comps) < n_real:
         comps.append(jnp.zeros_like(p))
-    return jnp.stack(comps[:n_real], axis=dim)
+    return jnp.stack(comps[:n_real], axis=va)
 
 
-def max_eigenvalue_tpu(Q, normal, *, dim: int = 2, gamma: float = GAMMA):
+def max_eigenvalue_tpu(
+    Q, normal, *, dim: int = 2, gamma: float = GAMMA, var_axis: int | None = None
+):
     n = int(normal)
-    inv_rho = 1.0 / jnp.abs(_v(Q, 0, dim))
-    p = _pressure_tpu(Q, dim, gamma)
+    va = dim if var_axis is None else var_axis
+    inv_rho = 1.0 / jnp.abs(_v(Q, 0, va))
+    p = _pressure_tpu(Q, dim, gamma, va)
     c = jnp.sqrt(gamma * jnp.abs(p) * inv_rho)
-    u_n = _v(Q, n + 1, dim) * inv_rho
+    u_n = _v(Q, n + 1, va) * inv_rho
     return jnp.maximum(jnp.abs(u_n - c), jnp.abs(u_n + c))
 
 

@@ -4,6 +4,8 @@ The reference has no executable ADER-DG (its DSL emits FV kernels for the
 downstream framework); these tests validate our implementation from
 mathematical first principles: an order-(N+1) scheme must converge at that
 rate on smooth solutions and conserve the state exactly on periodic domains.
+
+State layout (SoA-P): ``[*node_axes, n_vars, *grid_axes]``.
 """
 
 import jax.numpy as jnp
@@ -11,17 +13,18 @@ import numpy as np
 import pytest
 
 from exahype_tpu.models import euler
-from exahype_tpu.models.aderdg import ADERDGSolver
+from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics, wrap_var_last
 
 
 def advection_physics(velocity):
     a = np.asarray(velocity, dtype=np.float64)
 
-    def flux(Q, axis):
-        return a[axis] * Q
+    def flux(Q, axis, var_axis):
+        return float(a[axis]) * Q
 
-    def eig(Q, axis):
-        return jnp.full(Q.shape[:-1], float(abs(a[axis])), Q.dtype)
+    def eig(Q, axis, var_axis):
+        shape = Q.shape[:var_axis] + Q.shape[var_axis + 1 :]
+        return jnp.full(shape, float(abs(a[axis])), Q.dtype)
 
     return flux, eig
 
@@ -41,12 +44,9 @@ def make_advection_solver(cells, order=3, dim=2, velocity=(1.0, 0.5)):
 
 def advection_init(solver, velocity=(1.0, 0.5), t=0.0):
     coords = solver.nodes_meshgrid()
-    phase = sum(
-        c - v * t for c, v in zip(coords, velocity)
-    )  # broadcast sum over dims
+    phase = sum(c - v * t for c, v in zip(coords, velocity))
     u = np.sin(2 * np.pi * phase)
-    u = np.broadcast_to(u, solver.state_shape[:-1])
-    return jnp.asarray(u[..., None])
+    return jnp.asarray(np.broadcast_to(u, solver.state_shape))
 
 
 def l2_error(solver, u, u_exact):
@@ -85,8 +85,7 @@ def test_advection_conservation():
 
 def euler_density_wave_solver(cells=6, order=3):
     dim = 2
-    flux = lambda Q, axis: euler.flux_v(Q, axis, dim=dim, n_real=4)
-    eig = lambda Q, axis: euler.max_eigenvalue_v(Q, axis, dim=dim)
+    flux, eig = euler_physics(dim=dim, n_real=4)
     return ADERDGSolver(
         dim=dim,
         order=order,
@@ -102,11 +101,12 @@ def euler_density_wave_state(solver, t=0.0, vel=(1.0, 0.5), p=2.0, gamma=1.4):
     """Exact smooth Euler solution: density advects with uniform velocity."""
     coords = solver.nodes_meshgrid()
     phase = sum(c - v * t for c, v in zip(coords, vel))
-    rho = 1.0 + 0.2 * np.sin(2 * np.pi * phase)
-    rho = np.broadcast_to(rho, solver.state_shape[:-1])
+    rho_b = 1.0 + 0.2 * np.sin(2 * np.pi * phase)
+    no_var = solver.state_shape[: solver.var_axis] + solver.state_shape[solver.var_axis + 1 :]
+    rho = np.broadcast_to(np.squeeze(rho_b, axis=solver.var_axis), no_var)
     u, v = vel
     E = p / (gamma - 1.0) + 0.5 * rho * (u * u + v * v)
-    Q = np.stack([rho, rho * u, rho * v, E], axis=-1)
+    Q = np.stack([rho, rho * u, rho * v, E], axis=solver.var_axis)
     return jnp.asarray(Q)
 
 
@@ -117,7 +117,9 @@ def test_euler_density_wave():
     n_steps = 50
     Q = solver.run(Q0, n_steps, dt=t_end / n_steps)
     exact = euler_density_wave_state(solver, t=t_end)
-    err = l2_error(solver, Q[..., 0:1], exact[..., 0:1])
+    va = solver.var_axis
+    sel = (slice(None),) * va + (slice(0, 1),)
+    err = l2_error(solver, Q[sel], exact[sel])
     # 6 cells of a full sine wave at order 3: O((1/6)^4) regime.
     assert err < 1e-4, f"density-wave L2 error {err}"
     # Conservation of all four variables.
@@ -138,8 +140,7 @@ def test_cfl_dt_positive():
 
 def test_aderdg_3d_runs():
     dim = 3
-    flux = lambda Q, axis: euler.flux_v(Q, axis, dim=dim, n_real=5)
-    eig = lambda Q, axis: euler.max_eigenvalue_v(Q, axis, dim=dim)
+    flux, eig = euler_physics(dim=dim, n_real=5)
     solver = ADERDGSolver(
         dim=3,
         order=3,
@@ -151,12 +152,74 @@ def test_aderdg_3d_runs():
     )
     coords = solver.nodes_meshgrid()
     phase = coords[0] + coords[1] + coords[2]
-    rho = 1.0 + 0.2 * np.sin(2 * np.pi * np.broadcast_to(phase, solver.state_shape[:-1]))
-    Q = np.zeros(solver.state_shape)
-    Q[..., 0] = rho
-    Q[..., 1] = rho * 1.0
-    Q[..., 2] = rho * 0.5
-    Q[..., 3] = rho * 0.25
-    Q[..., 4] = 2.0 / 0.4 + 0.5 * rho * (1.0 + 0.25 + 0.0625)
+    no_var = solver.state_shape[: solver.var_axis] + solver.state_shape[solver.var_axis + 1 :]
+    rho = 1.0 + 0.2 * np.sin(
+        2 * np.pi * np.broadcast_to(np.squeeze(phase, axis=solver.var_axis), no_var)
+    )
+    comps = [
+        rho,
+        rho * 1.0,
+        rho * 0.5,
+        rho * 0.25,
+        2.0 / 0.4 + 0.5 * rho * (1.0 + 0.25 + 0.0625),
+    ]
+    Q = np.stack(comps, axis=solver.var_axis)
     out = solver.run(jnp.asarray(Q), 5, dt=1e-3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wrap_var_last_adapter():
+    """Var-axis-last model callbacks plug in through wrap_var_last."""
+    from exahype_tpu.models import hyperbolic
+
+    flux_b, eig_b = hyperbolic.shallow_water(dim=2)
+    solver = ADERDGSolver(
+        dim=2,
+        order=2,
+        n_vars=3,
+        grid_shape=(4, 4),
+        flux_fn=wrap_var_last(flux_b),
+        max_eigenvalue_fn=wrap_var_last(eig_b),
+        dx=0.25,
+    )
+    rng = np.random.default_rng(0)
+    Q = rng.uniform(0.5, 1.0, size=solver.state_shape)
+    sel = (slice(None),) * solver.var_axis + (0,)
+    Q[sel] += 1.0  # positive water height
+    out = solver.run(jnp.asarray(Q), 3, dt=1e-3)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(
+        np.asarray(solver.total_mass(out)),
+        np.asarray(solver.total_mass(jnp.asarray(Q))),
+        rtol=0,
+        atol=1e-11,
+    )
+
+
+def test_aderdg_sharded_matches_single_device():
+    """ADER-DG over a sharded cell grid: face rolls become collectives; the
+    result matches the unsharded run to 1 ulp (partitioned compilation may
+    fuse the node-axis contractions differently)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel import make_mesh
+
+    solver = euler_density_wave_solver(cells=8, order=2)
+    Q0 = euler_density_wave_state(solver)
+
+    ref = np.asarray(jax.jit(solver.step)(Q0, 1e-3))
+
+    mesh = make_mesh(8)
+    ndim = len(solver.state_shape)
+    # Shard the first grid axis (position var_axis + 1).
+    spec_list = [None] * ndim
+    spec_list[solver.grid_axis(0)] = "patches"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec_list))
+    Qs = jax.device_put(Q0, sharding)
+    stepped = jax.jit(solver.step, in_shardings=(sharding, None), out_shardings=sharding)
+    hlo = stepped.lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo or "all-gather" in hlo
+    np.testing.assert_allclose(
+        np.asarray(stepped(Qs, 1e-3)), ref, rtol=1e-14, atol=1e-14
+    )
