@@ -394,6 +394,20 @@ class KernelBuilder:
             is_last_lhs=is_last_lhs,
         )
 
+    def with_n_patches(self, n_patches: int) -> "KernelBuilder":
+        """A view of this spec with a different patch count.
+
+        Statements and registries are shared (they are patch-count
+        independent); only the config differs.  Used by the distributed
+        layer to build per-shard kernels.
+        """
+        import copy as _copy
+        import dataclasses as _dc
+
+        clone = _copy.copy(self)
+        clone.config = _dc.replace(self.config, n_patches=n_patches)
+        return clone
+
     def temp_items(self) -> list[str]:
         """Names of arrays the kernel must allocate (non-input, non-parented).
 

@@ -6,11 +6,14 @@ from exahype_tpu.parallel.mesh import (
     shard_state,
     state_sharding,
 )
+from exahype_tpu.parallel.shard import make_sharded_pallas_step, sharded_tpu_halo_fill
 from exahype_tpu.parallel.solver import GridSolver
 
 __all__ = [
     "PatchGrid",
     "TpuPatchGrid",
+    "make_sharded_pallas_step",
+    "sharded_tpu_halo_fill",
     "GridSolver",
     "make_mesh",
     "state_sharding",

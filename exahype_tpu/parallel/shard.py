@@ -1,0 +1,126 @@
+"""Explicit multi-chip stepping for the Pallas backend: shard_map + ppermute.
+
+GSPMD auto-partitioning covers the JAX backend (plain array ops), but a
+``pallas_call`` cannot be split by the compiler — the fused kernel must run
+per shard under ``shard_map`` with the cross-chip halo exchange written
+explicitly.  This module supplies exactly the design SURVEY.md §2 calls for:
+patch sets sharded over a 1-D mesh along grid axis 0, edge slabs exchanged
+with ``lax.ppermute`` over ICI, everything else local.
+
+The per-shard kernel is a separate :class:`PallasPrinter` instance built for
+the local patch count (``KernelBuilder.with_n_patches``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from exahype_tpu.parallel.grid import TpuPatchGrid, _axis_slice
+from exahype_tpu.parallel.mesh import PATCH_AXIS
+from exahype_tpu.utils.errors import SemanticError
+
+
+def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AXIS):
+    """Halo fill for a grid whose axis 0 is sharded (call under shard_map).
+
+    Inner grid axes use the local periodic roll; the sharded axis rolls
+    locally and then repairs the shard-boundary rows with ``ppermute``d edge
+    slabs (periodic over the whole mesh).
+    """
+    cfg = local_grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    if h == 0:
+        return Q
+    if local_grid.boundary != "periodic":
+        raise SemanticError("sharded halo exchange supports periodic boundaries")
+    nd = Q.ndim
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    for d in range(cfg.dim):
+        spat_ax = d
+        grid_ax = cfg.dim + 1 + d
+        lo_src = Q[_axis_slice(nd, spat_ax, P, P + h)]  # interior high slab
+        hi_src = Q[_axis_slice(nd, spat_ax, h, 2 * h)]  # interior low slab
+        lo_halo = jnp.roll(lo_src, shift=1, axis=grid_ax)
+        hi_halo = jnp.roll(hi_src, shift=-1, axis=grid_ax)
+        if d == 0:
+            # Shard boundaries: my first local row's low halo comes from the
+            # LEFT shard's last row; my last local row's high halo from the
+            # RIGHT shard's first row.
+            send_last = jax.lax.index_in_dim(lo_src, -1, grid_ax, keepdims=True)
+            from_left = jax.lax.ppermute(send_last, axis_name, fwd)
+            send_first = jax.lax.index_in_dim(hi_src, 0, grid_ax, keepdims=True)
+            from_right = jax.lax.ppermute(send_first, axis_name, bwd)
+            g0 = lo_halo.shape[grid_ax]
+            lo_halo = jax.lax.dynamic_update_slice_in_dim(
+                lo_halo, from_left, 0, grid_ax
+            )
+            hi_halo = jax.lax.dynamic_update_slice_in_dim(
+                hi_halo, from_right, g0 - 1, grid_ax
+            )
+        Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(lo_halo)
+        Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(hi_halo)
+    return Q
+
+
+def make_sharded_pallas_step(
+    kernel,
+    grid: TpuPatchGrid,
+    mesh: Mesh,
+    axis_name: str = PATCH_AXIS,
+    **pallas_kwargs,
+):
+    """Jitted multi-chip solver step for the fused Pallas kernel.
+
+    Returns ``(step_fn, sharding)``: ``step_fn(Q_sharded, dt)`` runs
+    halo-exchange (ppermute over ICI on the sharded grid axis) + the
+    per-shard fused kernel under ``shard_map``.
+    """
+    from exahype_tpu.backends.pallas_backend import PallasPrinter
+
+    n_dev = mesh.shape[axis_name]
+    g0 = grid.grid_shape[0]
+    if g0 % n_dev != 0:
+        raise SemanticError(
+            f"grid axis 0 ({g0}) must be divisible by the mesh size ({n_dev})"
+        )
+    local_shape = (g0 // n_dev,) + grid.grid_shape[1:]
+    local_patches = int(jnp.prod(jnp.asarray(local_shape)))
+    local_grid = dataclasses.replace(
+        grid,
+        config=dataclasses.replace(grid.config, n_patches=local_patches),
+        grid_shape=local_shape,
+    )
+    local_kernel = kernel.with_n_patches(local_patches)
+    pallas_kwargs.setdefault("patch_grid_shape", local_shape)
+    local_fn = PallasPrinter(local_kernel, **pallas_kwargs).build()
+
+    ndim = len(grid.state_shape)
+    spec_list = [None] * ndim
+    spec_list[grid.config.dim + 1] = axis_name  # grid axis 0
+    spec = PartitionSpec(*spec_list)
+    sharding = NamedSharding(mesh, spec)
+
+    def local_step(Q_local, dt):
+        Q_local = sharded_tpu_halo_fill(local_grid, Q_local, axis_name)
+        return local_fn(Q_local, dt)
+
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, PartitionSpec()),
+        out_specs=spec,
+        # pallas_call outputs carry no varying-mesh-axes metadata; the spec
+        # above states the partitioning explicitly.
+        check_vma=False,
+    )
+    return jax.jit(mapped), sharding

@@ -223,3 +223,39 @@ def test_tpu_grid_sharded_collectives():
     hlo = fn.lower(Qs).compile().as_text()
     assert "collective-permute" in hlo or "all-gather" in hlo
     np.testing.assert_array_equal(np.asarray(fn(Qs)), np.asarray(grid.halo_fill(Q)))
+
+
+def test_shard_map_pallas_step_matches_unsharded():
+    """Explicit multi-chip Pallas path: shard_map + ppermute halo exchange
+    must reproduce the single-device solver step."""
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.parallel.shard import make_sharded_pallas_step
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(8, 2))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    solver = GridSolver(
+        grid, kb, dx=0.1, backend="pallas", interpret=True, tile_patches=2
+    )
+    rng = np.random.default_rng(21)
+    aos = rng.uniform(0.1, 1.0, size=(16, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    Q = grid.from_aos(jnp.asarray(aos))
+
+    ref = np.asarray(solver.step(Q, 1e-3))
+
+    mesh = make_mesh(8)
+    step, sharding = make_sharded_pallas_step(
+        kb, grid, mesh, interpret=True, tile_patches=2
+    )
+    Qs = jax.device_put(Q, sharding)
+    out = np.asarray(step(Qs, 1e-3))
+    np.testing.assert_array_equal(out, ref)
+    hlo = step.lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo
