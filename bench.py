@@ -1,12 +1,16 @@
-"""Benchmark: DOF-updates/sec/chip on the flagship 3-D Euler patch update.
+"""Benchmark: the BASELINE.md north-star metric — 3-D compressible Euler
+ADER-DG order 3, DOF-updates/sec on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md north star): 1e9 DOF-updates/sec/chip.
+Baseline: 1e9 DOF-updates/sec/chip (BASELINE.json; the reference itself
+publishes no numbers).
 
 Runs on the default platform (the real TPU chip under axon).  The measured
-program is the full solver step — halo exchange + the fused Pallas FV
-Rusanov patch-update kernel (SoA-P layout, VMEM-resident temps) — scanned
-CHUNK steps per dispatch with the state donated.
+program is the full ADER-DG step — space-time Picard predictor, volume
+integral, Rusanov face Riemann solve, corrector — in the SoA-P layout
+(cell grid in the lane dims), scanned CHUNK steps per dispatch with the
+state donated.  The companion FV Rusanov solver benches at ~4.4 GDOF/s on
+the same chip (see README).
 """
 
 from __future__ import annotations
@@ -28,55 +32,34 @@ BASELINE_DOF_PER_SEC = 1.0e9
 
 
 def main():
-    from exahype_tpu.models.rusanov import build_rusanov_kernel
-    from exahype_tpu.parallel import GridSolver, TpuPatchGrid
-    from exahype_tpu.utils.config import KernelConfig
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
 
-    dim = 3
-    patch_size = 4  # extent 6
-    # Grid tail chosen for perfect VMEM tiling of the SoA-P state: the
-    # trailing axes (8, 128) are exactly one (sublane, lane) tile, so the
-    # fused kernel and the halo exchange run with zero lane padding and no
-    # per-step relayouts.
-    grid_shape = (8, 8, 128)  # 8192 patches
-    n_real, n_aux = 5, 0
-    chunk = 10  # steps fused into one dispatch via scan
+    dim, order = 3, 3
+    # Lane-tiled cell grid: trailing (8, 128) axes are exactly one
+    # (sublane, lane) VMEM tile.
+    grid_shape = (8, 8, 128)
+    chunk = 5
     dtype = np.float32
 
-    cfg = KernelConfig(
+    flux, eig = euler_physics(dim=dim, n_real=5)
+    solver = ADERDGSolver(
         dim=dim,
-        patch_size=patch_size,
-        halo_size=1,
-        n_real=n_real,
-        n_aux=n_aux,
-        n_patches=int(np.prod(grid_shape)),
-    )
-    grid = TpuPatchGrid(config=cfg, grid_shape=grid_shape)
-    kb = build_rusanov_kernel(
-        dim=dim,
-        patch_size=patch_size,
-        halo_size=1,
-        n_real=n_real,
-        n_aux=n_aux,
-        n_patches=cfg.n_patches,
-    )
-    # One (8,128)-tailed block of 2048 patches per grid step; the working set
-    # needs the raised scoped-VMEM ceiling (the v5e accepts >=100MB).
-    solver = GridSolver(
-        grid,
-        kb,
-        dx=0.1,
-        backend="pallas",
-        tile_patches=2048,
-        vmem_limit_bytes=100 * 1024 * 1024,
+        order=order,
+        n_vars=5,
+        grid_shape=grid_shape,
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        dx=1.0 / grid_shape[0],
     )
 
     rng = np.random.default_rng(0)
-    aos = rng.uniform(0.1, 1.0, size=(cfg.n_patches,) + (cfg.extent,) * dim + (cfg.n_vars,))
-    aos[..., 0] += 1.0
-    aos[..., dim + 1] += 5.0
-    Q = grid.from_aos(jnp.asarray(aos.astype(dtype)))
-
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = (1.0 + 0.2 * rng.random(no_var)).astype(dtype)
+    comps = [rho, rho, 0.5 * rho, 0.25 * rho, 5.0 + 0.5 * rho * 1.3125]
+    Q = jnp.asarray(np.stack(comps, axis=solver.var_axis))
     dt = jnp.asarray(1e-4, dtype)
 
     @jax.jit
@@ -91,7 +74,6 @@ def main():
     Q = run_chunk(Q)
     Q.block_until_ready()
 
-    # Timed.
     n_rounds = 10
     t0 = time.perf_counter()
     for _ in range(n_rounds):
@@ -100,13 +82,13 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps = n_rounds * chunk
-    dof = cfg.dofs()  # interior real-variable DOFs per update
+    dof = solver.dofs()
     dof_per_sec = dof * steps / elapsed
 
     print(
         json.dumps(
             {
-                "metric": "fv_rusanov_euler3d_dof_updates_per_sec_per_chip",
+                "metric": "aderdg_p3_euler3d_dof_updates_per_sec_per_chip",
                 "value": dof_per_sec,
                 "unit": "DOF-updates/s",
                 "vs_baseline": dof_per_sec / BASELINE_DOF_PER_SEC,

