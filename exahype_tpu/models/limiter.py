@@ -1,0 +1,156 @@
+"""A-posteriori FV limiter fallback for ADER-DG.
+
+High-order DG produces oscillations (and non-physical states) at shocks.
+The ExaHyPE approach is MOOD-style a-posteriori limiting: run the
+unlimited ADER-DG candidate step, detect troubled cells, and redo those
+cells with a robust finite-volume scheme (BASELINE.json's "FV limiter
+fallback" config).  This implementation is fully data-parallel — detection
+and fallback are masked array ops over the cell grid, no data-dependent
+control flow — so it jits and shards exactly like the base solver.
+
+Detection (per cell, on the candidate):
+- physical admissibility via a user hook (e.g. positive density/pressure,
+  finiteness), evaluated over all nodes;
+- relaxed discrete maximum principle (DMP) on cell means: the new mean must
+  lie within the min/max of the old means over the 2·dim+1 neighbourhood,
+  widened by ``δ = max(dmp_delta0, dmp_eps · (local max − local min))``.
+
+Fallback: first-order FV Rusanov update of the cell means (neighbour means
+over faces), broadcast to the cell's nodes.  First-order but unconditionally
+robust; the cell integral is preserved by construction.  (A full subcell-FV
+fallback with flux matching at DG/FV interfaces is the production extension;
+mixed interfaces here may leave O(troubled-faces) conservation drift.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from exahype_tpu.models.aderdg import ADERDGSolver, _project
+
+
+def euler_admissible(dim: int, gamma: float = 1.4):
+    """Admissibility hook for Euler: finite, ρ>0, p>0 (var axis explicit)."""
+
+    def ok(Q, var_axis):
+        def v(k):
+            return jnp.take(Q, k, axis=var_axis)
+
+        rho = v(0)
+        kinetic = sum(v(k) * v(k) for k in range(1, dim + 1))
+        p = (gamma - 1.0) * (v(dim + 1) - 0.5 * kinetic / rho)
+        fine = jnp.isfinite(Q).all(axis=var_axis)
+        return fine & (rho > 0.0) & (p > 0.0)
+
+    return ok
+
+
+@dataclasses.dataclass
+class LimitedADERDG:
+    """ADER-DG with masked first-order FV fallback.
+
+    ``admissible(Q, var_axis) -> bool mask`` over the node axes (reduced with
+    ``all`` per cell); omit to use only the DMP criterion.
+    """
+
+    solver: ADERDGSolver
+    admissible: Optional[Callable] = None
+    dmp_delta0: float = 1e-4
+    dmp_eps: float = 1e-3
+
+    # ------------------------------------------------------------- means
+
+    def cell_means(self, u):
+        """Quadrature average per cell: [n_vars, *grid]."""
+        w = self.solver.ops.weights
+        out = u
+        for d in reversed(range(self.solver.dim)):
+            out = _project(jnp.asarray(w, u.dtype), out, self.solver.node_axis(d))
+        return out
+
+    def _broadcast_means(self, means, like):
+        """[n_vars, *grid] -> full nodal state (constant per cell)."""
+        shape = (1,) * self.solver.dim + means.shape
+        return jnp.broadcast_to(means.reshape(shape), like.shape)
+
+    # --------------------------------------------------------- detection
+
+    def troubled_mask(self, u_old, candidate):
+        """Boolean [*grid] mask of cells needing the fallback."""
+        sol = self.solver
+        node_axes = tuple(range(sol.dim))
+        # Per-cell NODAL extremes of the old solution: [V, *grid].
+        cell_lo = jnp.min(u_old, axis=node_axes)
+        cell_hi = jnp.max(u_old, axis=node_axes)
+        new_lo = jnp.min(candidate, axis=node_axes)
+        new_hi = jnp.max(candidate, axis=node_axes)
+
+        # Neighbourhood extremes over faces in each direction.
+        lo, hi = cell_lo, cell_hi
+        for d in range(sol.dim):
+            ax = 1 + d  # grid axis within the [V, *grid] arrays
+            for shift in (-1, 1):
+                lo = jnp.minimum(lo, jnp.roll(cell_lo, shift, axis=ax))
+                hi = jnp.maximum(hi, jnp.roll(cell_hi, shift, axis=ax))
+        # Relaxation widened relative to the variable magnitude, so smooth
+        # extrema of large-valued variables (e.g. total energy) don't
+        # false-positive at tight absolute tolerances.
+        delta = jnp.maximum(
+            self.dmp_delta0 * (1.0 + jnp.abs(hi)),
+            self.dmp_eps * (hi - lo),
+        )
+        dmp_ok = ((new_lo >= lo - delta) & (new_hi <= hi + delta)).all(axis=0)
+
+        ok = dmp_ok & jnp.isfinite(candidate).all(
+            axis=tuple(range(sol.dim)) + (sol.var_axis,)
+        )
+        if self.admissible is not None:
+            adm = self.admissible(candidate, sol.var_axis)
+            ok = ok & adm.all(axis=tuple(range(sol.dim)))
+        return ~ok
+
+    # ---------------------------------------------------------- fallback
+
+    def fv_fallback(self, u, dt):
+        """First-order Rusanov update of the cell means, nodal-broadcast."""
+        sol = self.solver
+        means = self.cell_means(u)  # [V, *grid]; var axis 0
+        lam = dt / sol.dx
+        new = means
+        for d in range(sol.dim):
+            ax = 1 + d
+            up = jnp.roll(means, -1, axis=ax)  # +d neighbour
+            dn = jnp.roll(means, 1, axis=ax)  # -d neighbour
+
+            def flux(Q):
+                return sol.flux_fn(Q, d, 0)
+
+            def eig(Q):
+                return sol.max_eigenvalue_fn(Q, d, 0)
+
+            s_hi = jnp.maximum(eig(means), eig(up))[None]
+            s_lo = jnp.maximum(eig(dn), eig(means))[None]
+            fhat_hi = 0.5 * (flux(means) + flux(up)) - 0.5 * s_hi * (up - means)
+            fhat_lo = 0.5 * (flux(dn) + flux(means)) - 0.5 * s_lo * (means - dn)
+            new = new - lam * (fhat_hi - fhat_lo)
+        return self._broadcast_means(new, u)
+
+    # -------------------------------------------------------------- step
+
+    def step(self, u, dt):
+        candidate = self.solver.step(u, dt)
+        troubled = self.troubled_mask(u, candidate)  # [*grid]
+        fallback = self.fv_fallback(u, dt)
+        mask = troubled.reshape((1,) * (self.solver.dim + 1) + troubled.shape)
+        return jnp.where(mask, fallback, candidate)
+
+    def run(self, u, n_steps: int, dt):
+        def body(carry, _):
+            return self.step(carry, dt), None
+
+        out, _ = jax.lax.scan(body, u, None, length=n_steps)
+        return out

@@ -1,0 +1,86 @@
+"""A-posteriori FV limiter tests.
+
+The limiter must (a) fire nowhere on smooth flow — the high-order candidate
+passes through untouched, preserving accuracy — and (b) keep a shocked Euler
+state physically admissible where the unlimited scheme produces negative
+pressure / NaN within a few steps.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+from tests.test_aderdg import euler_density_wave_solver, euler_density_wave_state
+
+
+def make_limited(cells=12, order=3):
+    solver = ADERDGSolver(
+        dim=2,
+        order=order,
+        n_vars=4,
+        grid_shape=(cells, cells),
+        flux_fn=euler_physics(dim=2, n_real=4)[0],
+        max_eigenvalue_fn=euler_physics(dim=2, n_real=4)[1],
+        dx=1.0 / cells,
+    )
+    return solver, LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+
+
+def sod_like_state(solver):
+    """A strong pressure/density jump across half the domain."""
+    coords = solver.nodes_meshgrid()
+    x = np.broadcast_to(
+        np.squeeze(coords[0], axis=solver.var_axis),
+        solver.state_shape[: solver.var_axis] + solver.state_shape[solver.var_axis + 1 :],
+    )
+    left = x < 0.5
+    rho = np.where(left, 1.0, 0.125)
+    p = np.where(left, 1.0, 0.1)
+    E = p / 0.4
+    Q = np.stack([rho, np.zeros_like(rho), np.zeros_like(rho), E], axis=solver.var_axis)
+    return jnp.asarray(Q)
+
+
+def admissible_everywhere(solver, Q):
+    ok = euler_admissible(dim=2)(Q, solver.var_axis)
+    return bool(np.asarray(ok).all())
+
+
+def test_limiter_inactive_on_smooth_flow():
+    solver = euler_density_wave_solver(cells=6, order=3)
+    limited = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    Q0 = euler_density_wave_state(solver)
+    dt = 1e-3
+    candidate = solver.step(Q0, dt)
+    mask = np.asarray(limited.troubled_mask(Q0, candidate))
+    assert not mask.any(), f"{mask.sum()} cells flagged on smooth flow"
+    np.testing.assert_array_equal(np.asarray(limited.step(Q0, dt)), np.asarray(candidate))
+
+
+def test_limiter_keeps_shock_admissible():
+    solver, limited = make_limited(cells=12, order=3)
+    Q0 = sod_like_state(solver)
+    dt = 4e-3  # aggressive for the unlimited scheme at this jump
+
+    unlimited = np.asarray(solver.run(Q0, 20, dt))
+    lim = limited.run(Q0, 20, dt)
+    assert admissible_everywhere(solver, lim), "limited run left admissible set"
+    # The unlimited high-order scheme misbehaves on this setup (NaN or
+    # inadmissible states); if it ever stops misbehaving, tighten the setup.
+    assert (not np.isfinite(unlimited).all()) or (
+        not admissible_everywhere(solver, jnp.asarray(unlimited))
+    ), "unlimited scheme unexpectedly robust; strengthen the test shock"
+
+
+def test_fallback_preserves_cell_means():
+    """The nodal-broadcast FV fallback conserves the global integral."""
+    solver, limited = make_limited(cells=8, order=2)
+    Q0 = sod_like_state(solver)
+    fb = limited.fv_fallback(Q0, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(solver.total_mass(fb)),
+        np.asarray(solver.total_mass(Q0)),
+        rtol=0,
+        atol=1e-12,
+    )
