@@ -21,7 +21,8 @@ traced JAX program —
   what makes 1e-12 differential parity against the native backend possible.
 
 Loop bounds come from the single authoritative bounds module
-(:mod:`exahype_tpu.frontend.bounds`), default policy ``"golden"``.
+(:mod:`exahype_tpu.frontend.bounds`); default policy ``"sound"``, with
+``"golden"`` available for reference-exact parity runs.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ import sympy
 from sympy.core.function import AppliedUndef
 
 from exahype_tpu.backends.base import CodePrinter
-from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges, var_range
+from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.frontend.typed_function import TypedFunction

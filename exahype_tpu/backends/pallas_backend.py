@@ -28,7 +28,6 @@ the JAX backend; differential tests assert equality against it.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax

@@ -18,11 +18,10 @@ import dataclasses
 import json
 import logging
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from exahype_tpu.parallel.solver import GridSolver
 from exahype_tpu.utils.checkpoint import CheckpointManager

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from exahype_tpu.parallel.grid import PatchGrid, TpuPatchGrid
+from exahype_tpu.parallel.grid import TpuPatchGrid
 from exahype_tpu.utils.errors import SemanticError
 
 PATCH_AXIS = "patches"

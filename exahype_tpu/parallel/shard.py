@@ -14,9 +14,6 @@ the local patch count (``KernelBuilder.with_n_patches``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec

@@ -8,7 +8,7 @@ SURVEY.md §5); here a small orbax-backed store of the solver state pytree
 from __future__ import annotations
 
 import pathlib
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
