@@ -1,0 +1,253 @@
+"""Fused Pallas ADER-DG: VMEM-resident predictor + XLA Riemann epilogue.
+
+The ADER-DG step splits cleanly by communication pattern:
+
+- the space-time Picard predictor, volume integral, and face extrapolations
+  are **cell-local** — here they run as ONE Pallas kernel per cell block, so
+  the space-time array ``q`` (4× the state) and every Picard intermediate
+  live in VMEM and never touch HBM (the pure-XLA path re-materializes them
+  ~15× per step);
+- the Riemann solve + surface update needs **neighbour faces** — face arrays
+  are 1/(order+1) the state volume, so the roll/Rusanov/surface epilogue
+  stays in plain XLA (and shards/collectivizes exactly like the base
+  solver).
+
+Blocking: grid over tiles of the leading cell-grid axis; the block's last
+two dims are the FULL trailing grid axes (always Mosaic-legal).  The
+numerics are identical to :class:`~exahype_tpu.models.aderdg.ADERDGSolver`
+— interpret-mode tests assert equality.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exahype_tpu.models.aderdg import ADERDGSolver, _apply, _project
+from exahype_tpu.utils.errors import LoweringError
+
+
+class PallasADERDG:
+    """Drop-in accelerated ``step``/``run`` for an :class:`ADERDGSolver`."""
+
+    def __init__(
+        self,
+        solver: ADERDGSolver,
+        tile0: Optional[int] = None,
+        vmem_limit_bytes: int = 100 * 1024 * 1024,
+        interpret: bool = False,
+    ):
+        self.solver = solver
+        self.interpret = interpret
+        self.vmem_limit_bytes = vmem_limit_bytes
+        if tile0 is None:
+            tile0 = self._default_tile0(vmem_limit_bytes * 3 // 4)
+        if solver.grid_shape[0] % tile0 != 0:
+            raise LoweringError(
+                f"tile0 ({tile0}) must divide grid axis 0 ({solver.grid_shape[0]})"
+            )
+        self.tile0 = tile0
+        self._step = None
+
+    def _bytes_per_cell(self, itemsize: int = 4) -> int:
+        sol = self.solver
+        nodal = sol.n_nodes**sol.dim * sol.n_vars * itemsize
+        # u in/out (double-buffered, 4 buffers) + the space-time q (n_nodes
+        # time levels) + ~3 live per-iteration space-time transients
+        # (flux, derivative, rhs).
+        return nodal * (4 + 4 * sol.n_nodes)
+
+    def _default_tile0(self, budget: int) -> int:
+        sol = self.solver
+        tail_rest = math.prod(sol.grid_shape[1:])
+        per_cell = self._bytes_per_cell()
+        g0 = sol.grid_shape[0]
+        for t0 in range(g0, 0, -1):
+            if g0 % t0 == 0 and t0 * tail_rest * per_cell <= budget:
+                return t0
+        raise LoweringError(
+            f"no tile of grid axis 0 ({g0}) fits VMEM: ~{per_cell} bytes/cell "
+            f"x trailing {tail_rest} cells"
+        )
+
+    # ------------------------------------------------------------------ build
+
+    def build(self):
+        if self._step is not None:
+            return self._step
+        sol = self.solver
+        dim, nn, nv = sol.dim, sol.n_nodes, sol.n_vars
+        lam_axes = range(dim)
+        tile0 = self.tile0
+        grid = sol.grid_shape
+        n_tiles = grid[0] // tile0
+        node_block = (nn,) * dim
+        vol_block = node_block + (nv, tile0) + grid[1:]
+        face_block = (nn,) * (dim - 1) + (nv, tile0) + grid[1:]
+        lead_zeros_vol = (0,) * (dim + 1)
+        lead_zeros_face = (0,) * dim
+        tail_zeros = (0,) * (dim - 1)
+
+        def vol_map(i, *_):
+            return lead_zeros_vol + (i,) + tail_zeros
+
+        def face_map(i, *_):
+            return lead_zeros_face + (i,) + tail_zeros
+
+        ops = sol.ops
+        # Operator entries as PYTHON floats: pallas_call rejects captured
+        # array constants, and scalar-literal unrolling is free in VMEM.
+        D = [[float(v) for v in row] for row in np.asarray(ops.D)]
+        K1inv = [[float(v) for v in row] for row in np.asarray(ops.K1inv)]
+        Kvol = [[float(v) for v in row] for row in np.asarray(ops.Kvol)]
+        W = [float(v) for v in np.asarray(ops.weights)]
+        PHI0 = [float(v) for v in np.asarray(ops.phi0)]
+        PHI1 = [float(v) for v in np.asarray(ops.phi1)]
+        va = sol.var_axis  # var axis of per-time-slice arrays
+
+        def mat_apply(mat, x, axis):
+            """out[..., i, ...] = Σ_j mat[i][j] x[..., j, ...] (unrolled)."""
+            slices = [
+                jax.lax.index_in_dim(x, j, axis, keepdims=False) for j in range(nn)
+            ]
+            cols = []
+            for i in range(nn):
+                acc = mat[i][0] * slices[0]
+                for j in range(1, nn):
+                    acc = acc + mat[i][j] * slices[j]
+                cols.append(acc)
+            return jnp.stack(cols, axis=axis)
+
+        def vec_project(vec, x, axis):
+            slices = [
+                jax.lax.index_in_dim(x, j, axis, keepdims=False) for j in range(nn)
+            ]
+            acc = vec[0] * slices[0]
+            for j in range(1, nn):
+                acc = acc + vec[j] * slices[j]
+            return acc
+
+        def body(dt_ref, u_ref, out_vol_ref, *face_refs):
+            u = u_ref[...]
+            lam = dt_ref[0] / sol.dx
+            # --- space-time predictor, time axis unrolled into a list ---
+            q = [u for _ in range(nn)]
+            fluxes = None
+            for _ in range(sol.picard_iters):
+                fluxes = [
+                    [sol.flux_fn(q[s], d, va) for s in range(nn)] for d in lam_axes
+                ]
+                rhs = []
+                for s in range(nn):
+                    r = PHI0[s] * u
+                    for d in lam_axes:
+                        # spatial derivative of F_d at time node s
+                        dFs = mat_apply(D, fluxes[d][s], sol.node_axis(d))
+                        r = r - lam * W[s] * dFs
+                    rhs.append(r)
+                q = [
+                    sum(K1inv[s][t] * rhs[t] for t in range(nn)) for s in range(nn)
+                ]
+            # Time averages (fluxes of the FINAL q, matching the base solver).
+            qbar = sum(W[s] * q[s] for s in range(nn))
+            fbar = []
+            for d in lam_axes:
+                Fd = [sol.flux_fn(q[s], d, va) for s in range(nn)]
+                fbar.append(sum(W[s] * Fd[s] for s in range(nn)))
+
+            new = u
+            for d in lam_axes:
+                new = new + lam * mat_apply(Kvol, fbar[d], sol.node_axis(d))
+            out_vol_ref[...] = new
+            # Face outputs, 4 per direction: q_lo, q_hi, f_lo, f_hi.
+            for d in lam_axes:
+                na = sol.node_axis(d)
+                face_refs[4 * d + 0][...] = vec_project(PHI0, qbar, na)
+                face_refs[4 * d + 1][...] = vec_project(PHI1, qbar, na)
+                face_refs[4 * d + 2][...] = vec_project(PHI0, fbar[d], na)
+                face_refs[4 * d + 3][...] = vec_project(PHI1, fbar[d], na)
+
+        state_shape = sol.state_shape
+        face_shape = (nn,) * (dim - 1) + (nv,) + grid
+
+        def predictor_call(u, dt):
+            out_shapes = [jax.ShapeDtypeStruct(state_shape, u.dtype)] + [
+                jax.ShapeDtypeStruct(face_shape, u.dtype)
+            ] * (4 * dim)
+            out_specs = [
+                pl.BlockSpec(vol_block, vol_map, memory_space=pltpu.VMEM)
+            ] + [
+                pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
+            ] * (4 * dim)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(vol_block, vol_map, memory_space=pltpu.VMEM)
+                ],
+                out_specs=tuple(out_specs),
+            )
+            kwargs = {}
+            if not self.interpret:
+                kwargs["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=self.vmem_limit_bytes
+                )
+            return pl.pallas_call(
+                body,
+                grid_spec=grid_spec,
+                out_shape=tuple(out_shapes),
+                interpret=self.interpret,
+                **kwargs,
+            )(jnp.asarray(dt, u.dtype).reshape(1), u)
+
+        def step(u, dt):
+            outs = predictor_call(u, dt)
+            new = outs[0]
+            faces = outs[1:]
+            lam = jnp.asarray(dt, u.dtype) / sol.dx
+            face_va = sol.var_axis - 1
+            for d in lam_axes:
+                q_lo, q_hi, f_lo, f_hi = faces[4 * d : 4 * d + 4]
+                face_grid_ax = sol.grid_axis(d) - 1
+                q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
+                f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
+                s_hi = jnp.expand_dims(
+                    jnp.maximum(
+                        sol.max_eigenvalue_fn(q_hi, d, face_va),
+                        sol.max_eigenvalue_fn(q_plus, d, face_va),
+                    ),
+                    face_va,
+                )
+                fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * (q_plus - q_hi)
+                fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
+                node_ax = sol.node_axis(d)
+                shape_i = [1] * new.ndim
+                shape_i[node_ax] = nn
+                phi1_w = jnp.asarray(ops.phi1 / ops.weights, u.dtype).reshape(shape_i)
+                phi0_w = jnp.asarray(ops.phi0 / ops.weights, u.dtype).reshape(shape_i)
+                new = new - lam * (
+                    phi1_w * jnp.expand_dims(fhat_hi, node_ax)
+                    - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
+                )
+            return new
+
+        self._step = step
+        return step
+
+    def step(self, u, dt):
+        return self.build()(u, dt)
+
+    def run(self, u, n_steps: int, dt):
+        step = self.build()
+
+        def body(carry, _):
+            return step(carry, dt), None
+
+        out, _ = jax.lax.scan(body, u, None, length=n_steps)
+        return out

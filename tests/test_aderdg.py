@@ -244,3 +244,19 @@ def test_convergence_preserved_with_flux_reuse():
         errors.append(l2_error(solver, u, advection_init(solver, velocity, t=t_end)))
     rate = np.log2(errors[0] / errors[1])
     assert rate > 3.4, f"rate {rate:.2f} with flux reuse, errors {errors}"
+
+
+def test_pallas_aderdg_matches_base_solver():
+    """The fused VMEM predictor + XLA epilogue must equal the pure-XLA step."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=8, order=3)
+    Q0 = euler_density_wave_state(solver)
+    ref = np.asarray(solver.step(Q0, 1e-3))
+    fused = PallasADERDG(solver, interpret=True, tile0=2)
+    got = np.asarray(fused.step(Q0, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+    # And over several scanned steps.
+    ref_run = np.asarray(solver.run(Q0, 3, 1e-3))
+    got_run = np.asarray(fused.run(Q0, 3, 1e-3))
+    np.testing.assert_allclose(got_run, ref_run, rtol=0, atol=1e-12)
