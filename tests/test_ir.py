@@ -162,3 +162,58 @@ def test_opt_cli_module_files(tmp_path, capsys, monkeypatch):
     path.write_text(print_kernel(demo_kernel()))
     assert opt_run([str(path), "-p", "exahype-to-standard", "--output-module-files"]) == 0
     assert (tmp_path / "generated" / "kernel.lir").exists()
+
+
+def test_kernel_ir_executes_through_loop_interpreter():
+    """Path B end-to-end: structural Kernel IR -> Loop IR -> execution."""
+    import numpy as np
+
+    from exahype_tpu.ir.interp import run_loop_function
+
+    patch = PatchBuilder.build("Q", [6, 6])
+    flux = FluxBuilder.build("flx", "Double", [6, 6], halo=[1, 0])
+    stencil = StencilBuilder.build(patch, [flux], ["0[10],0[-10]"], [[0.5, 0.5]])
+    kernel = Kernel()
+    kernel.addStencil(stencil)
+    fn = kernel_to_loops(kernel)
+
+    rng = np.random.default_rng(0)
+    Q0 = rng.normal(size=(6, 6))
+    env = run_loop_function(fn, {"Q": Q0}, fns={"Double": lambda x: 2.0 * x})
+
+    # flx = 2*Q on the halo-trimmed region [1,5) x [0,6).
+    np.testing.assert_allclose(env["flx"][1:5, :], 2.0 * Q0[1:5, :])
+    assert (env["flx"][0, :] == 0).all()  # untouched alloc rows stay zero
+    # Patch accumulation: Q += 0.5*flx[i+1,j] + 0.5*flx[i-1,j] on [1,5)x[0,6).
+    expected = Q0.copy()
+    flx = env["flx"]
+    for i in range(1, 5):
+        for j in range(0, 6):
+            expected[i, j] += 0.5 * flx[i + 1, j] + 0.5 * flx[i - 1, j]
+    np.testing.assert_allclose(env["Q"], expected)
+
+
+def test_spec_to_loops_interpreter_matches_oracle():
+    """Loop IR execution of a full spec == the NumPy oracle (for a spec
+    without pointer-ABI calls)."""
+    import numpy as np
+
+    from exahype_tpu import KernelBuilder
+    from exahype_tpu.backends.numpy_oracle import run_oracle
+    from exahype_tpu.ir.interp import run_loop_function
+
+    kb = KernelBuilder(dim=2, patch_size=4, halo_size=1, n_real=2, n_aux=0)
+    Q = kb.item("Q")
+    C = kb.item("C")
+    dt = kb.const("dt")
+    kb.single(C[0], Q[0])
+    kb.directional(C[0], C[0] + dt * (Q[-1] - Q[1]))
+    kb.single(Q[0], C[0])
+
+    rng = np.random.default_rng(5)
+    Q0 = rng.normal(size=kb.item_shape("Q"))
+    want = run_oracle(kb, Q0, 0.01)
+
+    fn = spec_to_loops(kb)
+    env = run_loop_function(fn, {"Q": Q0}, scalars={"dt": 0.01})
+    np.testing.assert_array_equal(env["Q"], want)
