@@ -52,6 +52,10 @@ def main():
         dx=1.0 / grid_shape[0],
     )
 
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    fused = PallasADERDG(solver, tile0=1)
+
     rng = np.random.default_rng(0)
     no_var = (
         solver.state_shape[: solver.var_axis]
@@ -65,7 +69,7 @@ def main():
     @jax.jit
     def run_chunk(q):
         def body(carry, _):
-            return solver.step(carry, dt), None
+            return fused.step(carry, dt), None
 
         out, _ = jax.lax.scan(body, q, None, length=chunk)
         return out

@@ -143,3 +143,12 @@ def test_duplicate_item_rejected():
     kb.item("Q")
     with pytest.raises(SemanticError):
         kb.item("Q")
+
+
+def test_index_accepts_string_input():
+    """Reference API compatibility: index() sympifies string expressions
+    against the item registry (KernelBuilder.py:227)."""
+    kb = make_kb()
+    kb.item("Q")
+    injected = kb.index("Q[0]")
+    assert str(injected) == "Q[patch, i, j, var]"
