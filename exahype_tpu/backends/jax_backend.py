@@ -162,6 +162,13 @@ class JAXPrinter(CodePrinter):
             return
         if not isinstance(stmt.lhs, sympy.Indexed):
             raise LoweringError(f"unsupported LHS {stmt.lhs}")
+        if stmt.self_referencing_stencil(cfg.spatial_index_names):
+            raise LoweringError(
+                f"statement '{stmt.lhs} = {stmt.rhs}' reads its own target "
+                "array at a shifted index — sequential (Gauss-Seidel) "
+                "semantics that vectorized evaluation cannot reproduce; "
+                "write the result to a copy item instead"
+            )
 
         kind, value = self._eval(env, stmt.rhs, spatial, vb)
         name, slices, has_var = self._lhs_slices(stmt.lhs, spatial, vb)

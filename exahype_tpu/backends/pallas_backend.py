@@ -319,6 +319,11 @@ class PallasPrinter(CodePrinter):
             _store(env[name], slices, value)
             return
 
+        if stmt.self_referencing_stencil(cfg.spatial_index_names):
+            raise LoweringError(
+                f"statement '{stmt.lhs} = {stmt.rhs}' reads its own target "
+                "array at a shifted index (see jax_backend note)"
+            )
         # Plain assignment statement.
         kind, value = self._eval(env, stmt.rhs, spatial, vb)
         name, slices, has_var = self._access_slices(stmt.lhs, spatial, vb)

@@ -61,6 +61,28 @@ class Statement:
                 names.add(str(atom.label))
         return frozenset(names)
 
+    def self_referencing_stencil(self, spatial_names: tuple[str, ...]) -> bool:
+        """True if the RHS reads the LHS array at a shifted spatial index.
+
+        Such statements are order-dependent: the reference's sequential C
+        loops give them Gauss-Seidel semantics (reads see already-updated
+        elements), which a vectorized evaluation cannot reproduce.  The
+        vectorized backends reject them (write to a copy item instead).
+        """
+        if self.rhs is None or not isinstance(self.lhs, sympy.Indexed):
+            return False
+        name = str(self.lhs.base.label)
+        spatial = set(spatial_names)
+        for access in self.rhs.atoms(sympy.Indexed):
+            if str(access.base.label) != name:
+                continue
+            for idx in access.indices:
+                if isinstance(idx, (sympy.Symbol, sympy.Idx)):
+                    continue
+                if any(str(s) in spatial for s in idx.free_symbols):
+                    return True
+        return False
+
     def has_spatial_offset(self, spatial_names: tuple[str, ...]) -> bool:
         """True if any array access shifts a spatial index (e.g. ``i+1``).
 
