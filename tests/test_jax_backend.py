@@ -127,7 +127,7 @@ def test_parent_consts_via_params():
     Qc = kb.item("QIn", parent=Data)
     dt = kb.const("dt", parent=Data)
     kb.single(Qc[0], Q[0])
-    kb.directional(Qc[0], Qc[0] + dt * (Qc[-1] - Qc[1]))
+    kb.directional(Qc[0], Qc[0] + dt * (Q[-1] - Q[1]))
     kb.single(Q[0], Qc[0])
 
     import jax.numpy as jnp
