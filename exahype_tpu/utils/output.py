@@ -1,0 +1,97 @@
+"""Solution output: legacy-VTK and NPZ writers.
+
+The reference's generated code hooks into Peano's plotting observers
+(``observers/PlotSolution.h`` include, ``CPPPrinter.py:328``); here the
+equivalent is a small self-contained writer: interior patch data assembled
+into a global uniform grid and written as legacy VTK STRUCTURED_POINTS
+(readable by ParaView/VisIt) or compressed NPZ.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Optional, Sequence
+
+import numpy as np
+
+from exahype_tpu.parallel.grid import PatchGrid, TpuPatchGrid
+
+
+def assemble_global(grid, Q) -> np.ndarray:
+    """Strip halos and tile patches into one global array ``[*cells, n_vars]``.
+
+    Accepts AoS :class:`PatchGrid` state or SoA-P :class:`TpuPatchGrid`
+    state (converted).
+    """
+    cfg = grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    if isinstance(grid, TpuPatchGrid):
+        Q = np.asarray(grid.to_aos(Q)).reshape(
+            grid.grid_shape + (cfg.extent,) * cfg.dim + (cfg.n_vars,)
+        )
+    else:
+        Q = np.asarray(Q)
+    interior = Q
+    for d in range(cfg.dim):
+        ax = cfg.dim + d
+        sl = [slice(None)] * interior.ndim
+        sl[ax] = slice(h, h + P)
+        interior = interior[tuple(sl)]
+    # [g0..gd, p..p, V] -> interleave grid and patch axes -> [g0*p, ..., V]
+    order = []
+    for d in range(cfg.dim):
+        order += [d, cfg.dim + d]
+    order.append(2 * cfg.dim)
+    interleaved = np.transpose(interior, order)
+    shape = tuple(g * P for g in grid.grid_shape) + (cfg.n_vars,)
+    return interleaved.reshape(shape)
+
+
+def write_npz(path, grid, Q, var_names: Optional[Sequence[str]] = None, **extra):
+    """Compressed NPZ snapshot of the assembled global field."""
+    data = assemble_global(grid, Q)
+    names = list(var_names or [f"var{i}" for i in range(data.shape[-1])])
+    arrays = {name: data[..., i] for i, name in enumerate(names)}
+    arrays.update(extra)
+    np.savez_compressed(path, **arrays)
+    return pathlib.Path(path)
+
+
+def write_vtk(
+    path,
+    grid,
+    Q,
+    var_names: Optional[Sequence[str]] = None,
+    dx: float = 1.0,
+    origin: Sequence[float] = (0.0, 0.0, 0.0),
+):
+    """Legacy-VTK STRUCTURED_POINTS file of the assembled global field."""
+    data = assemble_global(grid, Q)
+    cfg = grid.config
+    dims = data.shape[:-1]
+    n_vars = data.shape[-1]
+    names = list(var_names or [f"var{i}" for i in range(n_vars)])
+
+    vtk_dims = tuple(dims) + (1,) * (3 - cfg.dim)
+    n_points = int(np.prod(vtk_dims))
+
+    lines = [
+        "# vtk DataFile Version 3.0",
+        "exahype_tpu solution",
+        "ASCII",
+        "DATASET STRUCTURED_POINTS",
+        f"DIMENSIONS {vtk_dims[0]} {vtk_dims[1]} {vtk_dims[2]}",
+        f"ORIGIN {origin[0]} {origin[1]} {origin[2]}",
+        f"SPACING {dx} {dx} {dx}",
+        f"POINT_DATA {n_points}",
+    ]
+    for i, name in enumerate(names):
+        field = data[..., i]
+        # VTK expects x fastest: transpose so the first axis varies fastest.
+        flat = np.transpose(field).reshape(-1)
+        lines.append(f"SCALARS {name} double 1")
+        lines.append("LOOKUP_TABLE default")
+        lines.extend(f"{v:.17g}" for v in flat)
+    out = pathlib.Path(path)
+    out.write_text("\n".join(lines) + "\n")
+    return out

@@ -149,3 +149,38 @@ def test_driver_elastic_recovery(tmp_path, caplog):
     assert stats2["recoveries"] == 1
     assert np.isfinite(np.asarray(Q2)).all()
     assert any("rolled back" in r.message for r in caplog.records)
+
+
+def test_output_writers(tmp_path):
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.utils.output import assemble_global, write_npz, write_vtk
+
+    cfg = KernelConfig(dim=2, patch_size=3, halo_size=1, n_real=2, n_aux=0, n_patches=4)
+    grid = PatchGrid(config=cfg, grid_shape=(2, 2))
+    rng = np.random.default_rng(0)
+    Q = rng.normal(size=grid.state_shape)
+
+    glob = assemble_global(grid, Q)
+    assert glob.shape == (6, 6, 2)
+    # Spot-check patch (1,0) interior cell (0,0) lands at global (3, 0).
+    np.testing.assert_array_equal(glob[3, 0], Q[1, 0, 1, 1])
+
+    # SoA-P layout assembles identically.
+    tgrid = TpuPatchGrid(config=cfg, grid_shape=(2, 2))
+    import jax.numpy as jnp
+
+    Qt = tgrid.from_aos(jnp.asarray(grid.to_batched(jnp.asarray(Q))))
+    np.testing.assert_allclose(assemble_global(tgrid, Qt), glob)
+
+    npz = write_npz(tmp_path / "out.npz", grid, Q, var_names=["rho", "E"])
+    loaded = np.load(npz)
+    np.testing.assert_array_equal(loaded["rho"], glob[..., 0])
+
+    vtk = write_vtk(tmp_path / "out.vtk", grid, Q, var_names=["rho", "E"], dx=0.1)
+    text = vtk.read_text()
+    assert "DATASET STRUCTURED_POINTS" in text
+    assert "DIMENSIONS 6 6 1" in text
+    assert "SCALARS rho double 1" in text
+    # First VTK value is global (0,0) of rho (x-fastest ordering).
+    first = float(text.split("LOOKUP_TABLE default\n")[1].split("\n")[0])
+    assert first == glob[0, 0, 0]
