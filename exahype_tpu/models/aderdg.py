@@ -80,6 +80,56 @@ def euler_physics(dim: int, n_real: int = 5, gamma: float = euler.GAMMA):
     return flux, eig
 
 
+def euler_reflect(dim: int):
+    """Mirror ghost STATE for Euler walls: negate the normal momentum."""
+
+    def reflect(Q, axis, var_axis):
+        n = int(axis) + 1  # normal momentum slot
+
+        def piece(rng, sign):
+            sel = tuple(
+                slice(None) if a != var_axis else slice(*rng)
+                for a in range(Q.ndim)
+            )
+            return sign * Q[sel]
+
+        return jnp.concatenate(
+            [piece((0, n), 1.0), piece((n, n + 1), -1.0), piece((n + 1, None), 1.0)],
+            axis=var_axis,
+        )
+
+    return reflect
+
+
+def euler_reflect_flux(dim: int):
+    """Mirror ghost FLUX for Euler walls.
+
+    ``F(reflect(q)) = S · F(q)`` with S = −1 everywhere except +1 on the
+    normal momentum.  Applying the symmetry to the time-AVERAGED face flux
+    (rather than evaluating the flux of the averaged ghost state) keeps the
+    wall fluxes of mass and energy exactly zero — flux-of-average ≠
+    average-of-flux for nonlinear F, which otherwise leaks conserved
+    quantities at O(Δt²) per step.
+    """
+
+    def reflect(F, axis, var_axis):
+        n = int(axis) + 1
+
+        def piece(rng, sign):
+            sel = tuple(
+                slice(None) if a != var_axis else slice(*rng)
+                for a in range(F.ndim)
+            )
+            return sign * F[sel]
+
+        return jnp.concatenate(
+            [piece((0, n), -1.0), piece((n, n + 1), 1.0), piece((n + 1, None), -1.0)],
+            axis=var_axis,
+        )
+
+    return reflect
+
+
 def wrap_var_last(batch_fn: Callable):
     """Adapt a var-axis-last callback (models/hyperbolic.py style) to the
     (Q, axis, var_axis) contract (correct for any layout; costs moveaxes)."""
@@ -105,6 +155,13 @@ class ADERDGSolver:
     max_eigenvalue_fn: Callable
     dx: float = 1.0
     picard_iters: int | None = None
+    #: Domain boundary: "periodic" (default) or "reflective" walls.
+    #: Reflective needs ``reflect_fn(Q, axis, var_axis)`` (mirror ghost
+    #: state) and ``reflect_flux_fn(F, axis, var_axis)`` (mirror ghost flux)
+    #: — see :func:`euler_reflect` / :func:`euler_reflect_flux`.
+    boundary: str = "periodic"
+    reflect_fn: Callable | None = None
+    reflect_flux_fn: Callable | None = None
     #: Reuse the last Picard iteration's fluxes for the time-averaged
     #: fluxes (they belong to q_{K-1}; the difference is bounded by the
     #: Picard residual, O(dt^{N+2}), one order below the scheme error).
@@ -121,6 +178,14 @@ class ADERDGSolver:
         self.ops = DGOperators(self.order)
         if self.picard_iters is None:
             self.picard_iters = self.order + 1
+        if self.boundary not in ("periodic", "reflective"):
+            raise SemanticError(f"unknown boundary {self.boundary!r}")
+        if self.boundary == "reflective" and (
+            self.reflect_fn is None or self.reflect_flux_fn is None
+        ):
+            raise SemanticError(
+                "reflective boundary requires reflect_fn and reflect_flux_fn"
+            )
 
     # ------------------------------------------------------------ structure
 
@@ -216,6 +281,26 @@ class ADERDGSolver:
             # face, right state = neighbour's low face (periodic roll).
             q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
             f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
+            if self.boundary == "reflective":
+                # Domain high wall (last cell along d): the ghost is the
+                # mirror of my own time-averaged face state/flux.
+                last = jax.lax.index_in_dim(
+                    q_hi, -1, face_grid_ax, keepdims=True
+                )
+                f_last = jax.lax.index_in_dim(
+                    f_hi, -1, face_grid_ax, keepdims=True
+                )
+                ghost = self.reflect_fn(last, d, face_va)
+                g = q_plus.shape[face_grid_ax]
+                q_plus = jax.lax.dynamic_update_slice_in_dim(
+                    q_plus, ghost, g - 1, face_grid_ax
+                )
+                f_plus = jax.lax.dynamic_update_slice_in_dim(
+                    f_plus,
+                    self.reflect_flux_fn(f_last, d, face_va),
+                    g - 1,
+                    face_grid_ax,
+                )
             s_hi = jnp.expand_dims(
                 jnp.maximum(
                     self.max_eigenvalue_fn(q_hi, d, face_va),
@@ -227,6 +312,25 @@ class ADERDGSolver:
 
             # Face between my -d neighbour and me: that neighbour's fhat_hi.
             fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
+            if self.boundary == "reflective":
+                # Domain low wall (first cell along d): Riemann flux between
+                # the mirror ghost (left) and my own low-face state (right).
+                first = jax.lax.index_in_dim(q_lo, 0, face_grid_ax, keepdims=True)
+                f_first = jax.lax.index_in_dim(f_lo, 0, face_grid_ax, keepdims=True)
+                ghost = self.reflect_fn(first, d, face_va)
+                s_w = jnp.expand_dims(
+                    jnp.maximum(
+                        self.max_eigenvalue_fn(first, d, face_va),
+                        self.max_eigenvalue_fn(ghost, d, face_va),
+                    ),
+                    face_va,
+                )
+                wall = 0.5 * (
+                    self.reflect_flux_fn(f_first, d, face_va) + f_first
+                ) - 0.5 * s_w * (first - ghost)
+                fhat_lo = jax.lax.dynamic_update_slice_in_dim(
+                    fhat_lo, wall, 0, face_grid_ax
+                )
 
             # Surface contribution: −(λ/w_i)(ℓ_i(1) F̂_hi − ℓ_i(0) F̂_lo).
             shape_i = [1] * new.ndim

@@ -260,3 +260,43 @@ def test_pallas_aderdg_matches_base_solver():
     ref_run = np.asarray(solver.run(Q0, 3, 1e-3))
     got_run = np.asarray(fused.run(Q0, 3, 1e-3))
     np.testing.assert_allclose(got_run, ref_run, rtol=0, atol=1e-12)
+
+
+def test_reflective_walls_conserve_mass_and_energy():
+    """Reflective box: still fluid stays still; moving gas keeps total mass
+    and energy (walls transmit only pressure) and stays finite."""
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+
+    dim = 2
+    flux, eig = euler_physics(dim=dim, n_real=4)
+    solver = ADERDGSolver(
+        dim=dim,
+        order=3,
+        n_vars=4,
+        grid_shape=(6, 6),
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        dx=1.0 / 6,
+        boundary="reflective",
+        reflect_fn=euler_reflect(dim),
+        reflect_flux_fn=euler_reflect_flux(dim),
+    )
+    # Still fluid: constant rho/p, zero velocity -> exact steady state.
+    still = np.zeros(solver.state_shape)
+    sel = lambda k: (slice(None),) * solver.var_axis + (k,)
+    still[sel(0)] = 1.0
+    still[sel(3)] = 2.5  # p = 1
+    out = solver.run(jnp.asarray(still), 5, dt=1e-3)
+    np.testing.assert_allclose(np.asarray(out), still, rtol=0, atol=1e-12)
+
+    # Moving gas in the box.
+    Q0 = euler_density_wave_state(solver)
+    Q = solver.run(Q0, 30, dt=1e-3)
+    assert np.isfinite(np.asarray(Q)).all()
+    m0 = np.asarray(solver.total_mass(Q0))
+    m1 = np.asarray(solver.total_mass(Q))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=0, atol=1e-11)  # mass
+    np.testing.assert_allclose(m1[3], m0[3], rtol=0, atol=1e-10)  # energy
+    # Normal momentum is NOT conserved (wall pressure acts) — sanity check
+    # that the walls actually did something.
+    assert abs(m1[1] - m0[1]) > 1e-6

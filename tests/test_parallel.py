@@ -259,3 +259,25 @@ def test_shard_map_pallas_step_matches_unsharded():
     np.testing.assert_array_equal(out, ref)
     hlo = step.lower(Qs, 1e-3).compile().as_text()
     assert "collective-permute" in hlo
+
+
+def test_two_axis_mesh_sharding():
+    """2-D device mesh (ICI x DCN style): two grid axes sharded over two
+    named mesh axes; the GSPMD-partitioned step still matches exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    grid = make_grid(gx=4, gy=2)
+    solver = make_solver(grid)
+    Q = euler_init(grid, seed=9)
+    ref = np.asarray(jax.jit(solver.step)(Q, 1e-3))
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("ici", "dcn"))
+    ndim = len(grid.state_shape)
+    spec = PartitionSpec("ici", "dcn", *([None] * (ndim - 2)))
+    sharding = NamedSharding(mesh, spec)
+    Qs = jax.device_put(Q, sharding)
+    stepped = jax.jit(solver.step, in_shardings=(sharding, None), out_shardings=sharding)
+    hlo = stepped.lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo or "all-gather" in hlo
+    np.testing.assert_array_equal(np.asarray(stepped(Qs, 1e-3)), ref)
