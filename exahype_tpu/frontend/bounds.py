@@ -69,9 +69,16 @@ def var_range(
     (``MLIRPrinter.py:118-126``, ``CPPPrinter.py:119-126``); a minimum of 0
     collapses the var loop to a single iteration (the pointer-call case).
     """
-    levels = [item_struct[name] for name in stmt.indexed_base_names if name in item_struct]
-    levels.append(stmt.struct_inclusion)
-    m = min(levels)
+    if stmt.force_struct is not None:
+        m = stmt.force_struct
+    else:
+        levels = [
+            item_struct[name]
+            for name in stmt.indexed_base_names
+            if name in item_struct
+        ]
+        levels.append(stmt.struct_inclusion)
+        m = min(levels)
     if m <= 0:
         return (0, 1)
     if m == 1:

@@ -259,8 +259,13 @@ class KernelBuilder:
         RHS: Optional[sympy.Basic] = None,
         direction: int = -1,
         struct: bool = False,
+        struct_override: Optional[int] = None,
     ) -> Statement:
-        """Append one statement (``KernelBuilder.py:144-163``)."""
+        """Append one statement (``KernelBuilder.py:144-163``).
+
+        ``struct_override`` (framework extension) pins the var-loop level
+        (0/1/2) regardless of which items the statement mentions.
+        """
         struct_inclusion = self._infer_struct_inclusion(LHS, RHS, struct)
         if self._base_name(LHS) in self.inputs:
             stmt_direction = -2
@@ -271,6 +276,7 @@ class KernelBuilder:
             rhs=self.index(RHS, direction),
             direction=stmt_direction,
             struct_inclusion=struct_inclusion,
+            force_struct=struct_override,
         )
         self._append(stmt)
         return stmt
@@ -280,6 +286,7 @@ class KernelBuilder:
         LHS: sympy.Basic,
         RHS: Optional[sympy.Basic] = None,
         struct: bool = False,
+        struct_override: Optional[int] = None,
     ) -> list[Statement]:
         """Replay a statement once per axis (``KernelBuilder.py:165-173``).
 
@@ -304,7 +311,9 @@ class KernelBuilder:
                     )
                     self._append(stmt)
                     out.append(stmt)
-            out.append(self.single(LHS, RHS, d + 1, struct))
+            out.append(
+                self.single(LHS, RHS, d + 1, struct, struct_override=struct_override)
+            )
         return out
 
     # -------------------------------------------------------------- indexing

@@ -48,6 +48,12 @@ class Statement:
     direction: int
     struct_inclusion: int
     kind: StatementKind = StatementKind.LOOP
+    #: Framework extension: when set, the var-loop level is taken from this
+    #: value directly, bypassing the reference's min-over-mentioned-items
+    #: rule (which cannot express e.g. "full-struct update that reads a
+    #: scalar wave-speed field" — the reason the reference's own Rusanov
+    #: dissipation only updates variable 0, ``Unit test/test.cpp:80-103``).
+    force_struct: Optional[int] = None
 
     def exprs(self) -> tuple[sympy.Basic, ...]:
         return (self.lhs,) if self.rhs is None else (self.lhs, self.rhs)

@@ -1,0 +1,235 @@
+"""Static nested refinement: a two-level Cartesian patch hierarchy.
+
+The ExaHyPE family's defining feature is the adaptive Cartesian grid (the
+reference repo delegates it to Peano).  This module provides the TPU-shaped
+core of that capability in its static form: a coarse patch grid covering
+the periodic domain plus a fine patch grid covering a fixed axis-aligned
+sub-region at refinement factor ``r`` (Peano tripartitions: r = 3).  Every
+shape is static, so the whole two-level step jits, shards, and scans like
+the single-level solvers; *dynamic* refinement (criteria-driven re-gridding
+between scan chunks) can reuse exactly these coupling operators.
+
+Coupling per coarse step:
+
+1. coarse solver step everywhere (the covered region is overwritten later);
+2. ``r`` fine sub-steps at ``dt/r``; before each, fine-fine halos exchange
+   normally and the region-boundary halos are overwritten with
+   piecewise-constant **prolongation** of the coarse solution;
+3. conservative **restriction**: fine cell means average down onto the
+   coarse cells they cover.
+
+First-order coupling at the interface (constant-in-time coarse boundary
+values, no flux correction) — the standard entry-level AMR scheme; both
+limitations are documented and testable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.parallel.grid import PatchGrid
+from exahype_tpu.parallel.solver import GridSolver
+from exahype_tpu.utils.config import KernelConfig
+from exahype_tpu.utils.errors import SemanticError
+from exahype_tpu.utils.output import assemble_global, disassemble_global
+
+
+@dataclasses.dataclass
+class NestedRefinement:
+    """Two-level solver: coarse everywhere + fine sub-region at factor ``r``.
+
+    - ``coarse``: GridSolver over the full periodic domain.
+    - ``region_lo`` / ``region_hi``: half-open coarse-PATCH index box of the
+      refined region, per axis.
+    - ``factor``: spatial refinement ratio (fine dx = coarse dx / factor).
+    - ``fine_kernel``: KernelBuilder for the fine level (same spec, fine
+      patch count); built internally from the coarse kernel via
+      ``with_n_patches``.
+    """
+
+    coarse: GridSolver
+    region_lo: tuple[int, ...]
+    region_hi: tuple[int, ...]
+    factor: int = 3
+
+    def __post_init__(self):
+        cfg = self.coarse.grid.config
+        if not isinstance(self.coarse.grid, PatchGrid):
+            raise SemanticError("NestedRefinement drives AoS PatchGrid solvers")
+        if len(self.region_lo) != cfg.dim or len(self.region_hi) != cfg.dim:
+            raise SemanticError("region box must have one bound pair per axis")
+        for lo, hi, g in zip(self.region_lo, self.region_hi, self.coarse.grid.grid_shape):
+            if not (0 <= lo < hi <= g):
+                raise SemanticError(
+                    f"region [{lo},{hi}) outside the coarse grid (size {g})"
+                )
+        r = self.factor
+        fine_grid_shape = tuple(
+            r * (hi - lo) for lo, hi in zip(self.region_lo, self.region_hi)
+        )
+        fine_cfg = dataclasses.replace(
+            cfg, n_patches=int(np.prod(fine_grid_shape))
+        )
+        self.fine_grid = PatchGrid(config=fine_cfg, grid_shape=fine_grid_shape)
+        fine_kernel = self.coarse.kernel.with_n_patches(fine_cfg.n_patches)
+        self.fine = GridSolver(
+            self.fine_grid,
+            fine_kernel,
+            dx=self.coarse.dx / r,
+            cfl=self.coarse.cfl,
+            eigenvalue_fn=self.coarse.eigenvalue_fn,
+            kernel_dt=self.coarse.kernel_dt,
+        )
+        self._build_index_maps()
+
+    # ------------------------------------------------------------- indexing
+
+    def _build_index_maps(self):
+        """Static NumPy index arrays for prolongation gathers."""
+        cfg = self.coarse.grid.config
+        P, h, r = cfg.patch_size, cfg.halo_size, self.factor
+        self._block_idx = []  # per axis: [G_f, P+2h] fine-res global indices
+        self._coarse_src = []  # per axis: extended fine-res -> coarse cell idx
+        for d in range(cfg.dim):
+            g_f = self.fine_grid.grid_shape[d]
+            # Fine patch g, stored cell s (incl. halo): fine-res global
+            # position g*P + s - h, shifted by +h into the extended frame.
+            blocks = np.arange(g_f)[:, None] * P + np.arange(P + 2 * h)[None, :]
+            self._block_idx.append(blocks)
+            # Extended fine-res frame position e in [0, r*P*(hi-lo) + 2h):
+            # physical fine cell index f = e - h + region_lo*P*r; containing
+            # coarse GLOBAL cell c = floor(f / r), wrapped periodically.
+            n_ext = g_f * P + 2 * h
+            f = np.arange(n_ext) - h + self.region_lo[d] * P * r
+            c = np.floor_divide(f, r)
+            n_coarse = self.coarse.grid.grid_shape[d] * P
+            self._coarse_src.append(np.mod(c, n_coarse))
+
+    # ------------------------------------------------------------- coupling
+
+    def prolong_halo_overwrite(self, fine_Q, coarse_Q):
+        """Overwrite the fine grid's region-boundary halo slabs with
+        piecewise-constant prolongation of the coarse solution."""
+        cfg = self.coarse.grid.config
+        dim, h = cfg.dim, cfg.halo_size
+        if h == 0:
+            return fine_Q
+        coarse_global = _assemble_jnp(self.coarse.grid, coarse_Q)
+        # Upsampled blocks: fine-with-halo value of every fine patch cell,
+        # taken from the containing coarse cell.
+        up = coarse_global
+        for d in range(dim):
+            idx = self._coarse_src[d][self._block_idx[d]]  # [G_f, P+2h]
+            up = jnp.take(up, jnp.asarray(idx.reshape(-1)), axis=d)
+        # up now has per-axis length G_f*(P+2h); reshape to patch blocks.
+        shape = []
+        for d in range(dim):
+            shape += [self.fine_grid.grid_shape[d], cfg.extent]
+        shape.append(cfg.n_vars)
+        up = up.reshape(shape)
+        order = list(range(0, 2 * dim, 2)) + list(range(1, 2 * dim, 2))
+        order.append(2 * dim)
+        blocks_up = jnp.transpose(up, order)  # fine state shape
+
+        out = fine_Q
+        nd = out.ndim
+        for d in range(dim):
+            grid_ax, spat_ax = d, dim + d
+            for grid_pos, spat_rng in (
+                (0, (0, h)),
+                (self.fine_grid.grid_shape[d] - 1, (cfg.patch_size + h, cfg.extent)),
+            ):
+                sl = [slice(None)] * nd
+                sl[grid_ax] = slice(grid_pos, grid_pos + 1)
+                sl[spat_ax] = slice(*spat_rng)
+                sl = tuple(sl)
+                out = out.at[sl].set(blocks_up[sl])
+        return out
+
+    def restrict(self, coarse_Q, fine_Q):
+        """Average fine cell means down onto the coarse cells they cover."""
+        cfg = self.coarse.grid.config
+        dim, P, r = cfg.dim, cfg.patch_size, self.factor
+        fine_global = _assemble_jnp(self.fine_grid, fine_Q)
+        # Mean-pool by r along every axis.
+        pooled = fine_global
+        for d in range(dim):
+            shape = pooled.shape
+            new = shape[:d] + (shape[d] // r, r) + shape[d + 1 :]
+            pooled = pooled.reshape(new).mean(axis=d + 1)
+        coarse_global = _assemble_jnp(self.coarse.grid, coarse_Q)
+        region_sl = tuple(
+            slice(lo * P, hi * P)
+            for lo, hi in zip(self.region_lo, self.region_hi)
+        ) + (slice(None),)
+        coarse_global = coarse_global.at[region_sl].set(pooled)
+        return disassemble_global(self.coarse.grid, coarse_Q, coarse_global)
+
+    def prolong_initial(self, coarse_Q):
+        """Fine initial condition: piecewise-constant upsample of the coarse
+        region (interiors; halos filled on first exchange)."""
+        cfg = self.coarse.grid.config
+        P, r = cfg.patch_size, self.factor
+        coarse_global = _assemble_jnp(self.coarse.grid, coarse_Q)
+        region = coarse_global[
+            tuple(
+                slice(lo * P, hi * P)
+                for lo, hi in zip(self.region_lo, self.region_hi)
+            )
+        ]
+        up = region
+        for d in range(cfg.dim):
+            up = jnp.repeat(up, r, axis=d)
+        fine_Q = jnp.zeros(self.fine_grid.state_shape, coarse_Q.dtype)
+        return disassemble_global(self.fine_grid, fine_Q, up)
+
+    # ----------------------------------------------------------------- step
+
+    def step(self, coarse_Q, fine_Q, dt):
+        """One coupled two-level step (coarse dt; fine takes r sub-steps)."""
+        new_coarse = self.coarse.step(coarse_Q, dt)
+        dt_f = dt / self.factor
+
+        def substep(fq, _):
+            fq = self.prolong_halo_overwrite(self.fine_grid.halo_fill(fq), coarse_Q)
+            fb = self.fine_grid.to_batched(fq)
+            kdt = dt_f / self.fine.dx if self.fine.kernel_dt == "lambda" else dt_f
+            fb = self.fine._kernel_fn(fb, kdt)
+            return self.fine_grid.from_batched(fb), None
+
+        new_fine, _ = jax.lax.scan(substep, fine_Q, None, length=self.factor)
+        new_coarse = self.restrict(new_coarse, new_fine)
+        return new_coarse, new_fine
+
+    def run(self, coarse_Q, fine_Q, n_steps: int, dt):
+        def body(carry, _):
+            c, f = carry
+            return self.step(c, f, dt), None
+
+        (c, f), _ = jax.lax.scan(body, (coarse_Q, fine_Q), None, length=n_steps)
+        return c, f
+
+
+def _assemble_jnp(grid, Q):
+    """assemble_global, staying in jnp (traceable)."""
+    cfg = grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    interior = Q
+    for d in range(cfg.dim):
+        ax = cfg.dim + d
+        sl = [slice(None)] * interior.ndim
+        sl[ax] = slice(h, h + P)
+        interior = interior[tuple(sl)]
+    order = []
+    for d in range(cfg.dim):
+        order += [d, cfg.dim + d]
+    order.append(2 * cfg.dim)
+    interleaved = jnp.transpose(interior, order)
+    shape = tuple(g * P for g in grid.grid_shape) + (cfg.n_vars,)
+    return interleaved.reshape(shape)

@@ -42,6 +42,7 @@ class GridSolver:
         cfl: float = 0.45,
         eigenvalue_fn: Optional[Callable] = None,
         backend: Literal["jax", "pallas"] = "jax",
+        kernel_dt: Literal["physical", "lambda"] = "physical",
         **backend_kwargs,
     ):
         self.grid = grid
@@ -50,6 +51,10 @@ class GridSolver:
         self.cfl = cfl
         self.eigenvalue_fn = eigenvalue_fn
         self.backend = backend
+        #: What the kernel's scalar argument means: the physical dt (the
+        #: canonical reference spec) or λ = dt/dx (the corrected scaled
+        #: spec, models/fv.py) — the solver converts accordingly.
+        self.kernel_dt = kernel_dt
         if backend == "pallas":
             if not isinstance(grid, TpuPatchGrid):
                 raise SemanticError("backend='pallas' requires a TpuPatchGrid")
@@ -72,6 +77,8 @@ class GridSolver:
 
     def step(self, Q, dt):
         """One halo-exchange + patch-update step on grid-shaped state."""
+        kdt = dt / self.dx if self.kernel_dt == "lambda" else dt
+        dt = kdt
         Q = self.grid.halo_fill(Q)
         if getattr(self, "_grid_native", False):
             return self._kernel_fn(Q, dt)

@@ -47,6 +47,31 @@ def assemble_global(grid, Q) -> np.ndarray:
     return interleaved.reshape(shape)
 
 
+def disassemble_global(grid, Q, global_arr):
+    """Inverse of :func:`assemble_global` for AoS grids: write the global
+    cell field back into the interiors of the patch state (halos untouched).
+    Works on jnp arrays (returns an updated copy)."""
+    import jax.numpy as jnp
+
+    cfg = grid.config
+    if isinstance(grid, TpuPatchGrid):
+        raise NotImplementedError("disassemble_global supports AoS PatchGrid state")
+    h, P = cfg.halo_size, cfg.patch_size
+    # [g0*P, ..., V] -> [g0, P, g1, P, ..., V] -> [g0..gd, P..P, V]
+    split_shape = []
+    for g in grid.grid_shape:
+        split_shape += [g, P]
+    split_shape.append(cfg.n_vars)
+    arr = jnp.asarray(global_arr).reshape(split_shape)
+    order = list(range(0, 2 * cfg.dim, 2)) + list(range(1, 2 * cfg.dim, 2))
+    order.append(2 * cfg.dim)
+    blocks = jnp.transpose(arr, order)  # [g.., P.., V]
+    sl = [slice(None)] * (2 * cfg.dim + 1)
+    for d in range(cfg.dim):
+        sl[cfg.dim + d] = slice(h, h + P)
+    return jnp.asarray(Q).at[tuple(sl)].set(blocks)
+
+
 def write_npz(path, grid, Q, var_names: Optional[Sequence[str]] = None, **extra):
     """Compressed NPZ snapshot of the assembled global field."""
     data = assemble_global(grid, Q)
