@@ -91,3 +91,46 @@ def test_shallow_water_lake_at_rest():
     Q0[..., 0] = 2.0
     out = np.asarray(JAXPrinter(kb).build()(Q0, 0.01))
     np.testing.assert_allclose(out, Q0, rtol=0, atol=1e-13)
+
+
+def test_corrected_fv_kernel_triple_differential(tmp_path):
+    """The scaled/corrected FV kernel (struct_override path) agrees across
+    JAX, oracle, and native C++ like every other spec."""
+    from exahype_tpu.backends.cpp_backend import CPPPrinter
+    from exahype_tpu.backends.cpp_runtime import compile_kernel, euler_sources
+    from exahype_tpu.backends.numpy_oracle import run_oracle
+    from exahype_tpu.models import euler_numpy
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+
+    kb = build_fv_rusanov_kernel(dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0)
+    rng = np.random.default_rng(0)
+    Q0 = rng.uniform(0.1, 1.0, size=kb.item_shape("Q"))
+    Q0[..., 0] += 1.0
+    Q0[..., 3] += 5.0
+    lam = 0.05  # dt/dx
+
+    want = run_oracle(kb, Q0, lam, np_impls=euler_numpy.impls(dim=2, n_real=5))
+    got = np.asarray(JAXPrinter(kb).build()(Q0, lam))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+
+    native = compile_kernel(
+        kb,
+        CPPPrinter(kb, header="euler.h").code,
+        extra_sources=euler_sources(),
+        defines={"EXA_DIM": 2, "EXA_NREAL": 5},
+        workdir=tmp_path,
+    )
+    got_cpp = native(Q0.reshape(-1), lam).reshape(kb.item_shape("Q"))
+    np.testing.assert_array_equal(got_cpp, want)
+
+
+def test_corrected_fv_dissipation_covers_all_vars():
+    """Unlike the canonical reference spec (dissipation on variable 0 only),
+    the corrected kernel's Rusanov viscosity must act on every real var."""
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+    from exahype_tpu.frontend.statements import StatementKind
+
+    kb = build_fv_rusanov_kernel(dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0)
+    loops = [s for s in kb.statements if s.kind is StatementKind.LOOP]
+    rusanov_x = loops[7]
+    assert kb.loop_ranges(rusanov_x)[-1] == (0, 5)
