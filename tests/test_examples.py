@@ -58,3 +58,17 @@ def test_kernel_generator(tmp_path, monkeypatch):
     assert "instanceOfFVRusanovSolver.flux(" in code
     # Namespace-qualified helper.
     assert "exahype2::fv::getVolumeCentre(" in code
+
+
+def test_dynamic_refinement(tmp_path, monkeypatch):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["dynamic_refinement.py"])
+    run_example("dynamic_refinement.py", tmp_path, monkeypatch)
+
+
+def test_aderdg_euler3d_example(tmp_path, monkeypatch):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["aderdg_euler3d.py", "--cpu"])
+    run_example("aderdg_euler3d.py", tmp_path, monkeypatch)
