@@ -117,3 +117,20 @@ def test_self_referencing_stencil_rejected():
     Q0 = np.zeros(kb.item_shape("Q"))
     with pytest.raises(LoweringError, match="shifted index"):
         JAXPrinter(kb).build()(Q0)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzzed_spec_pallas_interpret(seed):
+    """A subset of fuzz seeds also through the fused Pallas evaluator."""
+    from exahype_tpu.backends.pallas_backend import PallasPrinter
+
+    rng = random.Random(1000 + seed)
+    kb = random_spec(rng)
+    np_rng = np.random.default_rng(seed)
+    Q0 = np_rng.normal(size=kb.item_shape("Q"))
+    dt = float(np_rng.uniform(0.001, 0.1))
+    want = np.asarray(JAXPrinter(kb).build()(Q0, dt))
+    got = np.asarray(
+        PallasPrinter(kb, interpret=True, tile_patches=1).build_aos()(Q0, dt)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12, err_msg=f"seed {seed}")
