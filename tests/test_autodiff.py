@@ -1,0 +1,95 @@
+"""Differentiability and ensemble-batching of generated kernels.
+
+Because the backends emit traced JAX programs, every generated kernel is
+differentiable and vmappable end to end — capabilities the reference's
+C++/MLIR text generation cannot express at all.  These tests pin them down:
+
+- gradients of a kernel output w.r.t. dt and w.r.t. the input state match
+  finite differences;
+- gradients flow through the full ADER-DG step (predictor Picard loop,
+  Riemann solve, corrector);
+- ``jax.vmap`` batches a kernel over an ensemble axis and matches the loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.backends.jax_backend import JAXPrinter
+from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+from exahype_tpu.models.fv import build_fv_rusanov_kernel
+from exahype_tpu.models.rusanov import build_rusanov_kernel
+
+
+def euler_state(kb, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = rng.uniform(0.1, 1.0, size=kb.item_shape("Q"))
+    Q[..., 0] += 1.0
+    Q[..., 3] += 5.0
+    if Q.shape[-1] > 4:
+        Q[..., 4] += 5.0
+    return jnp.asarray(Q)
+
+
+def test_grad_wrt_dt_matches_finite_difference():
+    kb = build_fv_rusanov_kernel(dim=2, patch_size=4, halo_size=1, n_real=4, n_aux=0)
+    fn = JAXPrinter(kb).build()
+    Q0 = euler_state(kb)
+
+    def loss(dt):
+        return jnp.sum(fn(Q0, dt) ** 2)
+
+    dt0 = 0.01
+    g = float(jax.grad(loss)(dt0))
+    eps = 1e-6
+    fd = float((loss(dt0 + eps) - loss(dt0 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_grad_wrt_state_flows():
+    kb = build_rusanov_kernel(dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5)
+    fn = JAXPrinter(kb).build()
+    Q0 = euler_state(kb, seed=3)
+
+    def loss(Q):
+        return jnp.sum(fn(Q, 0.01))
+
+    g = jax.grad(loss)(Q0)
+    assert g.shape == Q0.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_grad_through_aderdg_step():
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(4, 4),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=0.25,
+    )
+    rng = np.random.default_rng(1)
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    Q0 = jnp.asarray(
+        np.stack([rho, rho, 0.5 * rho, 5.0 + rho], axis=solver.var_axis)
+    )
+
+    def loss(dt):
+        return jnp.sum(solver.step(Q0, dt) ** 2)
+
+    dt0 = 1e-3
+    g = float(jax.grad(loss)(dt0))
+    eps = 1e-7
+    fd = float((loss(dt0 + eps) - loss(dt0 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-4)
+
+
+def test_vmap_ensemble_matches_loop():
+    """One compiled kernel over an ensemble of initial conditions."""
+    kb = build_fv_rusanov_kernel(dim=2, patch_size=4, halo_size=1, n_real=4, n_aux=0)
+    fn = JAXPrinter(kb).build()
+    members = jnp.stack([euler_state(kb, seed=s) for s in range(5)])
+    batched = jax.vmap(fn, in_axes=(0, None))(members, 0.01)
+    for s in range(5):
+        np.testing.assert_allclose(
+            np.asarray(batched[s]), np.asarray(fn(members[s], 0.01)), atol=1e-13
+        )

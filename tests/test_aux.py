@@ -184,3 +184,38 @@ def test_output_writers(tmp_path):
     # First VTK value is global (0,0) of rho (x-fastest ordering).
     first = float(text.split("LOOKUP_TABLE default\n")[1].split("\n")[0])
     assert first == glob[0, 0, 0]
+
+
+def test_driver_with_tpu_layout_pallas_solver(tmp_path):
+    """The production driver runs the Pallas/SoA-P solver end to end."""
+    from exahype_tpu.parallel import TpuPatchGrid
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=4
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(2, 2))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=4
+    )
+    solver = GridSolver(
+        grid, kb, dx=0.1, backend="pallas", interpret=True, tile_patches=2
+    )
+    driver = TimeLoopDriver(
+        solver,
+        DriverConfig(
+            chunk_steps=2,
+            checkpoint_every=1,
+            checkpoint_dir=str(tmp_path / "ck"),
+            log_metrics=False,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    aos = rng.uniform(0.1, 1.0, size=(4, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    Q0 = grid.from_aos(jnp.asarray(aos))
+    Q, t, stats = driver.run(Q0, n_steps=4, dt=1e-3)
+    assert stats["steps"] == 4
+    assert np.isfinite(np.asarray(Q)).all()
+    assert driver.ckpt.latest_step() is not None
