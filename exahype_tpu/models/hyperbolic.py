@@ -140,10 +140,24 @@ def acoustic(dim: int = 2, c: float = 1.0, rho0: float = 1.0):
     )
 
 
+def _elastic(**kw):
+    from exahype_tpu.models.elastic import elastic
+
+    return elastic(**kw)
+
+
+def _mhd(**kw):
+    from exahype_tpu.models.mhd import mhd
+
+    return mhd(**kw)
+
+
 #: name -> factory returning (flux, max_eigenvalue) batch-native callbacks.
 REGISTRY: dict[str, Callable] = {
     "advection": advection,
     "burgers": burgers,
     "shallow_water": shallow_water,
     "acoustic": acoustic,
+    "elastic": _elastic,
+    "mhd": _mhd,
 }

@@ -134,3 +134,78 @@ def test_corrected_fv_dissipation_covers_all_vars():
     loops = [s for s in kb.statements if s.kind is StatementKind.LOOP]
     rusanov_x = loops[7]
     assert kb.loop_ranges(rusanov_x)[-1] == (0, 5)
+
+
+def test_elastic_plane_wave_aderdg():
+    """Exact P-wave propagation through ADER-DG: high-order accuracy on the
+    linear elastic system."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.elastic import elastic, plane_p_wave, _speeds
+
+    rho, lam, mu = 1.0, 2.0, 1.0
+    flux, eig = elastic(rho=rho, lam=lam, mu=mu)
+    cells = 8
+    solver = ADERDGSolver(
+        dim=2, order=3, n_vars=5, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], axis=solver.var_axis), no_var)
+
+    def state(t):
+        return jnp.asarray(
+            np.moveaxis(plane_p_wave(X, Y, t, rho=rho, lam=lam, mu=mu), -1, solver.var_axis)
+        )
+
+    t_end = 0.05
+    n_steps = 40
+    out = solver.run(state(0.0), n_steps, t_end / n_steps)
+    err = float(jnp.max(jnp.abs(out - state(t_end))))
+    amp = 1e-3
+    assert err < 0.02 * amp, f"P-wave error {err} vs amplitude {amp}"
+
+
+def test_mhd_fv_constant_state_and_conservation():
+    from exahype_tpu.models import mhd as mhd_mod
+
+    flux, eig = mhd_mod.mhd()
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=9, n_aux=0, n_patches=2,
+        flux_impl=flux, eigenvalue_impl=eig,
+    )
+    # Constant magnetized state stays constant.
+    Q0 = np.zeros(kb.item_shape("Q"))
+    Q0[..., 0] = 1.0
+    Q0[..., 4] = 6.0
+    Q0[..., 5] = 0.5
+    Q0[..., 6] = -0.25
+    out = np.asarray(JAXPrinter(kb).build()(Q0, 0.01))
+    np.testing.assert_allclose(out, Q0, rtol=0, atol=1e-13)
+
+
+def test_mhd_aderdg_runs_and_conserves():
+    from exahype_tpu.models import mhd as mhd_mod
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    flux, eig = mhd_mod.mhd()
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=9, grid_shape=(4, 4),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=0.25,
+    )
+    rng = np.random.default_rng(0)
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    rho = 1.0 + 0.1 * rng.random(no_var)
+    zeros = np.zeros_like(rho)
+    comps = [rho, 0.1 * rho, zeros, zeros, 6.0 + zeros, 0.5 + zeros,
+             0.1 * np.sin(2 * np.pi * rng.random(no_var)), zeros, zeros]
+    Q0 = jnp.asarray(np.stack(comps, axis=solver.var_axis))
+    out = solver.run(Q0, 5, dt=5e-4)
+    assert np.isfinite(np.asarray(out)).all()
+    m0 = np.asarray(solver.total_mass(Q0))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=0, atol=1e-12)  # mass
+    np.testing.assert_allclose(m1[4], m0[4], rtol=0, atol=1e-11)  # energy
