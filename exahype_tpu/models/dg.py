@@ -74,3 +74,29 @@ class DGOperators:
         self.K1inv = np.linalg.inv(K1)
         # Volume stiffness applied transposed: Kvol[i,j] = w_j D[j,i] / w_i.
         self.Kvol = (self.weights[None, :] * self.D.T) / self.weights[:, None]
+
+
+def subcell_projection(order: int, n_sub: int | None = None) -> np.ndarray:
+    """P[s, i] = mean of basis ℓ_i over subcell s of [0,1] (n_sub per axis).
+
+    Computed with Gauss-Legendre quadrature inside each subcell — exact for
+    the degree-``order`` basis.  Default n_sub = 2*order + 1 (the Dumbser
+    subcell count, which makes one subcell-FV step at the DG CFL stable).
+    """
+    if n_sub is None:
+        n_sub = 2 * order + 1
+    nodes, weights = gauss_legendre(order + 1)
+    P = np.zeros((n_sub, order + 1))
+    cell_nodes, _ = gauss_legendre(order + 1)
+    for s in range(n_sub):
+        lo = s / n_sub
+        for q, (xq, wq) in enumerate(zip(nodes, weights)):
+            x = lo + xq / n_sub
+            P[s] += wq * lagrange_eval(cell_nodes, x)
+    return P
+
+
+def subcell_reconstruction(order: int, n_sub: int | None = None) -> np.ndarray:
+    """R = pseudo-inverse of the projection: R @ P = I on polynomials."""
+    P = subcell_projection(order, n_sub)
+    return np.linalg.pinv(P)

@@ -15,11 +15,14 @@ Detection (per cell, on the candidate):
   lie within the min/max of the old means over the 2·dim+1 neighbourhood,
   widened by ``δ = max(dmp_delta0, dmp_eps · (local max − local min))``.
 
-Fallback: first-order FV Rusanov update of the cell means (neighbour means
-over faces), broadcast to the cell's nodes.  First-order but unconditionally
-robust; the cell integral is preserved by construction.  (A full subcell-FV
-fallback with flux matching at DG/FV interfaces is the production extension;
-mixed interfaces here may leave O(troubled-faces) conservation drift.)
+Fallback (default "subcell"): one Rusanov FV step on the Dumbser
+(2N+1)^d-subcell grid — subcell-resolved, conservative per cell, and stable
+at the DG time step (the DG CFL factor 1/(2N+1) is exactly the subcell CFL).
+Projection/reconstruction operators are exact on the polynomial space with a
+cell-mean conservation fix.  A first-order cell-mean fallback ("means") is
+kept for comparison.  Mixed DG/FV interfaces use each side's own numerical
+flux (no flux matching), so conservation can drift by O(troubled faces);
+exact interface matching is the remaining production refinement.
 """
 
 from __future__ import annotations
@@ -61,6 +64,22 @@ class LimitedADERDG:
     admissible: Optional[Callable] = None
     dmp_delta0: float = 1e-4
     dmp_eps: float = 1e-3
+    #: Fallback scheme for troubled cells: "subcell" (Dumbser-style
+    #: (2N+1)-subcell FV — subcell-resolved, the production choice) or
+    #: "means" (first-order cell-mean FV).
+    fallback: str = "subcell"
+
+    def __post_init__(self):
+        from exahype_tpu.models.dg import (
+            subcell_projection,
+            subcell_reconstruction,
+        )
+
+        self.n_sub = 2 * self.solver.order + 1
+        self._P = subcell_projection(self.solver.order, self.n_sub)
+        self._R = subcell_reconstruction(self.solver.order, self.n_sub)
+        if self.fallback not in ("subcell", "means"):
+            raise ValueError(f"unknown fallback {self.fallback!r}")
 
     # ------------------------------------------------------------- means
 
@@ -139,14 +158,96 @@ class LimitedADERDG:
             new = new - lam * (fhat_hi - fhat_lo)
         return self._broadcast_means(new, u)
 
+    # ------------------------------------------------------------- subcell
+
+    def project_subcells(self, u):
+        """Nodal state -> subcell means: node axes become n_sub-sized."""
+        from exahype_tpu.models.aderdg import _apply
+
+        out = u
+        for d in range(self.solver.dim):
+            out = _apply(self._P, out, self.solver.node_axis(d))
+        return out
+
+    def reconstruct_subcells(self, s):
+        """Subcell means -> nodal, with an exact cell-mean correction."""
+        from exahype_tpu.models.aderdg import _apply, _project
+
+        sol = self.solver
+        out = s
+        for d in range(sol.dim):
+            out = _apply(self._R, out, sol.node_axis(d))
+        # Conservation fix: shift so the quadrature mean equals the subcell
+        # mean exactly (pinv reconstruction is only exact on polynomials).
+        sub_axes = tuple(range(sol.dim))
+        mean_sub = jnp.mean(s, axis=sub_axes)
+        mean_rec = out
+        for d in reversed(range(sol.dim)):
+            mean_rec = _project(
+                jnp.asarray(sol.ops.weights, out.dtype), mean_rec, sol.node_axis(d)
+            )
+        shift = (mean_sub - mean_rec).reshape((1,) * sol.dim + mean_sub.shape)
+        return out + shift
+
+    def subcell_fv_step(self, u, dt):
+        """One Rusanov FV step on the (2N+1)^d subcell grid of every cell
+        (periodic across cells), returned as reconstructed nodal state."""
+        sol = self.solver
+        n_sub = self.n_sub
+        va = sol.var_axis
+        dx_s = sol.dx / n_sub
+        lam = dt / dx_s
+        s = self.project_subcells(u)
+
+        for d in range(sol.dim):
+            sub_ax = sol.node_axis(d)
+            grid_ax = sol.grid_axis(d)
+
+            def take(rng):
+                sl = [slice(None)] * s.ndim
+                sl[sub_ax] = rng
+                return s[tuple(sl)]
+
+            first = take(slice(0, 1))
+            last = take(slice(n_sub - 1, n_sub))
+            from_right = jnp.roll(first, shift=-1, axis=grid_ax)
+            from_left = jnp.roll(last, shift=1, axis=grid_ax)
+            u_plus = jnp.concatenate([take(slice(1, None)), from_right], axis=sub_ax)
+            u_minus = jnp.concatenate([from_left, take(slice(0, n_sub - 1))], axis=sub_ax)
+
+            F = sol.flux_fn(s, d, va)
+            F_plus = sol.flux_fn(u_plus, d, va)
+            F_minus = sol.flux_fn(u_minus, d, va)
+            s_hi = jnp.expand_dims(
+                jnp.maximum(
+                    sol.max_eigenvalue_fn(s, d, va),
+                    sol.max_eigenvalue_fn(u_plus, d, va),
+                ),
+                va,
+            )
+            s_lo = jnp.expand_dims(
+                jnp.maximum(
+                    sol.max_eigenvalue_fn(u_minus, d, va),
+                    sol.max_eigenvalue_fn(s, d, va),
+                ),
+                va,
+            )
+            fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * (u_plus - s)
+            fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * (s - u_minus)
+            s = s - lam * (fhat_hi - fhat_lo)
+        return self.reconstruct_subcells(s)
+
     # -------------------------------------------------------------- step
 
     def step(self, u, dt):
         candidate = self.solver.step(u, dt)
         troubled = self.troubled_mask(u, candidate)  # [*grid]
-        fallback = self.fv_fallback(u, dt)
+        if self.fallback == "subcell":
+            fb = self.subcell_fv_step(u, dt)
+        else:
+            fb = self.fv_fallback(u, dt)
         mask = troubled.reshape((1,) * (self.solver.dim + 1) + troubled.shape)
-        return jnp.where(mask, fallback, candidate)
+        return jnp.where(mask, fb, candidate)
 
     def run(self, u, n_steps: int, dt):
         def body(carry, _):
