@@ -158,3 +158,37 @@ def test_two_level_step_jits():
     stepped = jax.jit(nested.step)
     c, f = stepped(coarse_Q, fine_Q, 1e-3)
     assert c.shape == coarse_Q.shape and f.shape == fine_Q.shape
+
+
+def test_nested_refinement_3d_smoke():
+    cfg = KernelConfig(
+        dim=3, patch_size=3, halo_size=1, n_real=1, n_aux=0, n_patches=27
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(3, 3, 3))
+    flux, eig = hyperbolic.advection((1.0, 0.5, 0.25))
+    kb = build_fv_rusanov_kernel(
+        dim=3, patch_size=3, halo_size=1, n_real=1, n_aux=0,
+        n_patches=27, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / 9, kernel_dt="lambda")
+    nested = NestedRefinement(solver, region_lo=(1, 1, 1), region_hi=(2, 2, 2), factor=2)
+    rng = np.random.default_rng(0)
+    coarse_Q = jnp.asarray(rng.normal(size=grid.state_shape))
+    fine_Q = nested.prolong_initial(coarse_Q)
+    c, f = nested.step(coarse_Q, fine_Q, 1e-3)
+    assert np.isfinite(np.asarray(c)).all() and np.isfinite(np.asarray(f)).all()
+    # Constant input -> constant output, 3-D.
+    coarse_C = jnp.full(grid.state_shape, 1.5)
+    fine_C = nested.prolong_initial(coarse_C)
+    c2, f2 = nested.step(coarse_C, fine_C, 1e-3)
+    np.testing.assert_allclose(np.asarray(c2), 1.5, atol=1e-13)
+
+
+def test_region_validation():
+    solver, _ = make_advection_setup()
+    import pytest
+
+    from exahype_tpu.utils.errors import SemanticError
+
+    with pytest.raises(SemanticError):
+        NestedRefinement(solver, region_lo=(0, 0), region_hi=(9, 2), factor=3)
