@@ -92,3 +92,51 @@ def test_sod_converges_first_order():
     rate = np.log2(errs[0] / errs[1])
     # Discontinuities limit first-order schemes to O(h^0.5..1) in L1.
     assert rate > 0.25, f"Sod L1 convergence rate {rate:.2f}, errors {errs}"
+
+
+def test_sod_limited_aderdg_beats_fv():
+    """Limited order-3 ADER-DG at 16 cells resolves Sod better than
+    first-order FV at 64 cells (measured: 0.035 vs 0.050 L1)."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, _project, euler_physics
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    gamma = 1.4
+    t_end = 0.15
+    cells = 16
+    flux, eig = euler_physics(dim=2, n_real=4, gamma=gamma)
+    solver = ADERDGSolver(
+        dim=2, order=3, n_vars=4, grid_shape=(cells, 2),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / cells,
+    )
+    limited = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    left = X < 0.5
+    rho = np.where(left, SOD_LEFT.rho, SOD_RIGHT.rho)
+    p = np.where(left, SOD_LEFT.p, SOD_RIGHT.p)
+    z = np.zeros_like(rho)
+    Q0 = jnp.asarray(np.stack([rho, z, z, p / (gamma - 1.0)], axis=solver.var_axis))
+
+    dt = 0.4 * (1.0 / cells) / (2 * 3 + 1) / 2.0
+    n_steps = int(np.ceil(t_end / dt))
+    Q = limited.run(Q0, n_steps, t_end / n_steps)
+
+    means = Q
+    for d in reversed(range(2)):
+        means = _project(
+            jnp.asarray(solver.ops.weights), means, solver.node_axis(d)
+        )
+    rho_num = np.asarray(means)[0].mean(axis=1)
+    xc = (np.arange(cells) + 0.5) / cells
+    rho_exact, _, _ = sample((xc - 0.5) / t_end)
+    m = core(xc, t_end)
+    l1_dg = np.abs(rho_num - rho_exact)[m].mean()
+
+    x_fv, rho_fv = run_sod_fv(16, t_end=t_end)  # 64 FV cells
+    ex_fv, _, _ = sample((x_fv - 0.5) / t_end)
+    l1_fv = np.abs(rho_fv - ex_fv)[core(x_fv, t_end)].mean()
+
+    assert np.isfinite(np.asarray(Q)).all()
+    assert l1_dg < 0.045
+    assert l1_dg < l1_fv, f"DG {l1_dg:.4f} should beat FV {l1_fv:.4f}"
