@@ -36,13 +36,29 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="exahype-opt", description="exahype_tpu IR optimizer driver"
     )
-    p.add_argument("input", help="input IR file (.eir kernel IR / .lir loop IR)")
+    p.add_argument(
+        "input",
+        help="input IR file (.eir kernel IR / .lir loop IR), or a Python "
+        "spec module when --spec is given",
+    )
     p.add_argument(
         "-p",
         "--passes",
         default="",
         help="comma-separated pass pipeline "
         f"(kernel: {', '.join(KERNEL_PASSES)}; loop: {', '.join(LOOP_PASSES)})",
+    )
+    p.add_argument(
+        "--spec",
+        action="store_true",
+        help="treat INPUT as a Python module defining build() -> KernelBuilder "
+        "and generate code from the spec",
+    )
+    p.add_argument(
+        "--emit",
+        choices=("cpp", "mlir", "lir", "jaxpr"),
+        default="lir",
+        help="with --spec: which backend artifact to emit (default Loop IR)",
     )
     p.add_argument("-o", "--output", default=None, help="output file (default stdout)")
     p.add_argument(
@@ -53,8 +69,50 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _emit_from_spec(args) -> tuple[str, str]:
+    """Load a Python spec module and emit the chosen backend artifact."""
+    import runpy
+
+    ns = runpy.run_path(args.input)
+    build = ns.get("build") or ns.get("kernel")
+    if build is None:
+        raise SemanticError(
+            f"{args.input}: spec module must define build() -> KernelBuilder"
+        )
+    kb = build() if callable(build) else build
+    if args.emit == "cpp":
+        from exahype_tpu.backends.cpp_backend import CPPPrinter
+
+        return CPPPrinter(kb).code, "kernel.cpp"
+    if args.emit == "mlir":
+        from exahype_tpu.backends.mlir_backend import MLIRPrinter
+
+        return MLIRPrinter(kb).code, "kernel.mlir"
+    if args.emit == "jaxpr":
+        from exahype_tpu.backends.jax_backend import JAXPrinter
+
+        return JAXPrinter(kb).jaxpr_text, "kernel.jaxpr"
+    from exahype_tpu.ir.loop_ir import print_function
+    from exahype_tpu.ir.passes import spec_to_loops
+
+    return print_function(spec_to_loops(kb)), "kernel.lir"
+
+
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.spec:
+        try:
+            out_text, out_name = _emit_from_spec(args)
+        except (SemanticError, VerifyError) as err:
+            print(f"exahype-opt: error: {err}", file=sys.stderr)
+            return 1
+        if args.output:
+            pathlib.Path(args.output).write_text(out_text)
+        else:
+            sys.stdout.write(out_text)
+        return 0
+
     text = pathlib.Path(args.input).read_text()
 
     try:

@@ -217,3 +217,17 @@ def test_spec_to_loops_interpreter_matches_oracle():
     fn = spec_to_loops(kb)
     env = run_loop_function(fn, {"Q": Q0}, scalars={"dt": 0.01})
     np.testing.assert_array_equal(env["Q"], want)
+
+
+def test_opt_cli_spec_emit(tmp_path, capsys):
+    import pathlib
+
+    spec = pathlib.Path(__file__).resolve().parent.parent / "examples" / "spec_rusanov.py"
+    for emit, marker in [
+        ("cpp", 'extern "C" void time_step'),
+        ("mlir", "builtin.module"),
+        ("lir", "loop.func @time_step"),
+    ]:
+        assert opt_run([str(spec), "--spec", "--emit", emit]) == 0
+        out = capsys.readouterr().out
+        assert marker in out, emit
