@@ -219,3 +219,19 @@ def test_driver_with_tpu_layout_pallas_solver(tmp_path):
     assert stats["steps"] == 4
     assert np.isfinite(np.asarray(Q)).all()
     assert driver.ckpt.latest_step() is not None
+
+
+def test_driver_with_sharding(tmp_path):
+    """TimeLoopDriver compiled with explicit shardings over the CPU mesh."""
+    from exahype_tpu.parallel import make_mesh, shard_state, state_sharding
+
+    solver = make_solver(gx=8, gy=2)
+    mesh = make_mesh(8)
+    sharding = state_sharding(mesh, solver.grid)
+    driver = TimeLoopDriver(
+        solver, DriverConfig(chunk_steps=2, log_metrics=False), sharding=sharding
+    )
+    Q0 = shard_state(jnp.asarray(euler_state(solver.grid, seed=4)), mesh, solver.grid)
+    Q, t, stats = driver.run(Q0, n_steps=4, dt=1e-3)
+    assert stats["steps"] == 4
+    assert np.isfinite(np.asarray(Q)).all()

@@ -138,3 +138,25 @@ def test_subcell_vs_means_fallback_accuracy():
     rho_b = np.asarray(b)[..., 0, :, :].mean(axis=(0, 1))
     tv = lambda g: np.abs(np.diff(g, axis=0)).sum()
     assert tv(rho_a) >= 0.8 * tv(rho_b)
+
+
+def test_limiter_3d_smoke():
+    from exahype_tpu.models.aderdg import euler_physics
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(4, 4, 4),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=0.25,
+    )
+    limited = LimitedADERDG(solver, admissible=euler_admissible(dim=3))
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:3] + solver.state_shape[4:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    left = X < 0.5
+    rho = np.where(left, 1.0, 0.125)
+    p = np.where(left, 1.0, 0.1)
+    z = np.zeros_like(rho)
+    Q0 = jnp.asarray(np.stack([rho, z, z, z, p / 0.4], axis=solver.var_axis))
+    Q = limited.run(Q0, 5, dt=2e-3)
+    ok = euler_admissible(dim=3)(Q, solver.var_axis)
+    assert bool(np.asarray(ok).all())
