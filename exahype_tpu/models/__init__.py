@@ -1,4 +1,19 @@
-from exahype_tpu.models import euler
+from exahype_tpu.models import euler, hyperbolic
+from exahype_tpu.models.fv import build_fv_rusanov_kernel
 from exahype_tpu.models.rusanov import build_rusanov_kernel
 
-__all__ = ["euler", "build_rusanov_kernel"]
+__all__ = [
+    "euler",
+    "hyperbolic",
+    "build_rusanov_kernel",
+    "build_fv_rusanov_kernel",
+]
+
+
+def __getattr__(name):
+    # Lazy heavy solver modules.
+    if name in ("aderdg", "aderdg_pallas", "limiter", "dg", "riemann", "elastic", "mhd"):
+        import importlib
+
+        return importlib.import_module(f"exahype_tpu.models.{name}")
+    raise AttributeError(f"module 'exahype_tpu.models' has no attribute {name!r}")

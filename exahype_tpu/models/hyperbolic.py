@@ -12,7 +12,8 @@ both the FV Rusanov spec builder and the ADER-DG solver:
 - linear acoustics (pressure-velocity system)
 
 ``as_tpu_impl`` adapts a batch-native callback to the Pallas backend's SoA-P
-contract (variable axis at -2) by transposing around the call.
+contract (variable axis at front position ``dim``, patch axes trailing) by
+transposing around the call.
 """
 
 from __future__ import annotations
