@@ -235,3 +235,14 @@ def test_driver_with_sharding(tmp_path):
     Q, t, stats = driver.run(Q0, n_steps=4, dt=1e-3)
     assert stats["steps"] == 4
     assert np.isfinite(np.asarray(Q)).all()
+
+
+def test_code_printer_here_and_file(tmp_path, capsys):
+    from exahype_tpu.backends.cpp_backend import CPPPrinter
+
+    kb = build_rusanov_kernel()
+    printer = CPPPrinter(kb)
+    printer.here()
+    assert "time_step" in capsys.readouterr().out
+    printer.file(str(tmp_path / "k.cpp"))
+    assert (tmp_path / "k.cpp").read_text() == printer.code
