@@ -160,3 +160,27 @@ def test_limiter_3d_smoke():
     Q = limited.run(Q0, 5, dt=2e-3)
     ok = euler_admissible(dim=3)(Q, solver.var_axis)
     assert bool(np.asarray(ok).all())
+
+
+def test_limited_step_sharded_matches_single_device():
+    """The full limited step (DG + detection + subcell fallback) under a
+    sharded cell grid matches the unsharded run to 1 ulp."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel import make_mesh
+
+    solver, limited = make_limited(cells=8, order=2)
+    Q0 = sod_like_state(solver)
+    ref = np.asarray(jax.jit(limited.step)(Q0, 1e-3))
+
+    mesh = make_mesh(8)
+    ndim = len(solver.state_shape)
+    spec_list = [None] * ndim
+    spec_list[solver.grid_axis(0)] = "patches"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec_list))
+    Qs = jax.device_put(Q0, sharding)
+    stepped = jax.jit(limited.step, in_shardings=(sharding, None), out_shardings=sharding)
+    np.testing.assert_allclose(
+        np.asarray(stepped(Qs, 1e-3)), ref, rtol=1e-13, atol=1e-13
+    )
