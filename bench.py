@@ -36,9 +36,9 @@ def main():
 
     dim, order = 3, 3
     # Lane-tiled cell grid: trailing (8, 128) axes are exactly one
-    # (sublane, lane) VMEM tile; 16k cells amortize the pipeline best
-    # (measured 1.95 GDOF/s vs 1.72 at 8k cells).
-    grid_shape = (16, 8, 128)
+    # (sublane, lane) VMEM tile; 32k cells amortize the pipeline best
+    # (measured 2.19 GDOF/s vs 1.95 at 16k, 1.72 at 8k).
+    grid_shape = (32, 8, 128)
     chunk = 5
     dtype = np.float32
 
