@@ -36,9 +36,9 @@ def main():
 
     dim, order = 3, 3
     # Lane-tiled cell grid: trailing (8, 128) axes are exactly one
-    # (sublane, lane) VMEM tile; 32k cells amortize the pipeline best
-    # (measured 2.19 GDOF/s vs 1.95 at 16k, 1.72 at 8k).
-    grid_shape = (32, 8, 128)
+    # (sublane, lane) VMEM tile; throughput grows with cell count
+    # (measured: 1.72 at 8k, 1.95 at 16k, 2.19 at 32k, 2.29 at 64k cells).
+    grid_shape = (64, 8, 128)
     chunk = 5
     dtype = np.float32
 
