@@ -162,6 +162,11 @@ class ADERDGSolver:
     boundary: str = "periodic"
     reflect_fn: Callable | None = None
     reflect_flux_fn: Callable | None = None
+    #: Optional per-variable multiplier (length n_vars) on the Rusanov
+    #: dissipation jump term.  Zero entries keep non-evolved material
+    #: parameter slots exactly frozen (their central flux is already zero,
+    #: but the |s|·Δq viscosity would smear jumps at interfaces).
+    dissipation_mask: tuple | None = None
     #: Reuse the last Picard iteration's fluxes for the time-averaged
     #: fluxes (they belong to q_{K-1}; the difference is bounded by the
     #: Picard residual, O(dt^{N+2}), one order below the scheme error).
@@ -308,7 +313,14 @@ class ADERDGSolver:
                 ),
                 face_va,
             )
-            fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * (q_plus - q_hi)
+            dq = q_plus - q_hi
+            if self.dissipation_mask is not None:
+                mshape = [1] * dq.ndim
+                mshape[face_va] = len(self.dissipation_mask)
+                dq = dq * jnp.asarray(
+                    self.dissipation_mask, dq.dtype
+                ).reshape(mshape)
+            fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
 
             # Face between my -d neighbour and me: that neighbour's fhat_hi.
             fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)

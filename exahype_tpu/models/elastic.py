@@ -84,3 +84,49 @@ def plane_p_wave(x, y, t, *, rho: float = 1.0, lam: float = 2.0, mu: float = 1.0
     syy = -lam / cp * vx
     sxy = np.zeros_like(vx)
     return np.stack([vx, vy, sxx, syy, sxy], axis=-1)
+
+
+# ------------------------------------------------- heterogeneous materials
+# State extended with per-cell material parameters carried as non-evolved
+# variables: Q = [v_x, v_y, σ_xx, σ_yy, σ_xy, ρ, λ, μ]  (8 variables).
+# The fluxes read the material locally and return zeros for the material
+# slots, so any solver treats them as frozen fields — the real seismic
+# use case (layered media, material interfaces).
+
+N_VARS_HET = 8
+
+
+def elastic_het_flux(Q, normal):
+    vx, vy = Q[..., 0], Q[..., 1]
+    sxx, syy, sxy = Q[..., 2], Q[..., 3], Q[..., 4]
+    rho, lam, mu = Q[..., 5], Q[..., 6], Q[..., 7]
+    inv_rho = 1.0 / rho
+    n = int(normal)
+    z = jnp.zeros_like(vx)
+    if n == 0:
+        comps = [
+            -sxx * inv_rho,
+            -sxy * inv_rho,
+            -(lam + 2 * mu) * vx,
+            -lam * vx,
+            -mu * vy,
+        ]
+    else:
+        comps = [
+            -sxy * inv_rho,
+            -syy * inv_rho,
+            -lam * vy,
+            -(lam + 2 * mu) * vy,
+            -mu * vx,
+        ]
+    return jnp.stack(comps + [z, z, z], axis=-1)
+
+
+def elastic_het_eigenvalue(Q, normal):
+    rho, lam, mu = Q[..., 5], Q[..., 6], Q[..., 7]
+    return jnp.sqrt((lam + 2 * mu) / rho)
+
+
+def elastic_heterogeneous():
+    """(flux, max_eigenvalue) for 2-D elasticity with per-cell materials."""
+    return elastic_het_flux, elastic_het_eigenvalue

@@ -209,3 +209,56 @@ def test_mhd_aderdg_runs_and_conserves():
     m1 = np.asarray(solver.total_mass(out))
     np.testing.assert_allclose(m1[0], m0[0], rtol=0, atol=1e-12)  # mass
     np.testing.assert_allclose(m1[4], m0[4], rtol=0, atol=1e-11)  # energy
+
+
+def test_heterogeneous_elastic_layered_medium():
+    """Seismic use case: a P-wave crossing a material interface partially
+    reflects; material fields stay exactly frozen and the run stays finite."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.elastic import (
+        elastic_heterogeneous,
+        plane_p_wave,
+    )
+
+    flux, eig = elastic_heterogeneous()
+    cells = 12
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=8, grid_shape=(cells, 2),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+        dissipation_mask=(1, 1, 1, 1, 1, 0, 0, 0),  # freeze materials
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+
+    # Left half: soft medium; right half: stiff medium (4x impedance).
+    soft = X < 0.5
+    rho = np.where(soft, 1.0, 2.0)
+    lam = np.where(soft, 2.0, 8.0)
+    mu = np.where(soft, 1.0, 4.0)
+    # Localized pulse in the soft half (material of the soft side).
+    pulse = plane_p_wave(X, X * 0, 0.0, rho=1.0, lam=2.0, mu=1.0, k=4 * np.pi)
+    window = np.exp(-(((X - 0.25) / 0.08) ** 2))
+    state = pulse * window[..., None]
+    Q0 = jnp.asarray(
+        np.concatenate(
+            [
+                np.moveaxis(state, -1, solver.var_axis),
+                np.stack([rho, lam, mu], axis=solver.var_axis),
+            ],
+            axis=solver.var_axis,
+        )
+    )
+
+    out = solver.run(Q0, 30, dt=2e-3)
+    out_np = np.asarray(out)
+    assert np.isfinite(out_np).all()
+    # Material fields are exactly frozen.
+    sel = lambda k: (slice(None),) * solver.var_axis + (k,)
+    np.testing.assert_array_equal(out_np[sel(5)], np.asarray(Q0)[sel(5)])
+    np.testing.assert_array_equal(out_np[sel(6)], np.asarray(Q0)[sel(6)])
+    np.testing.assert_array_equal(out_np[sel(7)], np.asarray(Q0)[sel(7)])
+    # The wave did something (propagated/reflected), amplitudes bounded.
+    assert np.abs(out_np[sel(0)]).max() < 10 * 1e-3
+    assert not np.allclose(out_np[sel(0)], np.asarray(Q0)[sel(0)])
