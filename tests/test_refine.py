@@ -192,3 +192,21 @@ def test_region_validation():
 
     with pytest.raises(SemanticError):
         NestedRefinement(solver, region_lo=(0, 0), region_hi=(9, 2), factor=3)
+
+
+def test_refinement_criteria():
+    from exahype_tpu.parallel.criteria import (
+        gradient_indicator,
+        jump_indicator,
+        region_around_max,
+    )
+
+    solver, nested = make_advection_setup()
+    Q = gaussian_coarse_state(solver)
+    for indicator in (gradient_indicator, jump_indicator):
+        scores = indicator(solver.grid, Q)
+        assert scores.shape == solver.grid.grid_shape
+        lo, hi = region_around_max(scores, solver.grid.grid_shape)
+        # The bump sits at the domain centre: patches (1..2, 1..2).
+        assert 1 <= lo[0] + 1 <= 3 and 1 <= lo[1] + 1 <= 3
+        assert all(0 <= a < b <= g for a, b, g in zip(lo, hi, solver.grid.grid_shape))
