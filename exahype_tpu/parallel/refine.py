@@ -57,6 +57,9 @@ class NestedRefinement:
     region_lo: tuple[int, ...]
     region_hi: tuple[int, ...]
     factor: int = 3
+    #: Optional deeper refinement of THIS refinement's fine level (built
+    #: with :meth:`nest`); the fine-state pytree becomes ``(Q, inner_state)``.
+    inner: Optional["NestedRefinement"] = None
 
     def __post_init__(self):
         cfg = self.coarse.grid.config
@@ -189,30 +192,83 @@ class NestedRefinement:
         fine_Q = jnp.zeros(self.fine_grid.state_shape, coarse_Q.dtype)
         return disassemble_global(self.fine_grid, fine_Q, up)
 
+    # ------------------------------------------------------------ hierarchy
+
+    def nest(self, region_lo, region_hi, factor: int = 3) -> "NestedRefinement":
+        """Refine a sub-box of THIS refinement's fine level, returning the
+        inner :class:`NestedRefinement` (region in fine-patch indices).
+        Assign it to ``self.inner`` to activate; arbitrary depth composes.
+        """
+        inner = NestedRefinement(
+            self.fine, region_lo=region_lo, region_hi=region_hi, factor=factor
+        )
+        self.inner = inner
+        return inner
+
+    def init_state(self, coarse_Q):
+        """Nested fine-state pytree prolonged from the coarse solution:
+        ``Q`` for two levels, ``(Q, inner_state)`` for deeper hierarchies."""
+        fine_Q = self.prolong_initial(coarse_Q)
+        if self.inner is None:
+            return fine_Q
+        return (fine_Q, self.inner.init_state(fine_Q))
+
     # ----------------------------------------------------------------- step
 
-    def step(self, coarse_Q, fine_Q, dt):
-        """One coupled two-level step (coarse dt; fine takes r sub-steps)."""
-        new_coarse = self.coarse.step(coarse_Q, dt)
+    def _coarse_advance(self, coarse_Q, dt, parent_fill):
+        """Advance this refinement's coarse level by dt, with the region
+        boundary imposed by ``parent_fill`` when this level is itself nested."""
+        if parent_fill is None:
+            return self.coarse.step(coarse_Q, dt)
+        q = parent_fill(self.coarse.grid.halo_fill(coarse_Q))
+        kdt = dt / self.coarse.dx if self.coarse.kernel_dt == "lambda" else dt
+        qb = self.coarse.grid.to_batched(q)
+        qb = self.coarse._kernel_fn(qb, kdt)
+        return self.coarse.grid.from_batched(qb)
+
+    def step(self, coarse_Q, fine_state, dt, parent_fill=None):
+        """One coupled step of the (sub-)hierarchy rooted here.
+
+        ``fine_state`` is ``Q`` (two levels) or ``(Q, inner_state)`` for
+        deeper nests; ``parent_fill`` imposes the parent's prolonged halos
+        on this coarse level when called recursively.
+        """
+        new_coarse = self._coarse_advance(coarse_Q, dt, parent_fill)
         dt_f = dt / self.factor
+        fill = lambda q: self.prolong_halo_overwrite(q, coarse_Q)
 
-        def substep(fq, _):
-            fq = self.prolong_halo_overwrite(self.fine_grid.halo_fill(fq), coarse_Q)
-            fb = self.fine_grid.to_batched(fq)
-            kdt = dt_f / self.fine.dx if self.fine.kernel_dt == "lambda" else dt_f
-            fb = self.fine._kernel_fn(fb, kdt)
-            return self.fine_grid.from_batched(fb), None
+        if self.inner is None:
 
-        new_fine, _ = jax.lax.scan(substep, fine_Q, None, length=self.factor)
+            def substep(fq, _):
+                fq = fill(self.fine_grid.halo_fill(fq))
+                fb = self.fine_grid.to_batched(fq)
+                kdt = dt_f / self.fine.dx if self.fine.kernel_dt == "lambda" else dt_f
+                fb = self.fine._kernel_fn(fb, kdt)
+                return self.fine_grid.from_batched(fb), None
+
+            new_fine, _ = jax.lax.scan(substep, fine_state, None, length=self.factor)
+            new_coarse = self.restrict(new_coarse, new_fine)
+            return new_coarse, new_fine
+
+        def substep(carry, _):
+            fq, inner_state = carry
+            fq, inner_state = self.inner.step(
+                fq, inner_state, dt_f, parent_fill=fill
+            )
+            return (fq, inner_state), None
+
+        (new_fine, new_inner), _ = jax.lax.scan(
+            substep, fine_state, None, length=self.factor
+        )
         new_coarse = self.restrict(new_coarse, new_fine)
-        return new_coarse, new_fine
+        return new_coarse, (new_fine, new_inner)
 
-    def run(self, coarse_Q, fine_Q, n_steps: int, dt):
+    def run(self, coarse_Q, fine_state, n_steps: int, dt):
         def body(carry, _):
             c, f = carry
             return self.step(c, f, dt), None
 
-        (c, f), _ = jax.lax.scan(body, (coarse_Q, fine_Q), None, length=n_steps)
+        (c, f), _ = jax.lax.scan(body, (coarse_Q, fine_state), None, length=n_steps)
         return c, f
 
 

@@ -210,3 +210,30 @@ def test_refinement_criteria():
         # The bump sits at the domain centre: patches (1..2, 1..2).
         assert 1 <= lo[0] + 1 <= 3 and 1 <= lo[1] + 1 <= 3
         assert all(0 <= a < b <= g for a, b, g in zip(lo, hi, solver.grid.grid_shape))
+
+
+def test_three_level_hierarchy():
+    """Recursive nesting: coarse -> fine (factor 3) -> finer (factor 3).
+    Constant states are exact through the whole hierarchy; a Gaussian run
+    stays finite and the deepest level tracks the solution."""
+    solver, nested = make_advection_setup(gx=4, gy=4)
+    inner = nested.nest(region_lo=(2, 2), region_hi=(4, 4), factor=2)
+    assert nested.inner is inner
+
+    coarse_C = jnp.full(solver.grid.state_shape, 3.25)
+    state_C = nested.init_state(coarse_C)
+    c, (f, ff) = nested.step(coarse_C, state_C, 1e-3)
+    np.testing.assert_allclose(np.asarray(c), 3.25, atol=1e-13)
+    h = solver.grid.config.halo_size
+    np.testing.assert_allclose(
+        np.asarray(ff)[:, :, h:-h, h:-h, :], 3.25, atol=1e-13
+    )
+
+    coarse_Q = gaussian_coarse_state(solver)
+    state = nested.init_state(coarse_Q)
+    c2, (f2, ff2) = nested.run(coarse_Q, state, 6, 1e-3)
+    for arr in (c2, f2, ff2):
+        assert np.isfinite(np.asarray(arr)).all()
+    # The deepest grid has the expected shape: inner region 2x2 fine
+    # patches at factor 2 -> 4x4 finer patches.
+    assert ff2.shape[:2] == (4, 4)
