@@ -246,3 +246,54 @@ def test_code_printer_here_and_file(tmp_path, capsys):
     assert "time_step" in capsys.readouterr().out
     printer.file(str(tmp_path / "k.cpp"))
     assert (tmp_path / "k.cpp").read_text() == printer.code
+
+
+def test_system_integration_flow(tmp_path):
+    """End-to-end production flow: Pallas solver -> driver with checkpoints
+    -> resume -> VTK/NPZ output of the final state."""
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.utils.output import write_npz, write_vtk
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=4
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(2, 2))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=4
+    )
+    solver = GridSolver(
+        grid, kb, dx=0.1, backend="pallas", interpret=True, tile_patches=2
+    )
+    driver = TimeLoopDriver(
+        solver,
+        DriverConfig(
+            chunk_steps=2,
+            checkpoint_every=1,
+            checkpoint_dir=str(tmp_path / "ck"),
+            log_metrics=False,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    aos = rng.uniform(0.1, 1.0, size=(4, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    Q0 = grid.from_aos(jnp.asarray(aos))
+
+    Q, t, _ = driver.run(Q0, n_steps=4, dt=1e-3)
+
+    # Resume continues from the checkpoint, not from scratch.
+    driver2 = TimeLoopDriver(
+        solver,
+        DriverConfig(
+            chunk_steps=2, checkpoint_every=1, checkpoint_dir=str(tmp_path / "ck"),
+            log_metrics=False,
+        ),
+    )
+    Q2, t2, stats2 = driver2.run(Q0, n_steps=6, dt=1e-3)
+    assert stats2["steps"] == 2  # resumed at step 4
+
+    vtk = write_vtk(tmp_path / "final.vtk", grid, Q2, dx=0.1)
+    npz = write_npz(tmp_path / "final.npz", grid, Q2)
+    assert vtk.exists() and npz.exists()
+    assert "STRUCTURED_POINTS" in vtk.read_text()[:200]
