@@ -261,13 +261,19 @@ class ADERDGSolver:
 
     # ------------------------------------------------------------- corrector
 
-    def step(self, u, dt):
-        """One ADER-DG time step (predictor + volume + Riemann + corrector)."""
+    def step(self, u, dt, return_face_fluxes: bool = False):
+        """One ADER-DG time step (predictor + volume + Riemann + corrector).
+
+        ``return_face_fluxes=True`` additionally returns the per-direction
+        high-face Rusanov fluxes ``fhat_hi`` (nodal over the transverse
+        axes) — the limiter's interface-matching pass consumes them.
+        """
         ops = self.ops
         lam = dt / self.dx
         qbar, fbar = self.predictor(u, dt)
         new = u
         face_va = self.var_axis - 1  # one node axis projected away
+        face_fluxes = []
 
         for d in range(self.dim):
             node_ax = self.node_axis(d)
@@ -321,6 +327,7 @@ class ADERDGSolver:
                     self.dissipation_mask, dq.dtype
                 ).reshape(mshape)
             fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
+            face_fluxes.append(fhat_hi)
 
             # Face between my -d neighbour and me: that neighbour's fhat_hi.
             fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
@@ -353,6 +360,8 @@ class ADERDGSolver:
                 phi1_w * jnp.expand_dims(fhat_hi, node_ax)
                 - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
             )
+        if return_face_fluxes:
+            return new, face_fluxes
         return new
 
     # ---------------------------------------------------------------- driver

@@ -20,9 +20,10 @@ Fallback (default "subcell"): one Rusanov FV step on the Dumbser
 at the DG time step (the DG CFL factor 1/(2N+1) is exactly the subcell CFL).
 Projection/reconstruction operators are exact on the polynomial space with a
 cell-mean conservation fix.  A first-order cell-mean fallback ("means") is
-kept for comparison.  Mixed DG/FV interfaces use each side's own numerical
-flux (no flux matching), so conservation can drift by O(troubled faces);
-exact interface matching is the remaining production refinement.
+kept for comparison.  Mixed DG/FV faces are made single-valued by the
+interface-matching pass
+(untroubled neighbours adopt the troubled side's transverse-mean face flux),
+so the full limited step conserves to machine precision.
 """
 
 from __future__ import annotations
@@ -189,15 +190,22 @@ class LimitedADERDG:
         shift = (mean_sub - mean_rec).reshape((1,) * sol.dim + mean_sub.shape)
         return out + shift
 
-    def subcell_fv_step(self, u, dt):
+    def subcell_fv_step(self, u, dt, return_face_fluxes: bool = False):
         """One Rusanov FV step on the (2N+1)^d subcell grid of every cell
-        (periodic across cells), returned as reconstructed nodal state."""
+        (periodic across cells), returned as reconstructed nodal state.
+
+        ``return_face_fluxes=True`` additionally returns, per direction, the
+        transverse-averaged flux through each cell's HIGH face — exactly
+        what the troubled cells exchanged with their neighbours (captured
+        from the dimensional-splitting sweep), for interface matching.
+        """
         sol = self.solver
         n_sub = self.n_sub
         va = sol.var_axis
         dx_s = sol.dx / n_sub
         lam = dt / dx_s
         s = self.project_subcells(u)
+        face_fluxes = []
 
         for d in range(sol.dim):
             sub_ax = sol.node_axis(d)
@@ -234,16 +242,84 @@ class LimitedADERDG:
             )
             fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * (u_plus - s)
             fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * (s - u_minus)
+            if return_face_fluxes:
+                # Cell-boundary flux: last subcell's hi-face flux, averaged
+                # over the transverse subcell axes (equal areas).
+                boundary = jax.lax.index_in_dim(
+                    fhat_hi, n_sub - 1, sub_ax, keepdims=False
+                )
+                # Transverse subcell axes, repositioned after the removal.
+                other_sub_axes = tuple(
+                    a if a < d else a - 1 for a in range(sol.dim) if a != d
+                )
+                face_fluxes.append(jnp.mean(boundary, axis=other_sub_axes))
             s = s - lam * (fhat_hi - fhat_lo)
-        return self.reconstruct_subcells(s)
+        recon = self.reconstruct_subcells(s)
+        if return_face_fluxes:
+            return recon, face_fluxes
+        return recon
+
+    # --------------------------------------------------- interface matching
+
+    def _match_interface_fluxes(self, candidate, dg_fluxes, fv_fluxes, troubled, dt):
+        """Make mixed DG/FV faces single-valued: untroubled cells adjacent to
+        a troubled neighbour replace their DG face flux with the (constant)
+        transverse mean the troubled side actually used — restoring exact
+        global conservation under limiting (first-order at those faces, as
+        expected at a limiter boundary)."""
+        sol = self.solver
+        lam = dt / sol.dx
+        nn = sol.n_nodes
+        out = candidate
+        for d in range(sol.dim):
+            node_ax = sol.node_axis(d)
+            face_grid_ax = sol.grid_axis(d) - 1
+            grid_ax_mask = d  # axis within the [*grid] troubled mask
+            fhat_dg = dg_fluxes[d]  # [nodes^(dim-1), V, *grid]
+            G = jnp.expand_dims(fv_fluxes[d], tuple(range(sol.dim - 1)))
+            # Face c|c+1 is mixed with me (c) untroubled, neighbour troubled.
+            nbr_hi = jnp.roll(troubled, shift=-1, axis=grid_ax_mask)
+            nbr_lo = jnp.roll(troubled, shift=1, axis=grid_ax_mask)
+            mixed_hi = (~troubled) & nbr_hi
+            mixed_lo = (~troubled) & nbr_lo
+
+            def expand_mask(m, like):
+                shape = (1,) * (like.ndim - m.ndim) + m.shape
+                return m.reshape(shape)
+
+            delta_hi = jnp.where(
+                expand_mask(mixed_hi, fhat_dg), G - fhat_dg, 0.0
+            )
+            fhat_dg_lo = jnp.roll(fhat_dg, shift=1, axis=face_grid_ax)
+            G_lo = jnp.roll(G, shift=1, axis=face_grid_ax)
+            delta_lo = jnp.where(
+                expand_mask(mixed_lo, fhat_dg_lo), G_lo - fhat_dg_lo, 0.0
+            )
+
+            shape_i = [1] * out.ndim
+            shape_i[node_ax] = nn
+            phi1_w = jnp.asarray(
+                sol.ops.phi1 / sol.ops.weights, out.dtype
+            ).reshape(shape_i)
+            phi0_w = jnp.asarray(
+                sol.ops.phi0 / sol.ops.weights, out.dtype
+            ).reshape(shape_i)
+            out = out - lam * (
+                phi1_w * jnp.expand_dims(delta_hi, node_ax)
+                - phi0_w * jnp.expand_dims(delta_lo, node_ax)
+            )
+        return out
 
     # -------------------------------------------------------------- step
 
     def step(self, u, dt):
-        candidate = self.solver.step(u, dt)
+        candidate, dg_fluxes = self.solver.step(u, dt, return_face_fluxes=True)
         troubled = self.troubled_mask(u, candidate)  # [*grid]
         if self.fallback == "subcell":
-            fb = self.subcell_fv_step(u, dt)
+            fb, fv_fluxes = self.subcell_fv_step(u, dt, return_face_fluxes=True)
+            candidate = self._match_interface_fluxes(
+                candidate, dg_fluxes, fv_fluxes, troubled, dt
+            )
         else:
             fb = self.fv_fallback(u, dt)
         mask = troubled.reshape((1,) * (self.solver.dim + 1) + troubled.shape)
