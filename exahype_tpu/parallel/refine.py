@@ -18,9 +18,12 @@ Coupling per coarse step:
 3. conservative **restriction**: fine cell means average down onto the
    coarse cells they cover.
 
-First-order coupling at the interface (constant-in-time coarse boundary
-values, no flux correction) — the standard entry-level AMR scheme; both
-limitations are documented and testable.
+Interface conservation: Berger–Colella **refluxing** (on by default for
+flux-form specs) replaces the coarse flux through the refinement boundary
+with the substep/transverse aggregate of the fine fluxes — the composite
+coarse+fine mass is conserved to machine precision (tested).  Boundary
+values for the fine sub-steps are constant-in-time within a coarse step
+(first-order interface coupling in time).
 """
 
 from __future__ import annotations
@@ -60,6 +63,12 @@ class NestedRefinement:
     #: Optional deeper refinement of THIS refinement's fine level (built
     #: with :meth:`nest`); the fine-state pytree becomes ``(Q, inner_state)``.
     inner: Optional["NestedRefinement"] = None
+    #: Berger–Colella refluxing: replace the coarse flux through the
+    #: refinement boundary with the substep/transverse aggregate of the fine
+    #: fluxes, restoring global conservation at the interface.  Requires the
+    #: standard flux-form spec (models/fv.py: Flux/maxEigenvalue functions,
+    #: kernel_dt="lambda"); auto-disabled if the spec lacks them.
+    reflux: bool = True
 
     def __post_init__(self):
         cfg = self.coarse.grid.config
@@ -143,6 +152,8 @@ class NestedRefinement:
         out = fine_Q
         nd = out.ndim
         for d in range(dim):
+            if self._full_axis(d):
+                continue  # region wraps onto itself: periodic fill is correct
             grid_ax, spat_ax = d, dim + d
             for grid_pos, spat_rng in (
                 (0, (0, h)),
@@ -213,6 +224,142 @@ class NestedRefinement:
             return fine_Q
         return (fine_Q, self.inner.init_state(fine_Q))
 
+    def _full_axis(self, d: int) -> bool:
+        return (
+            self.region_lo[d] == 0
+            and self.region_hi[d] == self.coarse.grid.grid_shape[d]
+        )
+
+    # ------------------------------------------------------------ refluxing
+
+    def _physics(self):
+        fns = self.coarse.kernel.functions
+        if "Flux" not in fns or "maxEigenvalue" not in fns:
+            return None
+        return fns["Flux"].jax_impl, fns["maxEigenvalue"].jax_impl
+
+    def _rusanov_face(self, u_left, u_right, d):
+        """Standard Rusanov face flux on var-axis-last rows (n_real comps)."""
+        flux, eig = self._physics()
+        s = jnp.maximum(eig(u_left, d), eig(u_right, d))[..., None]
+        n_real = self.coarse.grid.config.n_real
+        return 0.5 * (flux(u_left, d) + flux(u_right, d)) - 0.5 * s * (
+            u_right[..., :n_real] - u_left[..., :n_real]
+        )
+
+    def _boundary_rows(self, coarse_global, d):
+        """Pre-step coarse rows adjacent to the region boundary along axis d,
+        restricted to the region's transverse cells.  Returns
+        (out_lo, in_lo, in_hi, out_hi) var-last row arrays."""
+        cfg = self.coarse.grid.config
+        P = cfg.patch_size
+        n_d = coarse_global.shape[d]
+
+        def row(idx):
+            r = jnp.take(coarse_global, jnp.mod(idx, n_d), axis=d)
+            # Restrict the remaining spatial axes to the region.
+            sl = []
+            ax = 0
+            for dd in range(cfg.dim):
+                if dd == d:
+                    continue
+                sl_dd = slice(self.region_lo[dd] * P, self.region_hi[dd] * P)
+                sl.append(sl_dd)
+            # r axes: spatial axes except d (in order), then V.
+            full = tuple(sl) + (slice(None),)
+            return r[full]
+
+        X0 = self.region_lo[d] * P
+        X1 = self.region_hi[d] * P
+        return row(X0 - 1), row(X0), row(X1 - 1), row(X1)
+
+    def _fine_boundary_rows(self, fine_Q, d):
+        """Fine interior rows at the region boundary (var-last)."""
+        fg = _assemble_jnp(self.fine_grid, fine_Q)
+        lo = jnp.take(fg, 0, axis=d)
+        hi = jnp.take(fg, fg.shape[d] - 1, axis=d)
+        return lo, hi
+
+    def _pool_transverse(self, rows):
+        """Average r-blocks of fine transverse cells down to coarse cells."""
+        r = self.factor
+        out = rows
+        for ax in range(out.ndim - 1):  # all but the var axis
+            shape = out.shape
+            out = out.reshape(
+                shape[:ax] + (shape[ax] // r, r) + shape[ax + 1 :]
+            ).mean(axis=ax + 1)
+        return out
+
+    def _upsample_transverse(self, rows):
+        r = self.factor
+        out = rows
+        for ax in range(out.ndim - 1):
+            out = jnp.repeat(out, r, axis=ax)
+        return out
+
+    def _boundary_flux_sample(self, fine_Q, coarse_Q):
+        """Per-axis (low, high) region-boundary fluxes of ONE fine substep,
+        pooled to coarse faces (zeros for axes the region fully wraps)."""
+        cfg = self.coarse.grid.config
+        cg = _assemble_jnp(self.coarse.grid, coarse_Q)
+        out = []
+        for d in range(cfg.dim):
+            out_lo, _in_lo, _in_hi, out_hi = self._boundary_rows(cg, d)
+            flo, fhi = self._fine_boundary_rows(fine_Q, d)
+            if self._full_axis(d):
+                pooled = self._pool_transverse(
+                    jnp.zeros_like(flo[..., : cfg.n_real])
+                )
+                out.append((pooled, pooled))
+                continue
+            ghost_lo = self._upsample_transverse(out_lo)
+            ghost_hi = self._upsample_transverse(out_hi)
+            Ff_lo = self._rusanov_face(ghost_lo, flo, d)
+            Ff_hi = self._rusanov_face(fhi, ghost_hi, d)
+            out.append(
+                (self._pool_transverse(Ff_lo), self._pool_transverse(Ff_hi))
+            )
+        return out
+
+    def _apply_reflux(self, new_coarse, coarse_Q_pre, flux_acc, dt):
+        """Correct the coarse cells just outside the region: their boundary
+        face flux becomes the fine aggregate."""
+        cfg = self.coarse.grid.config
+        P = cfg.patch_size
+        n_real = cfg.n_real
+        lam = dt / self.coarse.dx
+        cg_pre = _assemble_jnp(self.coarse.grid, coarse_Q_pre)
+        cg = _assemble_jnp(self.coarse.grid, new_coarse)
+        for d in range(cfg.dim):
+            if self._full_axis(d):
+                continue
+            out_lo, in_lo, in_hi, out_hi = self._boundary_rows(cg_pre, d)
+            Fc_lo = self._rusanov_face(out_lo, in_lo, d)
+            Fc_hi = self._rusanov_face(in_hi, out_hi, d)
+            Ff_lo, Ff_hi = flux_acc[d]
+            n_d = cg.shape[d]
+            X0 = self.region_lo[d] * P
+            X1 = self.region_hi[d] * P
+
+            def fix(cg, idx, delta):
+                idx = int(idx) % n_d
+                row = jnp.take(cg, idx, axis=d)
+                sl = []
+                for dd in range(cfg.dim):
+                    if dd == d:
+                        continue
+                    sl.append(slice(self.region_lo[dd] * P, self.region_hi[dd] * P))
+                full = tuple(sl) + (slice(0, n_real),)
+                row = row.at[full].add(delta)
+                return _set_row(cg, row, idx, d)
+
+            # Outside-low cell's HIGH face: −λ(F_fine − F_coarse).
+            cg = fix(cg, X0 - 1, -lam * (Ff_lo - Fc_lo))
+            # Outside-high cell's LOW face: +λ(F_fine − F_coarse).
+            cg = fix(cg, X1, lam * (Ff_hi - Fc_hi))
+        return disassemble_global(self.coarse.grid, new_coarse, cg)
+
     # ----------------------------------------------------------------- step
 
     def _coarse_advance(self, coarse_Q, dt, parent_fill):
@@ -236,31 +383,68 @@ class NestedRefinement:
         new_coarse = self._coarse_advance(coarse_Q, dt, parent_fill)
         dt_f = dt / self.factor
         fill = lambda q: self.prolong_halo_overwrite(q, coarse_Q)
+        do_reflux = (
+            self.reflux
+            and self._physics() is not None
+            and self.coarse.kernel_dt == "lambda"
+        )
+
+        fine_Q0 = fine_state if self.inner is None else fine_state[0]
+        if do_reflux:
+            acc0 = jax.tree.map(
+                jnp.zeros_like, self._boundary_flux_sample(fine_Q0, coarse_Q)
+            )
+        else:
+            acc0 = 0.0
 
         if self.inner is None:
 
-            def substep(fq, _):
+            def substep(carry, _):
+                fq, acc = carry
                 fq = fill(self.fine_grid.halo_fill(fq))
+                if do_reflux:
+                    acc = jax.tree.map(
+                        lambda a, b: a + b,
+                        acc,
+                        self._boundary_flux_sample(fq, coarse_Q),
+                    )
                 fb = self.fine_grid.to_batched(fq)
                 kdt = dt_f / self.fine.dx if self.fine.kernel_dt == "lambda" else dt_f
                 fb = self.fine._kernel_fn(fb, kdt)
-                return self.fine_grid.from_batched(fb), None
+                return (self.fine_grid.from_batched(fb), acc), None
 
-            new_fine, _ = jax.lax.scan(substep, fine_state, None, length=self.factor)
+            (new_fine, acc), _ = jax.lax.scan(
+                substep, (fine_state, acc0), None, length=self.factor
+            )
             new_coarse = self.restrict(new_coarse, new_fine)
+            if do_reflux:
+                flux_agg = jax.tree.map(lambda a: a / self.factor, acc)
+                new_coarse = self._apply_reflux(
+                    new_coarse, coarse_Q, flux_agg, dt
+                )
             return new_coarse, new_fine
 
         def substep(carry, _):
-            fq, inner_state = carry
+            (fq, inner_state), acc = carry
+            if do_reflux:
+                filled = fill(self.fine_grid.halo_fill(fq))
+                acc = jax.tree.map(
+                    lambda a, b: a + b,
+                    acc,
+                    self._boundary_flux_sample(filled, coarse_Q),
+                )
             fq, inner_state = self.inner.step(
                 fq, inner_state, dt_f, parent_fill=fill
             )
-            return (fq, inner_state), None
+            return ((fq, inner_state), acc), None
 
-        (new_fine, new_inner), _ = jax.lax.scan(
-            substep, fine_state, None, length=self.factor
+        ((new_fine, new_inner), acc), _ = jax.lax.scan(
+            substep, (fine_state, acc0), None, length=self.factor
         )
         new_coarse = self.restrict(new_coarse, new_fine)
+        if do_reflux:
+            flux_agg = jax.tree.map(lambda a: a / self.factor, acc)
+            new_coarse = self._apply_reflux(new_coarse, coarse_Q, flux_agg, dt)
         return new_coarse, (new_fine, new_inner)
 
     def run(self, coarse_Q, fine_state, n_steps: int, dt):
@@ -270,6 +454,12 @@ class NestedRefinement:
 
         (c, f), _ = jax.lax.scan(body, (coarse_Q, fine_state), None, length=n_steps)
         return c, f
+
+
+def _set_row(arr, row, idx, axis):
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = idx
+    return arr.at[tuple(sl)].set(row)
 
 
 def _assemble_jnp(grid, Q):

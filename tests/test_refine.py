@@ -237,3 +237,37 @@ def test_three_level_hierarchy():
     # The deepest grid has the expected shape: inner region 2x2 fine
     # patches at factor 2 -> 4x4 finer patches.
     assert ff2.shape[:2] == (4, 4)
+
+
+def hierarchy_mass(nested, solver, c, f):
+    """Conserved quantity of the two-level composite: coarse mass outside
+    the region + fine mass inside."""
+    P = solver.grid.config.patch_size
+    r = nested.factor
+    cg = np.asarray(assemble_global(solver.grid, c))[..., 0]
+    fg = np.asarray(assemble_global(nested.fine_grid, f))[..., 0]
+    mask = np.ones_like(cg, dtype=bool)
+    sl = tuple(
+        slice(lo * P, hi * P) for lo, hi in zip(nested.region_lo, nested.region_hi)
+    )
+    mask[sl] = False
+    return cg[mask].sum() * solver.dx**2 + fg.sum() * (solver.dx / r) ** 2
+
+
+def test_refluxing_conserves_to_machine_precision():
+    """Berger-Colella refluxing: the composite coarse+fine mass is conserved
+    exactly (drift was ~7e-6 without flux correction)."""
+    solver, nested = make_advection_setup(gx=4, gy=4)
+    coarse_Q = gaussian_coarse_state(solver)
+    fine_Q = gaussian_fine_state(nested)
+    m0 = hierarchy_mass(nested, solver, coarse_Q, fine_Q)
+
+    c, f = nested.run(coarse_Q, fine_Q, 20, 1e-3)
+    drift = hierarchy_mass(nested, solver, c, f) - m0
+    assert abs(drift) < 1e-13, f"refluxed drift {drift}"
+
+    nested.reflux = False
+    c2, f2 = nested.run(coarse_Q, fine_Q, 20, 1e-3)
+    drift2 = hierarchy_mass(nested, solver, c2, f2) - m0
+    nested.reflux = True
+    assert abs(drift2) > 1e-7, "without reflux a measurable drift is expected"
