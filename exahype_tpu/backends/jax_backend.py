@@ -169,6 +169,7 @@ class JAXPrinter(CodePrinter):
                 "semantics that vectorized evaluation cannot reproduce; "
                 "write the result to a copy item instead"
             )
+        _reject_pointer_call_in_var_loop(kb, stmt, vb)
 
         kind, value = self._eval(env, stmt.rhs, spatial, vb)
         name, slices, has_var = self._lhs_slices(stmt.lhs, spatial, vb)
@@ -369,6 +370,27 @@ class JAXPrinter(CodePrinter):
 
     def _typed_by_func(self, func) -> Optional[TypedFunction]:
         return self._kernel.functions.get(func.__name__)
+
+
+def _reject_pointer_call_in_var_loop(kb, stmt, vb: int) -> None:
+    """Calls with struct-pointer arguments inside a var loop (vb > 1) are
+    ambiguous: the C ABI passes a pointer offset by the loop's var index
+    while the traced backends pass the full variable slice.  No reference
+    spec exercises this; reject it instead of silently diverging."""
+    if vb <= 1 or stmt.rhs is None:
+        return
+    for call in stmt.rhs.atoms(AppliedUndef):
+        for a in call.args:
+            if (
+                isinstance(a, sympy.Indexed)
+                and kb.item_struct.get(str(a.base.label), 0) != 0
+            ):
+                raise LoweringError(
+                    f"call {call} passes struct pointer {a.base} inside a "
+                    f"var loop of extent {vb}: the C ABI and the traced "
+                    "backends would disagree; restructure the statement "
+                    "(e.g. struct_override=0 or a scalar-field argument)"
+                )
 
 
 def _index_offset(idx_expr: sympy.Basic, expected_symbol: str) -> int:

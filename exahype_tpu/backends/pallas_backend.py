@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sympy.core.function import AppliedUndef
 
 from exahype_tpu.backends.base import CodePrinter
+from exahype_tpu.backends.jax_backend import _reject_pointer_call_in_var_loop
 from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
@@ -324,6 +325,7 @@ class PallasPrinter(CodePrinter):
                 f"statement '{stmt.lhs} = {stmt.rhs}' reads its own target "
                 "array at a shifted index (see jax_backend note)"
             )
+        _reject_pointer_call_in_var_loop(kb, stmt, vb)
         # Plain assignment statement.
         kind, value = self._eval(env, stmt.rhs, spatial, vb)
         name, slices, has_var = self._access_slices(stmt.lhs, spatial, vb)

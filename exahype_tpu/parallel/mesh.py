@@ -25,10 +25,27 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_name: str = PATCH_AXIS,
     devices: Optional[Sequence] = None,
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Optional[Sequence[str]] = None,
 ) -> Mesh:
-    """A 1-D mesh over the patch-grid's leading axis."""
+    """A device mesh over the patch grid.
+
+    Default: 1-D over ``n_devices``.  Multi-axis (e.g. ICI × DCN):
+    ``make_mesh(shape=(4, 2), axis_names=("ici", "dcn"))`` — shard
+    successive grid axes over the mesh axes with
+    :func:`state_sharding(..., axis_name=("ici", "dcn"))`.
+    """
     if devices is None:
         devices = jax.devices()
+    if shape is not None:
+        total = int(np.prod(shape))
+        if total > len(devices):
+            raise SemanticError(
+                f"mesh shape {tuple(shape)} needs {total} devices, only "
+                f"{len(devices)} available"
+            )
+        names = tuple(axis_names or (f"axis{i}" for i in range(len(shape))))
+        return Mesh(np.array(devices[:total]).reshape(shape), names)
     if n_devices is not None:
         if n_devices > len(devices):
             raise SemanticError(
@@ -38,28 +55,30 @@ def make_mesh(
     return Mesh(np.array(devices), (axis_name,))
 
 
-def state_sharding(mesh: Mesh, grid, axis_name: str = PATCH_AXIS) -> NamedSharding:
-    """Shard the grid state over devices along grid axis 0.
+def state_sharding(mesh: Mesh, grid, axis_name=PATCH_AXIS) -> NamedSharding:
+    """Shard the grid state over devices along its leading grid axes.
 
-    - :class:`PatchGrid` (AoS): grid axes lead → shard tensor axis 0.
-    - :class:`TpuPatchGrid` (SoA-P): grid axes trail the spatial/var axes →
-      shard tensor axis ``dim + 1`` (the first grid axis).
+    ``axis_name`` may be a single mesh-axis name (grid axis 0 sharded) or a
+    tuple of names (successive grid axes sharded over successive mesh axes,
+    e.g. ``("ici", "dcn")`` for a multi-slice layout).
+
+    - :class:`PatchGrid` (AoS): grid axes lead the tensor.
+    - :class:`TpuPatchGrid` (SoA-P): grid axes trail the spatial/var axes.
     """
-    n_dev = mesh.shape[axis_name]
-    if grid.grid_shape[0] % n_dev != 0:
-        raise SemanticError(
-            f"grid axis 0 ({grid.grid_shape[0]}) must be divisible by the "
-            f"mesh size ({n_dev})"
-        )
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    for i, name in enumerate(names):
+        n_dev = mesh.shape[name]
+        if grid.grid_shape[i] % n_dev != 0:
+            raise SemanticError(
+                f"grid axis {i} ({grid.grid_shape[i]}) must be divisible by "
+                f"mesh axis {name!r} ({n_dev})"
+            )
     ndim = len(grid.state_shape)
-    if isinstance(grid, TpuPatchGrid):
-        lead = grid.config.dim + 1
-        spec = PartitionSpec(
-            *([None] * lead), axis_name, *([None] * (ndim - lead - 1))
-        )
-    else:
-        spec = PartitionSpec(axis_name, *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+    lead = grid.config.dim + 1 if isinstance(grid, TpuPatchGrid) else 0
+    spec_list = [None] * ndim
+    for i, name in enumerate(names):
+        spec_list[lead + i] = name
+    return NamedSharding(mesh, PartitionSpec(*spec_list))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

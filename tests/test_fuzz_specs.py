@@ -134,3 +134,24 @@ def test_fuzzed_spec_pallas_interpret(seed):
         PallasPrinter(kb, interpret=True, tile_patches=1).build_aos()(Q0, dt)
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12, err_msg=f"seed {seed}")
+
+
+def test_pointer_call_in_var_loop_rejected():
+    """Struct-pointer call args inside a var loop (vb>1) diverge between the
+    C ABI and the traced backends — rejected with a clear error."""
+    import sympy
+    from sympy.codegen.ast import real
+
+    from exahype_tpu.utils.errors import LoweringError
+
+    kb = KernelBuilder(dim=2, patch_size=4, halo_size=1, n_real=3, n_aux=0)
+    Q = kb.item("Q")
+    W = kb.item("W")
+    fn = kb.function("probe", parameter_types=[Q], return_type=real,
+                     jax_impl=lambda q: q[0])
+    # struct=True forces a var loop of n_real while 'probe' takes a pointer.
+    kb.single(W[0], fn(Q[0]) + Q[0], struct=True)
+    kb.single(Q[0], W[0])
+    Q0 = np.zeros(kb.item_shape("Q"))
+    with pytest.raises(LoweringError, match="struct pointer"):
+        JAXPrinter(kb).build()(Q0)

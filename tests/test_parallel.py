@@ -281,3 +281,17 @@ def test_two_axis_mesh_sharding():
     hlo = stepped.lower(Qs, 1e-3).compile().as_text()
     assert "collective-permute" in hlo or "all-gather" in hlo
     np.testing.assert_array_equal(np.asarray(stepped(Qs, 1e-3)), ref)
+
+
+def test_make_mesh_multi_axis_helpers():
+    """Library-level multi-axis mesh + multi-axis state sharding."""
+    grid = make_grid(gx=4, gy=2)
+    solver = make_solver(grid)
+    Q = euler_init(grid, seed=11)
+    ref = np.asarray(jax.jit(solver.step)(Q, 1e-3))
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("ici", "dcn"))
+    sharding = state_sharding(mesh, grid, axis_name=("ici", "dcn"))
+    Qs = jax.device_put(Q, sharding)
+    stepped = jax.jit(solver.step, in_shardings=(sharding, None), out_shardings=sharding)
+    np.testing.assert_array_equal(np.asarray(stepped(Qs, 1e-3)), ref)
