@@ -271,3 +271,61 @@ def test_refluxing_conserves_to_machine_precision():
     drift2 = hierarchy_mass(nested, solver, c2, f2) - m0
     nested.reflux = True
     assert abs(drift2) > 1e-7, "without reflux a measurable drift is expected"
+
+
+def test_three_level_refluxing_conserves():
+    """Refluxing applies recursively: the coarse+fine+finer composite mass
+    is conserved to machine precision through both interfaces."""
+    solver, nested = make_advection_setup(gx=4, gy=4)
+    inner = nested.nest(region_lo=(2, 2), region_hi=(4, 4), factor=2)
+
+    coarse_Q = gaussian_coarse_state(solver)
+    fine_Q = gaussian_fine_state(nested)
+    finer_Q = inner.init_state(fine_Q)
+
+    P = solver.grid.config.patch_size
+    r1, r2 = nested.factor, inner.factor
+
+    def composite_mass(c, f, ff):
+        cg = np.asarray(assemble_global(solver.grid, c))[..., 0]
+        fg = np.asarray(assemble_global(nested.fine_grid, f))[..., 0]
+        ffg = np.asarray(assemble_global(inner.fine_grid, ff))[..., 0]
+        cmask = np.ones_like(cg, dtype=bool)
+        cmask[tuple(
+            slice(lo * P, hi * P)
+            for lo, hi in zip(nested.region_lo, nested.region_hi)
+        )] = False
+        fmask = np.ones_like(fg, dtype=bool)
+        fmask[tuple(
+            slice(lo * P, hi * P)
+            for lo, hi in zip(inner.region_lo, inner.region_hi)
+        )] = False
+        dx = solver.dx
+        return (
+            cg[cmask].sum() * dx**2
+            + fg[fmask].sum() * (dx / r1) ** 2
+            + ffg.sum() * (dx / (r1 * r2)) ** 2
+        )
+
+    m0 = composite_mass(coarse_Q, fine_Q, finer_Q)
+    c, (f, ff) = nested.run(coarse_Q, (fine_Q, finer_Q), 12, 1e-3)
+    drift = composite_mass(np.asarray(c), np.asarray(f), np.asarray(ff)) - m0
+    assert abs(drift) < 1e-13, f"3-level refluxed drift {drift}"
+
+
+def test_nested_refinement_sharded_matches_single_device():
+    """The whole coupled hierarchy step runs under GSPMD with the coarse
+    state sharded over a device mesh, bitwise-equal to single-device."""
+    from exahype_tpu.parallel.mesh import make_mesh, state_sharding
+
+    solver, nested = make_advection_setup(gx=4, gy=4)
+    coarse_Q = gaussian_coarse_state(solver)
+    fine_Q = gaussian_fine_state(nested)
+    ref_c, ref_f = jax.jit(nested.step)(coarse_Q, fine_Q, 1e-3)
+
+    mesh = make_mesh(4)
+    sh = state_sharding(mesh, solver.grid)
+    Qs = jax.device_put(coarse_Q, sh)
+    c, f = jax.jit(nested.step, in_shardings=(sh, None, None))(Qs, fine_Q, 1e-3)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(ref_f))
