@@ -138,18 +138,34 @@ class PallasADERDG:
             lam = dt_ref[0] / sol.dx
             # --- space-time predictor, time axis unrolled into a list ---
             q = [u for _ in range(nn)]
-            fluxes = None
-            for _ in range(sol.picard_iters):
-                fluxes = [
-                    [sol.flux_fn(q[s], d, va) for s in range(nn)] for d in lam_axes
-                ]
+            for it in range(sol.picard_iters):
+                if it == 0:
+                    # All time slices equal u on entry: one flux/derivative
+                    # per direction instead of nn (same per-direction fold
+                    # order as the general path, so results are bitwise
+                    # identical).  Measured perf-neutral on a v5e — the
+                    # compiler already CSEs the identical expressions — but
+                    # the dedup is guaranteed here instead of relied upon.
+                    dF = [
+                        mat_apply(D, sol.flux_fn(u, d, va), sol.node_axis(d))
+                        for d in lam_axes
+                    ]
+                    derivs = [[dF[d]] * nn for d in lam_axes]
+                else:
+                    derivs = [
+                        [
+                            mat_apply(
+                                D, sol.flux_fn(q[s], d, va), sol.node_axis(d)
+                            )
+                            for s in range(nn)
+                        ]
+                        for d in lam_axes
+                    ]
                 rhs = []
                 for s in range(nn):
                     r = PHI0[s] * u
                     for d in lam_axes:
-                        # spatial derivative of F_d at time node s
-                        dFs = mat_apply(D, fluxes[d][s], sol.node_axis(d))
-                        r = r - lam * W[s] * dFs
+                        r = r - lam * W[s] * derivs[d][s]
                     rhs.append(r)
                 q = [
                     sum(K1inv[s][t] * rhs[t] for t in range(nn)) for s in range(nn)
@@ -209,6 +225,8 @@ class PallasADERDG:
         def step(u, dt):
             outs = predictor_call(u, dt)
             new = outs[0]
+            if getattr(self, "_profile_predictor_only", False):
+                return new
             faces = outs[1:]
             lam = jnp.asarray(dt, u.dtype) / sol.dx
             face_va = sol.var_axis - 1
