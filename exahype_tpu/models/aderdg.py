@@ -167,6 +167,12 @@ class ADERDGSolver:
     #: parameter slots exactly frozen (their central flux is already zero,
     #: but the |s|·Δq viscosity would smear jumps at interfaces).
     dissipation_mask: tuple | None = None
+    #: Optional algebraic source term ``source_fn(Q, var_axis) -> S`` (same
+    #: shape as ``Q``): solves ∂t Q + ∇·F(Q) = S(Q).  The source enters the
+    #: space-time Picard predictor at every time node and the corrector as
+    #: the time-averaged nodal contribution ``dt·s̄`` (diagonal nodal mass
+    #: matrix ⇒ no operator application needed).
+    source_fn: Callable | None = None
     #: Reuse the last Picard iteration's fluxes for the time-averaged
     #: fluxes (they belong to q_{K-1}; the difference is bounded by the
     #: Picard residual, O(dt^{N+2}), one order below the scheme error).
@@ -242,6 +248,8 @@ class ADERDGSolver:
                 last_fluxes.append(F)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
                 rhs = rhs - lam * w_t * dF
+            if self.source_fn is not None:
+                rhs = rhs + dt * w_t * self.source_fn(q, va)
             q = jnp.tensordot(
                 jnp.asarray(ops.K1inv, u.dtype), rhs, axes=([1], [0])
             )
@@ -257,6 +265,11 @@ class ADERDGSolver:
                 jnp.tensordot(wvec, self.flux_fn(q, d, va), axes=([0], [0]))
                 for d in range(self.dim)
             ]
+        if self.source_fn is not None:
+            sbar = jnp.tensordot(
+                wvec, self.source_fn(q, va), axes=([0], [0])
+            )
+            return qbar, fbar, sbar
         return qbar, fbar
 
     # ------------------------------------------------------------- corrector
@@ -270,8 +283,12 @@ class ADERDGSolver:
         """
         ops = self.ops
         lam = dt / self.dx
-        qbar, fbar = self.predictor(u, dt)
-        new = u
+        if self.source_fn is not None:
+            qbar, fbar, sbar = self.predictor(u, dt)
+            new = u + dt * sbar
+        else:
+            qbar, fbar = self.predictor(u, dt)
+            new = u
         face_va = self.var_axis - 1  # one node axis projected away
         face_fluxes = []
 

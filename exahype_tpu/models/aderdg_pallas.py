@@ -135,7 +135,8 @@ class PallasADERDG:
 
         def body(dt_ref, u_ref, out_vol_ref, *face_refs):
             u = u_ref[...]
-            lam = dt_ref[0] / sol.dx
+            dtv = dt_ref[0]
+            lam = dtv / sol.dx
             # --- space-time predictor, time axis unrolled into a list ---
             q = [u for _ in range(nn)]
             for it in range(sol.picard_iters):
@@ -151,6 +152,11 @@ class PallasADERDG:
                         for d in lam_axes
                     ]
                     derivs = [[dF[d]] * nn for d in lam_axes]
+                    srcs = (
+                        [sol.source_fn(u, va)] * nn
+                        if sol.source_fn is not None
+                        else None
+                    )
                 else:
                     derivs = [
                         [
@@ -161,11 +167,18 @@ class PallasADERDG:
                         ]
                         for d in lam_axes
                     ]
+                    srcs = (
+                        [sol.source_fn(q[s], va) for s in range(nn)]
+                        if sol.source_fn is not None
+                        else None
+                    )
                 rhs = []
                 for s in range(nn):
                     r = PHI0[s] * u
                     for d in lam_axes:
                         r = r - lam * W[s] * derivs[d][s]
+                    if srcs is not None:
+                        r = r + dtv * W[s] * srcs[s]
                     rhs.append(r)
                 q = [
                     sum(K1inv[s][t] * rhs[t] for t in range(nn)) for s in range(nn)
@@ -177,7 +190,13 @@ class PallasADERDG:
                 Fd = [sol.flux_fn(q[s], d, va) for s in range(nn)]
                 fbar.append(sum(W[s] * Fd[s] for s in range(nn)))
 
-            new = u
+            if sol.source_fn is not None:
+                sbar = sum(
+                    W[s] * sol.source_fn(q[s], va) for s in range(nn)
+                )
+                new = u + dtv * sbar
+            else:
+                new = u
             for d in lam_axes:
                 new = new + lam * mat_apply(Kvol, fbar[d], sol.node_axis(d))
             out_vol_ref[...] = new
