@@ -173,6 +173,16 @@ class ADERDGSolver:
     #: the time-averaged nodal contribution ``dt·s̄`` (diagonal nodal mass
     #: matrix ⇒ no operator application needed).
     source_fn: Callable | None = None
+    #: Optional non-conservative product ``ncp_fn(Q, gradQ_d, axis, var_axis)
+    #: -> B_d(Q)·gradQ_d`` (same shape as ``Q``; ``gradQ_d`` is the
+    #: reference-coordinate derivative along ``axis``): solves
+    #: ∂t Q + ∇·F(Q) + Σ_d B_d(Q) ∂_d Q = S(Q) path-conservatively
+    #: (Castro–Dumbser fluctuations D^± = ½(B(q̃)Δq ± s·Δq) with the
+    #: segment-midpoint state q̃, strong-form volume term −λ·B(q̄)∂q̄).
+    #: By the Gauss–Legendre summation-by-parts identity this reproduces a
+    #: conservative system written as NCP (B=∂F/∂Q linear) to rounding.
+    #: Periodic boundaries only.
+    ncp_fn: Callable | None = None
     #: Reuse the last Picard iteration's fluxes for the time-averaged
     #: fluxes (they belong to q_{K-1}; the difference is bounded by the
     #: Picard residual, O(dt^{N+2}), one order below the scheme error).
@@ -196,6 +206,10 @@ class ADERDGSolver:
         ):
             raise SemanticError(
                 "reflective boundary requires reflect_fn and reflect_flux_fn"
+            )
+        if self.ncp_fn is not None and self.boundary != "periodic":
+            raise SemanticError(
+                "non-conservative products support periodic boundaries only"
             )
 
     # ------------------------------------------------------------ structure
@@ -248,6 +262,9 @@ class ADERDGSolver:
                 last_fluxes.append(F)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
                 rhs = rhs - lam * w_t * dF
+                if self.ncp_fn is not None:
+                    dq = _apply(ops.D, q, axis=1 + self.node_axis(d))
+                    rhs = rhs - lam * w_t * self.ncp_fn(q, dq, d, va)
             if self.source_fn is not None:
                 rhs = rhs + dt * w_t * self.source_fn(q, va)
             q = jnp.tensordot(
@@ -298,6 +315,12 @@ class ADERDGSolver:
 
             # Volume integral: (λ/w_i) Σ_j w_j D[j,i] F̄_j along axis d.
             new = new + lam * _apply(ops.Kvol, fbar[d], axis=node_ax)
+            if self.ncp_fn is not None:
+                # Strong-form NCP volume term −λ·B(q̄)·∂_d q̄ (no
+                # integration by parts — B∂q is not a divergence).
+                new = new - lam * self.ncp_fn(
+                    qbar, _apply(ops.D, qbar, axis=node_ax), d, self.var_axis
+                )
 
             # Face-extrapolated time-averaged state and flux.
             q_hi = _project(ops.phi1, qbar, node_ax)  # my high face (x=1)
@@ -377,6 +400,18 @@ class ADERDGSolver:
                 phi1_w * jnp.expand_dims(fhat_hi, node_ax)
                 - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
             )
+            if self.ncp_fn is not None:
+                # Path-conservative face fluctuations: the central parts
+                # ½·B(q̃)·Δq go one to each side (the ±½sΔq dissipation is
+                # already carried by the Rusanov f̂ above, which is
+                # well-defined even for identically-zero flux).
+                mid = 0.5 * (q_hi + q_plus)
+                half = 0.5 * self.ncp_fn(mid, q_plus - q_hi, d, face_va)
+                half_lo = jnp.roll(half, shift=1, axis=face_grid_ax)
+                new = new - lam * (
+                    phi1_w * jnp.expand_dims(half, node_ax)
+                    + phi0_w * jnp.expand_dims(half_lo, node_ax)
+                )
         if return_face_fluxes:
             return new, face_fluxes
         return new

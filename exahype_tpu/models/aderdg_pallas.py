@@ -157,6 +157,15 @@ class PallasADERDG:
                         if sol.source_fn is not None
                         else None
                     )
+                    ncps = None
+                    if sol.ncp_fn is not None:
+                        ncp0 = [
+                            sol.ncp_fn(
+                                u, mat_apply(D, u, sol.node_axis(d)), d, va
+                            )
+                            for d in lam_axes
+                        ]
+                        ncps = [[ncp0[d]] * nn for d in lam_axes]
                 else:
                     derivs = [
                         [
@@ -172,11 +181,27 @@ class PallasADERDG:
                         if sol.source_fn is not None
                         else None
                     )
+                    ncps = None
+                    if sol.ncp_fn is not None:
+                        ncps = [
+                            [
+                                sol.ncp_fn(
+                                    q[s],
+                                    mat_apply(D, q[s], sol.node_axis(d)),
+                                    d,
+                                    va,
+                                )
+                                for s in range(nn)
+                            ]
+                            for d in lam_axes
+                        ]
                 rhs = []
                 for s in range(nn):
                     r = PHI0[s] * u
                     for d in lam_axes:
                         r = r - lam * W[s] * derivs[d][s]
+                        if ncps is not None:
+                            r = r - lam * W[s] * ncps[d][s]
                     if srcs is not None:
                         r = r + dtv * W[s] * srcs[s]
                     rhs.append(r)
@@ -199,6 +224,13 @@ class PallasADERDG:
                 new = u
             for d in lam_axes:
                 new = new + lam * mat_apply(Kvol, fbar[d], sol.node_axis(d))
+                if sol.ncp_fn is not None:
+                    new = new - lam * sol.ncp_fn(
+                        qbar,
+                        mat_apply(D, qbar, sol.node_axis(d)),
+                        d,
+                        va,
+                    )
             out_vol_ref[...] = new
             # Face outputs, 4 per direction: q_lo, q_hi, f_lo, f_hi.
             for d in lam_axes:
@@ -272,6 +304,16 @@ class PallasADERDG:
                     phi1_w * jnp.expand_dims(fhat_hi, node_ax)
                     - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
                 )
+                if sol.ncp_fn is not None:
+                    # Central halves of the path-conservative fluctuations
+                    # (dissipation already inside the Rusanov f̂ above).
+                    mid = 0.5 * (q_hi + q_plus)
+                    half = 0.5 * sol.ncp_fn(mid, q_plus - q_hi, d, face_va)
+                    half_lo = jnp.roll(half, shift=1, axis=face_grid_ax)
+                    new = new - lam * (
+                        phi1_w * jnp.expand_dims(half, node_ax)
+                        + phi0_w * jnp.expand_dims(half_lo, node_ax)
+                    )
             return new
 
         self._step = step

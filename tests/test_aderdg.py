@@ -388,3 +388,77 @@ def test_pallas_source_parity():
     fused = PallasADERDG(solver, interpret=True, tile0=2)
     got = np.asarray(fused.step(q0, 1e-3))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+
+# ------------------------------------------- non-conservative products (NCP)
+
+
+def test_ncp_linear_equals_conservative():
+    """A linear system written as a pure NCP (B = const = ∂F/∂Q, zero flux)
+    reproduces the conservative solver to rounding — the discrete
+    Gauss-Legendre summation-by-parts identity makes weak form ≡ strong
+    form exact."""
+    velocity = (1.0, 0.5)
+    flux, eig = advection_physics(velocity)
+    kw = dict(dim=2, order=3, n_vars=1, grid_shape=(8, 8),
+              max_eigenvalue_fn=eig, dx=1.0 / 8)
+    cons = ADERDGSolver(flux_fn=flux, **kw)
+    zero_flux, _ = (lambda Q, axis, var_axis: jnp.zeros_like(Q)), None
+    ncp = ADERDGSolver(
+        flux_fn=zero_flux,
+        ncp_fn=lambda Q, dQ, axis, va: float(velocity[axis]) * dQ,
+        **kw,
+    )
+    q0 = advection_init(solver=cons, velocity=velocity)
+    a = np.asarray(cons.run(q0, 20, 1e-3))
+    b = np.asarray(ncp.run(q0, 20, 1e-3))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-11)
+
+
+def test_ncp_burgers_primitive_form():
+    """Burgers in primitive form u_t + u·u_x = 0 (a genuinely nonlinear NCP)
+    agrees with the conservative flux form u²/2 on smooth data to the
+    discretization order."""
+    def cons_flux(Q, axis, var_axis):
+        return 0.5 * Q * Q if axis == 0 else jnp.zeros_like(Q)
+
+    def eig(Q, axis, var_axis):
+        s = jnp.abs(Q) if axis == 0 else jnp.zeros_like(Q)
+        return jnp.squeeze(s, axis=var_axis)
+
+    kw = dict(dim=2, order=3, n_vars=1, grid_shape=(16, 4),
+              max_eigenvalue_fn=eig, dx=1.0 / 16)
+    cons = ADERDGSolver(flux_fn=cons_flux, **kw)
+    ncp = ADERDGSolver(
+        flux_fn=lambda Q, axis, va: jnp.zeros_like(Q),
+        ncp_fn=lambda Q, dQ, axis, va: Q * dQ if axis == 0 else jnp.zeros_like(dQ),
+        **kw,
+    )
+    coords = cons.nodes_meshgrid()
+    u0 = jnp.asarray(np.broadcast_to(
+        0.2 * np.sin(2 * np.pi * coords[0]), cons.state_shape))
+    a = np.asarray(cons.run(u0, 40, 1e-3))
+    b = np.asarray(ncp.run(u0, 40, 1e-3))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=0, atol=2e-4)
+
+
+def test_pallas_ncp_parity():
+    """Fused Pallas step with an NCP term matches the base solver."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    def eig(Q, axis, var_axis):
+        return jnp.squeeze(jnp.abs(Q), axis=var_axis)
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(8, 128),
+        flux_fn=lambda Q, axis, va: jnp.zeros_like(Q),
+        ncp_fn=lambda Q, dQ, axis, va: Q * dQ if axis == 0 else 0.5 * dQ,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    rng = np.random.default_rng(7)
+    q0 = jnp.asarray(0.5 + 0.1 * rng.random(solver.state_shape))
+    ref = np.asarray(solver.step(q0, 1e-3))
+    fused = PallasADERDG(solver, interpret=True, tile0=2)
+    got = np.asarray(fused.step(q0, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
