@@ -153,7 +153,8 @@ class ADERDGSolver:
     grid_shape: tuple[int, ...]
     flux_fn: Callable
     max_eigenvalue_fn: Callable
-    dx: float = 1.0
+    #: Cell spacing: a scalar, or a per-axis tuple for anisotropic grids.
+    dx: float | tuple = 1.0
     picard_iters: int | None = None
     #: Domain boundary: "periodic" (default) or "reflective" walls.
     #: Reflective needs ``reflect_fn(Q, axis, var_axis)`` (mirror ghost
@@ -211,6 +212,12 @@ class ADERDGSolver:
             raise SemanticError(
                 "non-conservative products support periodic boundaries only"
             )
+        if isinstance(self.dx, (tuple, list)):
+            if len(self.dx) != self.dim:
+                raise SemanticError("dx tuple must have one entry per dim")
+            self._dxs = tuple(float(v) for v in self.dx)
+        else:
+            self._dxs = (float(self.dx),) * self.dim
 
     # ------------------------------------------------------------ structure
 
@@ -242,7 +249,6 @@ class ADERDGSolver:
         time-averaged fluxes ``fbar[d]``.  Space-time arrays carry a leading
         time-node axis (all state axes shift by one)."""
         ops = self.ops
-        lam = dt / self.dx
         va = 1 + self.var_axis  # var axis inside space-time arrays
         q = jnp.broadcast_to(u, (self.n_nodes,) + u.shape)
         # θ_σ(0)·u with a leading time-node axis, broadcast over cells.
@@ -258,6 +264,7 @@ class ADERDGSolver:
             rhs = f0u
             last_fluxes = []
             for d in range(self.dim):
+                lam = dt / self._dxs[d]
                 F = self.flux_fn(q, d, va)
                 last_fluxes.append(F)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
@@ -299,7 +306,6 @@ class ADERDGSolver:
         axes) — the limiter's interface-matching pass consumes them.
         """
         ops = self.ops
-        lam = dt / self.dx
         if self.source_fn is not None:
             qbar, fbar, sbar = self.predictor(u, dt)
             new = u + dt * sbar
@@ -310,6 +316,7 @@ class ADERDGSolver:
         face_fluxes = []
 
         for d in range(self.dim):
+            lam = dt / self._dxs[d]
             node_ax = self.node_axis(d)
             face_grid_ax = self.grid_axis(d) - 1
 
@@ -425,10 +432,11 @@ class ADERDGSolver:
         (cfl≈0.9 measurably blows up order-3 Euler within tens of steps);
         0.4 holds in our validation runs.
         """
-        s = 0.0
+        r = 0.0
         for d in range(self.dim):
-            s = jnp.maximum(s, jnp.max(self.max_eigenvalue_fn(u, d, self.var_axis)))
-        return cfl * self.dx / (s * (2 * self.order + 1))
+            s_d = jnp.max(self.max_eigenvalue_fn(u, d, self.var_axis))
+            r = jnp.maximum(r, s_d / self._dxs[d])
+        return cfl / (r * (2 * self.order + 1))
 
     def run(self, u, n_steps: int, dt):
         def body(carry, _):
@@ -447,7 +455,7 @@ class ADERDGSolver:
         for d in reversed(range(self.dim)):
             out = _project(jnp.asarray(w, u.dtype), out, self.node_axis(d))
         # out: [n_vars, *grid]
-        vol = self.dx**self.dim
+        vol = float(np.prod(self._dxs))
         return jnp.sum(out, axis=tuple(range(1, 1 + self.dim))) * vol
 
     def nodes_meshgrid(self):
@@ -456,7 +464,7 @@ class ADERDGSolver:
         full = []
         for d in range(self.dim):
             cell_idx = np.arange(self.grid_shape[d])
-            coords = (self.ops.nodes[:, None] + cell_idx[None, :]) * self.dx
+            coords = (self.ops.nodes[:, None] + cell_idx[None, :]) * self._dxs[d]
             shape = [1] * (2 * self.dim + 1)
             shape[self.node_axis(d)] = self.n_nodes
             shape[self.grid_axis(d)] = self.grid_shape[d]

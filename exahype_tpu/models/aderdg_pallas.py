@@ -136,7 +136,7 @@ class PallasADERDG:
         def body(dt_ref, u_ref, out_vol_ref, *face_refs):
             u = u_ref[...]
             dtv = dt_ref[0]
-            lam = dtv / sol.dx
+            lams = [dtv / sol._dxs[d] for d in lam_axes]
             # --- space-time predictor, time axis unrolled into a list ---
             q = [u for _ in range(nn)]
             for it in range(sol.picard_iters):
@@ -199,9 +199,9 @@ class PallasADERDG:
                 for s in range(nn):
                     r = PHI0[s] * u
                     for d in lam_axes:
-                        r = r - lam * W[s] * derivs[d][s]
+                        r = r - lams[d] * W[s] * derivs[d][s]
                         if ncps is not None:
-                            r = r - lam * W[s] * ncps[d][s]
+                            r = r - lams[d] * W[s] * ncps[d][s]
                     if srcs is not None:
                         r = r + dtv * W[s] * srcs[s]
                     rhs.append(r)
@@ -223,9 +223,9 @@ class PallasADERDG:
             else:
                 new = u
             for d in lam_axes:
-                new = new + lam * mat_apply(Kvol, fbar[d], sol.node_axis(d))
+                new = new + lams[d] * mat_apply(Kvol, fbar[d], sol.node_axis(d))
                 if sol.ncp_fn is not None:
-                    new = new - lam * sol.ncp_fn(
+                    new = new - lams[d] * sol.ncp_fn(
                         qbar,
                         mat_apply(D, qbar, sol.node_axis(d)),
                         d,
@@ -279,9 +279,9 @@ class PallasADERDG:
             if getattr(self, "_profile_predictor_only", False):
                 return new
             faces = outs[1:]
-            lam = jnp.asarray(dt, u.dtype) / sol.dx
             face_va = sol.var_axis - 1
             for d in lam_axes:
+                lam = jnp.asarray(dt, u.dtype) / sol._dxs[d]
                 q_lo, q_hi, f_lo, f_hi = faces[4 * d : 4 * d + 4]
                 face_grid_ax = sol.grid_axis(d) - 1
                 q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)

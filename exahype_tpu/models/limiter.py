@@ -81,6 +81,10 @@ class LimitedADERDG:
         self._R = subcell_reconstruction(self.solver.order, self.n_sub)
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
+        if isinstance(self.solver.dx, (tuple, list)):
+            raise ValueError(
+                "the subcell limiter supports isotropic (scalar) dx only"
+            )
 
     # ------------------------------------------------------------- means
 

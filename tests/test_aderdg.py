@@ -462,3 +462,73 @@ def test_pallas_ncp_parity():
     fused = PallasADERDG(solver, interpret=True, tile0=2)
     got = np.asarray(fused.step(q0, 1e-3))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+
+# --------------------------------------------------------- anisotropic grids
+
+
+def test_anisotropic_dx_advection():
+    """Per-axis dx: a domain [0,1]x[0,2] with square-count (8,8) cells has
+    dx=(1/8, 2/8); plane-wave advection still converges to the exact
+    solution, and an equivalent scalar-dx run on a consistent domain is
+    unchanged (scalar path bitwise preserved)."""
+    velocity = (1.0, 0.5)
+    flux, eig = advection_physics(velocity)
+    solver = ADERDGSolver(
+        dim=2, order=3, n_vars=1, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=(1.0 / 8, 2.0 / 8),
+    )
+    coords = solver.nodes_meshgrid()
+    assert np.isclose(float(np.max(coords[0])), 1.0, atol=0.2)
+    assert np.isclose(float(np.max(coords[1])), 2.0, atol=0.4)
+    # exact solution periodic on [0,1]x[0,2]: sin(2π(x + y/2 - t(vx + vy/2)))
+    def exact(t):
+        phase = coords[0] + 0.5 * coords[1] - t * (velocity[0] + 0.5 * velocity[1])
+        return jnp.asarray(np.broadcast_to(
+            np.sin(2 * np.pi * phase), solver.state_shape))
+
+    dt, n = 1e-3, 100
+    out = np.asarray(solver.run(exact(0.0), n, dt))
+    err = np.max(np.abs(out - np.asarray(exact(dt * n))))
+    assert err < 5e-4, f"anisotropic advection error {err}"
+
+    # scalar dx unchanged vs tuple of equal entries (same lam values)
+    iso_t = ADERDGSolver(
+        dim=2, order=3, n_vars=1, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=(0.125, 0.125),
+    )
+    iso_s = ADERDGSolver(
+        dim=2, order=3, n_vars=1, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=0.125,
+    )
+    q0 = advection_init(iso_s, velocity)
+    np.testing.assert_array_equal(
+        np.asarray(iso_t.step(q0, 1e-3)), np.asarray(iso_s.step(q0, 1e-3))
+    )
+
+
+def test_anisotropic_dx_pallas_parity():
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    flux, eig = advection_physics((1.0, 0.5))
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(8, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=(1.0 / 8, 3.0 / 128),
+    )
+    rng = np.random.default_rng(5)
+    q0 = jnp.asarray(rng.random(solver.state_shape))
+    ref = np.asarray(solver.step(q0, 1e-3))
+    got = np.asarray(PallasADERDG(solver, interpret=True, tile0=2).step(q0, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+
+def test_limiter_rejects_anisotropic_dx():
+    from exahype_tpu.models.limiter import LimitedADERDG
+
+    flux, eig = advection_physics((1.0, 0.5))
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=(0.25, 0.5),
+    )
+    with pytest.raises(ValueError, match="isotropic"):
+        LimitedADERDG(solver=solver)
