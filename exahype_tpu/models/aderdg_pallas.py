@@ -293,7 +293,14 @@ class PallasADERDG:
                     ),
                     face_va,
                 )
-                fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * (q_plus - q_hi)
+                dq = q_plus - q_hi
+                if sol.dissipation_mask is not None:
+                    mshape = [1] * dq.ndim
+                    mshape[face_va] = len(sol.dissipation_mask)
+                    dq = dq * jnp.asarray(
+                        sol.dissipation_mask, dq.dtype
+                    ).reshape(mshape)
+                fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
                 fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
                 node_ax = sol.node_axis(d)
                 shape_i = [1] * new.ndim

@@ -262,3 +262,69 @@ def test_heterogeneous_elastic_layered_medium():
     # The wave did something (propagated/reflected), amplitudes bounded.
     assert np.abs(out_np[sel(0)]).max() < 10 * 1e-3
     assert not np.allclose(out_np[sel(0)], np.asarray(Q0)[sel(0)])
+
+
+# --------------------------------------------- shallow water with bathymetry
+
+
+class TestSWEBathymetry:
+    def _solver(self, cells=16, order=3):
+        from exahype_tpu.models.swe import make_swe_solver
+
+        return make_swe_solver(
+            dim=2, order=order, grid_shape=(cells, cells), dx=1.0 / cells
+        )
+
+    def test_lake_at_rest_near_steady(self):
+        """h + b = const, u = 0 stays steady up to spatial truncation (the
+        nodal scheme is not exactly well-balanced; the residual must be tiny
+        and converge away)."""
+        from exahype_tpu.models.swe import lake_at_rest
+
+        residuals = []
+        for cells in (8, 16):
+            solver = self._solver(cells=cells)
+            Q0 = lake_at_rest(solver)
+            Q = solver.run(Q0, 10, 5e-4)
+            residuals.append(float(jnp.max(jnp.abs(Q - Q0))))
+        assert residuals[1] < 1e-4, f"lake-at-rest residual {residuals}"
+        assert residuals[1] < 0.2 * residuals[0], (
+            f"no convergence: {residuals}"
+        )
+
+    def test_water_mass_conserved_and_b_frozen(self):
+        from exahype_tpu.models.swe import lake_at_rest
+
+        solver = self._solver(cells=8)
+        Q0 = lake_at_rest(solver)
+        # perturb the surface so real dynamics happen
+        coords = solver.nodes_meshgrid()
+        bump = 0.05 * jnp.exp(
+            -50.0 * ((coords[0] - 0.5) ** 2 + (coords[1] - 0.5) ** 2)
+        )
+        sel = (slice(None),) * solver.var_axis + (slice(0, 1),)
+        Q0 = Q0.at[sel].add(jnp.asarray(bump, Q0.dtype))
+        m0 = np.asarray(solver.total_mass(Q0))
+        Q = solver.run(Q0, 20, 5e-4)
+        m1 = np.asarray(solver.total_mass(Q))
+        # water column mass is exactly conserved (its row is conservative)
+        np.testing.assert_allclose(m1[0], m0[0], rtol=0, atol=1e-12)
+        # bathymetry is exactly frozen
+        bsel = (slice(None),) * solver.var_axis + (solver.dim + 1,)
+        np.testing.assert_array_equal(
+            np.asarray(Q[bsel]), np.asarray(Q0[bsel])
+        )
+        # and the dynamics are not trivial
+        assert float(jnp.max(jnp.abs(Q - Q0))) > 1e-4
+
+    def test_pallas_parity(self):
+        from exahype_tpu.models.aderdg_pallas import PallasADERDG
+        from exahype_tpu.models.swe import lake_at_rest, make_swe_solver
+
+        solver = make_swe_solver(dim=2, order=2, grid_shape=(8, 128), dx=1.0 / 8)
+        Q0 = lake_at_rest(solver)
+        ref = np.asarray(solver.step(Q0, 1e-4))
+        got = np.asarray(
+            PallasADERDG(solver, interpret=True, tile0=2).step(Q0, 1e-4)
+        )
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
