@@ -40,9 +40,15 @@ class DriverConfig:
 
 
 class TimeLoopDriver:
+    """Drives any solver exposing ``run(Q, n_steps, dt=...)`` — a
+    :class:`GridSolver` (returns ``(Q, t_inc)``) or an
+    :class:`~exahype_tpu.models.aderdg.ADERDGSolver` /
+    :class:`~exahype_tpu.models.aderdg_pallas.PallasADERDG`
+    (returns ``Q``; elapsed time is ``n·dt``)."""
+
     def __init__(
         self,
-        solver: GridSolver,
+        solver,
         config: DriverConfig = DriverConfig(),
         sharding=None,
     ):
@@ -58,8 +64,26 @@ class TimeLoopDriver:
         if sharding is not None:
             kwargs = {"in_shardings": in_shardings, "out_shardings": (sharding, None)}
         self._run_chunk = jax.jit(
-            lambda Q, dt: self.solver.run(Q, config.chunk_steps, dt=dt), **kwargs
+            lambda Q, dt: self._normalize(
+                self.solver.run(Q, config.chunk_steps, dt=dt),
+                config.chunk_steps,
+                dt,
+            ),
+            **kwargs,
         )
+
+    @staticmethod
+    def _normalize(res, n_steps, dt):
+        """(Q, t_inc) regardless of the solver's run() return convention."""
+        if isinstance(res, tuple):
+            return res
+        return res, n_steps * dt
+
+    def _dofs(self) -> int:
+        grid = getattr(self.solver, "grid", None)
+        if grid is not None:
+            return grid.config.dofs()
+        return self.solver.dofs()
 
     def resume_or_init(self, Q0):
         """Restore the latest checkpoint if one exists, else start fresh."""
@@ -80,14 +104,16 @@ class TimeLoopDriver:
         Q, t, start_step = self.resume_or_init(Q0)
         step = start_step
         recoveries = 0
-        dof = self.solver.grid.config.dofs()
+        dof = self._dofs()
         wall0 = time.perf_counter()
 
         while step < n_steps:
             chunk = min(cfg.chunk_steps, n_steps - step)
             if chunk != cfg.chunk_steps:
                 Qn, t_inc = jax.jit(
-                    lambda q, d: self.solver.run(q, chunk, dt=d)
+                    lambda q, d: self._normalize(
+                        self.solver.run(q, chunk, dt=d), chunk, d
+                    )
                 )(Q, dt)
             else:
                 Qn, t_inc = self._run_chunk(Q, dt)

@@ -2,6 +2,7 @@
 (failure detection + recovery), logging metrics."""
 
 import logging
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -297,3 +298,44 @@ def test_system_integration_flow(tmp_path):
     npz = write_npz(tmp_path / "final.npz", grid, Q2)
     assert vtk.exists() and npz.exists()
     assert "STRUCTURED_POINTS" in vtk.read_text()[:200]
+
+
+def test_driver_drives_aderdg_solver():
+    """TimeLoopDriver works with the ADER-DG solver's run() convention,
+    including checkpoint + resume."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.aderdg import ADERDGSolver
+
+    def flux(Q, axis, va):
+        return (1.0 if axis == 0 else 0.5) * Q
+
+    def eig(Q, axis, va):
+        shape = Q.shape[:va] + Q.shape[va + 1 :]
+        return jnp.full(shape, 1.0, Q.dtype)
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=0.25,
+    )
+    rng = np.random.default_rng(0)
+    Q0 = jnp.asarray(rng.random(solver.state_shape))
+    ref = np.asarray(solver.run(Q0, 12, 1e-3))
+
+    driver = TimeLoopDriver(
+        solver, DriverConfig(chunk_steps=4, log_metrics=False)
+    )
+    Q, t, stats = driver.run(Q0, 12, 1e-3)
+    np.testing.assert_allclose(np.asarray(Q), ref, rtol=0, atol=1e-14)
+    assert abs(t - 0.012) < 1e-12 and stats["steps"] == 12
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg = DriverConfig(
+            chunk_steps=4, checkpoint_every=1, checkpoint_dir=d,
+            log_metrics=False,
+        )
+        TimeLoopDriver(solver, cfg).run(Q0, 8, 1e-3)
+        # resume picks up at step 8 and finishes the remaining 4
+        Q2, t2, stats2 = TimeLoopDriver(solver, cfg).run(Q0, 12, 1e-3)
+        np.testing.assert_allclose(np.asarray(Q2), ref, rtol=0, atol=1e-13)
+        assert stats2["steps"] == 4
