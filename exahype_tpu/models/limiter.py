@@ -85,6 +85,11 @@ class LimitedADERDG:
             raise ValueError(
                 "the subcell limiter supports isotropic (scalar) dx only"
             )
+        if self.solver.source_fn is not None or self.solver.ncp_fn is not None:
+            raise ValueError(
+                "the subcell FV fallback does not apply source terms or "
+                "non-conservative products; limit a flux-only solver"
+            )
 
     # ------------------------------------------------------------- means
 

@@ -8,6 +8,7 @@ pressure / NaN within a few steps.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
 from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
@@ -197,3 +198,28 @@ def test_limited_step_exactly_conservative():
     m1 = np.asarray(solver.total_mass(Q))
     np.testing.assert_allclose(m1, m0, rtol=0, atol=1e-12)
     assert admissible_everywhere(solver, Q)
+
+
+def test_limiter_rejects_source_and_ncp_solvers():
+    """The subcell FV fallback integrates flux-only systems; sourced/NCP
+    solvers are rejected instead of silently dropping terms."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.aderdg import ADERDGSolver
+    from exahype_tpu.models.limiter import LimitedADERDG
+
+    def flux(Q, axis, va):
+        return Q
+
+    def eig(Q, axis, va):
+        shape = Q.shape[:va] + Q.shape[va + 1 :]
+        return jnp.full(shape, 1.0, Q.dtype)
+
+    base = dict(dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
+                max_eigenvalue_fn=eig, dx=0.25)
+    with pytest.raises(ValueError, match="source terms"):
+        LimitedADERDG(solver=ADERDGSolver(
+            **base, source_fn=lambda Q, va: -Q))
+    with pytest.raises(ValueError, match="non-conservative"):
+        LimitedADERDG(solver=ADERDGSolver(
+            **base, ncp_fn=lambda Q, dQ, axis, va: dQ))
