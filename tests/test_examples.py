@@ -72,3 +72,12 @@ def test_aderdg_euler3d_example(tmp_path, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", ["aderdg_euler3d.py", "--cpu"])
     run_example("aderdg_euler3d.py", tmp_path, monkeypatch)
+
+
+def test_swe_bathymetry_example(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["swe_bathymetry.py", "--cpu"])
+    run_example("swe_bathymetry.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "bathymetry frozen: True" in out
