@@ -85,10 +85,10 @@ class LimitedADERDG:
             raise ValueError(
                 "the subcell limiter supports isotropic (scalar) dx only"
             )
-        if self.solver.source_fn is not None or self.solver.ncp_fn is not None:
+        if self.solver.ncp_fn is not None:
             raise ValueError(
-                "the subcell FV fallback does not apply source terms or "
-                "non-conservative products; limit a flux-only solver"
+                "the subcell FV fallback does not apply non-conservative "
+                "products; limit a flux-only or flux+source solver"
             )
 
     # ------------------------------------------------------------- means
@@ -166,6 +166,8 @@ class LimitedADERDG:
             fhat_hi = 0.5 * (flux(means) + flux(up)) - 0.5 * s_hi * (up - means)
             fhat_lo = 0.5 * (flux(dn) + flux(means)) - 0.5 * s_lo * (means - dn)
             new = new - lam * (fhat_hi - fhat_lo)
+        if sol.source_fn is not None:
+            new = new + dt * sol.source_fn(means, 0)
         return self._broadcast_means(new, u)
 
     # ------------------------------------------------------------- subcell
@@ -263,6 +265,11 @@ class LimitedADERDG:
                 )
                 face_fluxes.append(jnp.mean(boundary, axis=other_sub_axes))
             s = s - lam * (fhat_hi - fhat_lo)
+        if sol.source_fn is not None:
+            # Forward-Euler source on the subcell means (first order in
+            # time, matching the FV fallback's accuracy; the DG path keeps
+            # the high-order space-time source).
+            s = s + dt * sol.source_fn(s, va)
         recon = self.reconstruct_subcells(s)
         if return_face_fluxes:
             return recon, face_fluxes

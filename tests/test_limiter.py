@@ -200,9 +200,9 @@ def test_limited_step_exactly_conservative():
     assert admissible_everywhere(solver, Q)
 
 
-def test_limiter_rejects_source_and_ncp_solvers():
-    """The subcell FV fallback integrates flux-only systems; sourced/NCP
-    solvers are rejected instead of silently dropping terms."""
+def test_limiter_gates_ncp_accepts_source():
+    """NCP solvers are rejected (the FV fallback has no fluctuation form);
+    sourced solvers are accepted."""
     import jax.numpy as jnp
 
     from exahype_tpu.models.aderdg import ADERDGSolver
@@ -217,9 +217,45 @@ def test_limiter_rejects_source_and_ncp_solvers():
 
     base = dict(dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
                 max_eigenvalue_fn=eig, dx=0.25)
-    with pytest.raises(ValueError, match="source terms"):
-        LimitedADERDG(solver=ADERDGSolver(
-            **base, source_fn=lambda Q, va: -Q))
+    # sourced solvers are supported (forward-Euler source in the fallback)
+    LimitedADERDG(solver=ADERDGSolver(**base, source_fn=lambda Q, va: -Q))
     with pytest.raises(ValueError, match="non-conservative"):
         LimitedADERDG(solver=ADERDGSolver(
             **base, ncp_fn=lambda Q, dQ, axis, va: dQ))
+
+
+def test_limited_solver_with_source_decays():
+    """The limited step applies the source in BOTH branches: a stiff-ish
+    decay source shrinks the state even where cells are troubled."""
+    from exahype_tpu.models.aderdg import ADERDGSolver
+    from exahype_tpu.models.limiter import LimitedADERDG
+
+    def flux(Q, axis, va):
+        return (1.0 if axis == 0 else 0.5) * Q
+
+    def eig(Q, axis, va):
+        shape = Q.shape[:va] + Q.shape[va + 1 :]
+        return jnp.full(shape, 1.0, Q.dtype)
+
+    k = 3.0
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+        source_fn=lambda Q, va: -k * Q,
+    )
+    limited = LimitedADERDG(solver=solver)
+    # A square pulse: discontinuous, so cells WILL be flagged troubled.
+    coords = solver.nodes_meshgrid()
+    u0 = jnp.asarray(np.broadcast_to(
+        np.where((np.asarray(coords[0]) > 0.3) & (np.asarray(coords[0]) < 0.6), 1.0, 0.1),
+        solver.state_shape))
+    n, dt = 40, 2e-3
+    # the square pulse must actually trip the detector
+    cand = solver.step(u0, dt)
+    assert bool(np.asarray(limited.troubled_mask(u0, cand)).any())
+    out = np.asarray(limited.run(u0, n, dt))
+    assert np.isfinite(out).all()
+    # amplitude decayed roughly like exp(-k t): max from 1.0 to ~e^{-0.24}
+    expected = np.exp(-k * n * dt)
+    assert np.max(out) < 1.5 * expected + 0.05
+    assert np.max(out) > 0.2 * expected
