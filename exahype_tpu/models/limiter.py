@@ -85,11 +85,7 @@ class LimitedADERDG:
             raise ValueError(
                 "the subcell limiter supports isotropic (scalar) dx only"
             )
-        if self.solver.ncp_fn is not None:
-            raise ValueError(
-                "the subcell FV fallback does not apply non-conservative "
-                "products; limit a flux-only or flux+source solver"
-            )
+
 
     # ------------------------------------------------------------- means
 
@@ -144,6 +140,15 @@ class LimitedADERDG:
 
     # ---------------------------------------------------------- fallback
 
+    def _masked_jump(self, dq, va):
+        """Apply the solver's dissipation_mask to a Rusanov jump term."""
+        m = self.solver.dissipation_mask
+        if m is None:
+            return dq
+        mshape = [1] * dq.ndim
+        mshape[va] = len(m)
+        return dq * jnp.asarray(m, dq.dtype).reshape(mshape)
+
     def fv_fallback(self, u, dt):
         """First-order Rusanov update of the cell means, nodal-broadcast."""
         sol = self.solver
@@ -163,9 +168,16 @@ class LimitedADERDG:
 
             s_hi = jnp.maximum(eig(means), eig(up))[None]
             s_lo = jnp.maximum(eig(dn), eig(means))[None]
-            fhat_hi = 0.5 * (flux(means) + flux(up)) - 0.5 * s_hi * (up - means)
-            fhat_lo = 0.5 * (flux(dn) + flux(means)) - 0.5 * s_lo * (means - dn)
+            fhat_hi = 0.5 * (flux(means) + flux(up)) - 0.5 * s_hi * self._masked_jump(up - means, 0)
+            fhat_lo = 0.5 * (flux(dn) + flux(means)) - 0.5 * s_lo * self._masked_jump(means - dn, 0)
             new = new - lam * (fhat_hi - fhat_lo)
+            if sol.ncp_fn is not None:
+                # First-order path-conservative fluctuations: the volume
+                # term vanishes (piecewise-constant cells); each cell gets
+                # the central half from both faces (dissipation is in fhat).
+                half_hi = 0.5 * sol.ncp_fn(0.5 * (means + up), up - means, d, 0)
+                half_lo = 0.5 * sol.ncp_fn(0.5 * (dn + means), means - dn, d, 0)
+                new = new - lam * (half_hi + half_lo)
         if sol.source_fn is not None:
             new = new + dt * sol.source_fn(means, 0)
         return self._broadcast_means(new, u)
@@ -251,8 +263,14 @@ class LimitedADERDG:
                 ),
                 va,
             )
-            fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * (u_plus - s)
-            fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * (s - u_minus)
+            fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * self._masked_jump(u_plus - s, va)
+            fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * self._masked_jump(s - u_minus, va)
+            if sol.ncp_fn is not None:
+                half_hi = 0.5 * sol.ncp_fn(0.5 * (s + u_plus), u_plus - s, d, va)
+                half_lo = 0.5 * sol.ncp_fn(0.5 * (u_minus + s), s - u_minus, d, va)
+                ncp_fluct = half_hi + half_lo
+            else:
+                ncp_fluct = None
             if return_face_fluxes:
                 # Cell-boundary flux: last subcell's hi-face flux, averaged
                 # over the transverse subcell axes (equal areas).
@@ -265,6 +283,8 @@ class LimitedADERDG:
                 )
                 face_fluxes.append(jnp.mean(boundary, axis=other_sub_axes))
             s = s - lam * (fhat_hi - fhat_lo)
+            if ncp_fluct is not None:
+                s = s - lam * ncp_fluct
         if sol.source_fn is not None:
             # Forward-Euler source on the subcell means (first order in
             # time, matching the FV fallback's accuracy; the DG path keeps

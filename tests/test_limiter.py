@@ -201,8 +201,9 @@ def test_limited_step_exactly_conservative():
 
 
 def test_limiter_gates_ncp_accepts_source():
-    """NCP solvers are rejected (the FV fallback has no fluctuation form);
-    sourced solvers are accepted."""
+    """Sourced and NCP solvers are both accepted by the limiter (the FV
+    fallbacks carry a forward-Euler source and first-order
+    path-conservative fluctuations); anisotropic dx remains rejected."""
     import jax.numpy as jnp
 
     from exahype_tpu.models.aderdg import ADERDGSolver
@@ -217,11 +218,11 @@ def test_limiter_gates_ncp_accepts_source():
 
     base = dict(dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
                 max_eigenvalue_fn=eig, dx=0.25)
-    # sourced solvers are supported (forward-Euler source in the fallback)
     LimitedADERDG(solver=ADERDGSolver(**base, source_fn=lambda Q, va: -Q))
-    with pytest.raises(ValueError, match="non-conservative"):
-        LimitedADERDG(solver=ADERDGSolver(
-            **base, ncp_fn=lambda Q, dQ, axis, va: dQ))
+    LimitedADERDG(solver=ADERDGSolver(
+        **base, ncp_fn=lambda Q, dQ, axis, va: dQ))
+    with pytest.raises(ValueError, match="isotropic"):
+        LimitedADERDG(solver=ADERDGSolver(**{**base, "dx": (0.25, 0.5)}))
 
 
 def test_limited_solver_with_source_decays():
@@ -259,3 +260,36 @@ def test_limited_solver_with_source_decays():
     expected = np.exp(-k * n * dt)
     assert np.max(out) < 1.5 * expected + 0.05
     assert np.max(out) > 0.2 * expected
+
+
+def test_limited_swe_dam_break_conserves_water():
+    """SWE dam break over bathymetry through the limiter: the FV fallback's
+    path-conservative fluctuations keep the run finite, the bathymetry
+    frozen, and the (conservative) water column exactly conserved."""
+    from exahype_tpu.models.limiter import LimitedADERDG
+    from exahype_tpu.models.swe import lake_at_rest, make_swe_solver
+
+    solver = make_swe_solver(dim=2, order=2, grid_shape=(16, 4), dx=1.0 / 16)
+    limited = LimitedADERDG(solver=solver)
+
+    Q0 = lake_at_rest(solver, surface=1.0, amp=0.05)
+    # dam break: +40% water depth on the left half
+    coords = solver.nodes_meshgrid()
+    step_up = jnp.where(jnp.asarray(coords[0]) < 0.5, 0.4, 0.0)
+    sel = (slice(None),) * solver.var_axis + (slice(0, 1),)
+    Q0 = Q0.at[sel].add(jnp.asarray(step_up, Q0.dtype))
+
+    cand = solver.step(Q0, 2e-4)
+    assert bool(np.asarray(limited.troubled_mask(Q0, cand)).any())
+
+    m0 = np.asarray(solver.total_mass(Q0))
+    Q = limited.run(Q0, 50, 2e-4)
+    assert np.isfinite(np.asarray(Q)).all()
+    m1 = np.asarray(solver.total_mass(Q))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=0, atol=1e-12)
+    # the subcell project/reconstruct round-trip perturbs b only at
+    # floating-point level (exact in exact arithmetic)
+    bsel = (slice(None),) * solver.var_axis + (solver.dim + 1,)
+    np.testing.assert_allclose(
+        np.asarray(Q[bsel]), np.asarray(Q0[bsel]), rtol=0, atol=1e-13
+    )
