@@ -81,10 +81,7 @@ class LimitedADERDG:
         self._R = subcell_reconstruction(self.solver.order, self.n_sub)
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
-        if isinstance(self.solver.dx, (tuple, list)):
-            raise ValueError(
-                "the subcell limiter supports isotropic (scalar) dx only"
-            )
+
 
 
     # ------------------------------------------------------------- means
@@ -153,9 +150,9 @@ class LimitedADERDG:
         """First-order Rusanov update of the cell means, nodal-broadcast."""
         sol = self.solver
         means = self.cell_means(u)  # [V, *grid]; var axis 0
-        lam = dt / sol.dx
         new = means
         for d in range(sol.dim):
+            lam = dt / sol._dxs[d]
             ax = 1 + d
             up = jnp.roll(means, -1, axis=ax)  # +d neighbour
             dn = jnp.roll(means, 1, axis=ax)  # -d neighbour
@@ -225,12 +222,11 @@ class LimitedADERDG:
         sol = self.solver
         n_sub = self.n_sub
         va = sol.var_axis
-        dx_s = sol.dx / n_sub
-        lam = dt / dx_s
         s = self.project_subcells(u)
         face_fluxes = []
 
         for d in range(sol.dim):
+            lam = dt / (sol._dxs[d] / n_sub)
             sub_ax = sol.node_axis(d)
             grid_ax = sol.grid_axis(d)
 
@@ -304,10 +300,10 @@ class LimitedADERDG:
         global conservation under limiting (first-order at those faces, as
         expected at a limiter boundary)."""
         sol = self.solver
-        lam = dt / sol.dx
         nn = sol.n_nodes
         out = candidate
         for d in range(sol.dim):
+            lam = dt / sol._dxs[d]
             node_ax = sol.node_axis(d)
             face_grid_ax = sol.grid_axis(d) - 1
             grid_ax_mask = d  # axis within the [*grid] troubled mask

@@ -522,13 +522,26 @@ def test_anisotropic_dx_pallas_parity():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
 
 
-def test_limiter_rejects_anisotropic_dx():
+def test_limiter_anisotropic_dx_runs():
+    """The limiter supports per-axis dx end to end (fallbacks and interface
+    matching use per-direction lambda)."""
     from exahype_tpu.models.limiter import LimitedADERDG
 
     flux, eig = advection_physics((1.0, 0.5))
     solver = ADERDGSolver(
-        dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
-        max_eigenvalue_fn=eig, dx=(0.25, 0.5),
+        dim=2, order=2, n_vars=1, grid_shape=(8, 4), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=(1.0 / 8, 0.5),
     )
-    with pytest.raises(ValueError, match="isotropic"):
-        LimitedADERDG(solver=solver)
+    limited = LimitedADERDG(solver=solver)
+    coords = solver.nodes_meshgrid()
+    u0 = jnp.asarray(np.broadcast_to(
+        np.where(np.asarray(coords[0]) < 0.5, 1.0, 0.1), solver.state_shape))
+    cand = solver.step(u0, 1e-3)
+    assert bool(np.asarray(limited.troubled_mask(u0, cand)).any())
+    out = np.asarray(limited.run(u0, 20, 1e-3))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(
+        np.asarray(solver.total_mass(jnp.asarray(out))),
+        np.asarray(solver.total_mass(u0)),
+        rtol=0, atol=1e-12,
+    )

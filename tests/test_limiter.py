@@ -200,10 +200,9 @@ def test_limited_step_exactly_conservative():
     assert admissible_everywhere(solver, Q)
 
 
-def test_limiter_gates_ncp_accepts_source():
-    """Sourced and NCP solvers are both accepted by the limiter (the FV
-    fallbacks carry a forward-Euler source and first-order
-    path-conservative fluctuations); anisotropic dx remains rejected."""
+def test_limiter_accepts_source_ncp_anisotropic():
+    """Sourced, NCP, and anisotropic-dx solvers are all accepted by the
+    limiter; the scalar-dx path is bitwise preserved."""
     import jax.numpy as jnp
 
     from exahype_tpu.models.aderdg import ADERDGSolver
@@ -221,8 +220,16 @@ def test_limiter_gates_ncp_accepts_source():
     LimitedADERDG(solver=ADERDGSolver(**base, source_fn=lambda Q, va: -Q))
     LimitedADERDG(solver=ADERDGSolver(
         **base, ncp_fn=lambda Q, dQ, axis, va: dQ))
-    with pytest.raises(ValueError, match="isotropic"):
-        LimitedADERDG(solver=ADERDGSolver(**{**base, "dx": (0.25, 0.5)}))
+    # anisotropic dx: a scalar-equal tuple is bitwise-identical to scalar
+    import jax
+
+    lim_t = LimitedADERDG(solver=ADERDGSolver(**{**base, "dx": (0.25, 0.25)}))
+    lim_s = LimitedADERDG(solver=ADERDGSolver(**base))
+    rng = np.random.default_rng(2)
+    u0 = jnp.asarray(rng.random(lim_s.solver.state_shape))
+    np.testing.assert_array_equal(
+        np.asarray(lim_t.step(u0, 1e-3)), np.asarray(lim_s.step(u0, 1e-3))
+    )
 
 
 def test_limited_solver_with_source_decays():
