@@ -36,9 +36,11 @@ def main():
 
     dim, order = 3, 3
     # Lane-tiled cell grid: trailing (8, 128) axes are exactly one
-    # (sublane, lane) VMEM tile; throughput grows with cell count
-    # (measured: 1.72 at 8k, 1.95 at 16k, 2.19 at 32k, 2.29 at 64k cells).
-    grid_shape = (64, 8, 128)
+    # (sublane, lane) VMEM tile.  With the interior-axis Riemann solves
+    # fused into the predictor kernel the throughput keeps growing with
+    # cell count (3.02 at 64k, 3.20 at 128k, 3.36 at 256k, plateau at
+    # 512k); tile0=2 beats 1 here, 4 exceeds VMEM.
+    grid_shape = (256, 8, 128)
     chunk = 5
     dtype = np.float32
 
@@ -55,7 +57,7 @@ def main():
 
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
-    fused = PallasADERDG(solver, tile0=1)
+    fused = PallasADERDG(solver, tile0=2)
 
     rng = np.random.default_rng(0)
     no_var = (

@@ -42,9 +42,17 @@ class PallasADERDG:
         tile0: Optional[int] = None,
         vmem_limit_bytes: int = 100 * 1024 * 1024,
         interpret: bool = False,
+        fuse_interior_riemann: bool = True,
     ):
         self.solver = solver
         self.interpret = interpret
+        #: Solve the Riemann problems of grid axes 1..dim-1 INSIDE the
+        #: predictor kernel (each block holds those axes in full, so the
+        #: neighbour shift is a block-local wrap) — only axis 0, the tiled
+        #: and shardable axis, leaves face arrays for the XLA epilogue.
+        #: Set False when grid axes >0 are sharded (the in-kernel wrap
+        #: assumes they are whole and periodic).
+        self.fuse_interior_riemann = fuse_interior_riemann
         self.vmem_limit_bytes = vmem_limit_bytes
         if tile0 is None:
             tile0 = self._default_tile0(vmem_limit_bytes * 3 // 4)
@@ -109,7 +117,77 @@ class PallasADERDG:
         W = [float(v) for v in np.asarray(ops.weights)]
         PHI0 = [float(v) for v in np.asarray(ops.phi0)]
         PHI1 = [float(v) for v in np.asarray(ops.phi1)]
+        PHI0W = [float(v) for v in np.asarray(ops.phi0 / ops.weights)]
+        PHI1W = [float(v) for v in np.asarray(ops.phi1 / ops.weights)]
         va = sol.var_axis  # var axis of per-time-slice arrays
+        face_va = sol.var_axis - 1  # var axis of face-projected arrays
+        if self.fuse_interior_riemann and dim > 1:
+            fused_axes = tuple(d for d in lam_axes if d != 0)
+            epilogue_axes = (0,)
+        else:
+            fused_axes = ()
+            epilogue_axes = tuple(lam_axes)
+
+        def _shift(x, sh, axis):
+            """Periodic shift by concatenated slices (Mosaic-lowerable; the
+            XLA epilogue uses the same form so both paths fold alike)."""
+            n = x.shape[axis]
+            lo = jax.lax.slice_in_dim(x, 0, (-sh) % n, axis=axis)
+            hi = jax.lax.slice_in_dim(x, (-sh) % n, n, axis=axis)
+            return jnp.concatenate([hi, lo], axis=axis)
+
+        def surface_update(new, q_lo, q_hi, f_lo, f_hi, d, lam, shift=None):
+            """Rusanov face solve + surface corrector for direction ``d``
+            (shape-agnostic: used on full arrays in the XLA epilogue, where
+            ``shift=jnp.roll`` is faster, and on VMEM blocks inside the
+            kernel for the interior axes, where only the concatenated-slice
+            form lowers; both are exactly periodic shifts)."""
+            if shift is None:
+                shift = _shift
+            face_grid_ax = sol.grid_axis(d) - 1
+            node_ax = sol.node_axis(d)
+            q_plus = shift(q_lo, -1, face_grid_ax)
+            f_plus = shift(f_lo, -1, face_grid_ax)
+            s_hi = jnp.expand_dims(
+                jnp.maximum(
+                    sol.max_eigenvalue_fn(q_hi, d, face_va),
+                    sol.max_eigenvalue_fn(q_plus, d, face_va),
+                ),
+                face_va,
+            )
+            dq = q_plus - q_hi
+            if sol.dissipation_mask is not None:
+                parts = [
+                    float(m)
+                    * jax.lax.index_in_dim(dq, k, face_va, keepdims=False)
+                    for k, m in enumerate(sol.dissipation_mask)
+                ]
+                dq = jnp.stack(parts, axis=face_va)
+            fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
+            fhat_lo = shift(fhat_hi, 1, face_grid_ax)
+            surf = jnp.stack(
+                [
+                    PHI1W[i] * fhat_hi - PHI0W[i] * fhat_lo
+                    for i in range(nn)
+                ],
+                axis=node_ax,
+            )
+            new = new - lam * surf
+            if sol.ncp_fn is not None:
+                # Central halves of the path-conservative fluctuations
+                # (dissipation already inside the Rusanov f-hat above).
+                mid = 0.5 * (q_hi + q_plus)
+                half = 0.5 * sol.ncp_fn(mid, q_plus - q_hi, d, face_va)
+                half_lo = shift(half, 1, face_grid_ax)
+                fluct = jnp.stack(
+                    [
+                        PHI1W[i] * half + PHI0W[i] * half_lo
+                        for i in range(nn)
+                    ],
+                    axis=node_ax,
+                )
+                new = new - lam * fluct
+            return new
 
         def mat_apply(mat, x, axis):
             """out[..., i, ...] = Σ_j mat[i][j] x[..., j, ...] (unrolled)."""
@@ -231,27 +309,40 @@ class PallasADERDG:
                         d,
                         va,
                     )
-            out_vol_ref[...] = new
-            # Face outputs, 4 per direction: q_lo, q_hi, f_lo, f_hi.
-            for d in lam_axes:
+            # Interior-axis Riemann solves, block-local (axes held in full).
+            for d in fused_axes:
                 na = sol.node_axis(d)
-                face_refs[4 * d + 0][...] = vec_project(PHI0, qbar, na)
-                face_refs[4 * d + 1][...] = vec_project(PHI1, qbar, na)
-                face_refs[4 * d + 2][...] = vec_project(PHI0, fbar[d], na)
-                face_refs[4 * d + 3][...] = vec_project(PHI1, fbar[d], na)
+                new = surface_update(
+                    new,
+                    vec_project(PHI0, qbar, na),
+                    vec_project(PHI1, qbar, na),
+                    vec_project(PHI0, fbar[d], na),
+                    vec_project(PHI1, fbar[d], na),
+                    d,
+                    lams[d],
+                )
+            out_vol_ref[...] = new
+            # Face outputs for the epilogue axes: q_lo, q_hi, f_lo, f_hi.
+            for i, d in enumerate(epilogue_axes):
+                na = sol.node_axis(d)
+                face_refs[4 * i + 0][...] = vec_project(PHI0, qbar, na)
+                face_refs[4 * i + 1][...] = vec_project(PHI1, qbar, na)
+                face_refs[4 * i + 2][...] = vec_project(PHI0, fbar[d], na)
+                face_refs[4 * i + 3][...] = vec_project(PHI1, fbar[d], na)
 
         state_shape = sol.state_shape
         face_shape = (nn,) * (dim - 1) + (nv,) + grid
+        n_face_out = 4 * len(epilogue_axes)
 
         def predictor_call(u, dt):
             out_shapes = [jax.ShapeDtypeStruct(state_shape, u.dtype)] + [
                 jax.ShapeDtypeStruct(face_shape, u.dtype)
-            ] * (4 * dim)
+            ] * n_face_out
             out_specs = [
                 pl.BlockSpec(vol_block, vol_map, memory_space=pltpu.VMEM)
             ] + [
                 pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
-            ] * (4 * dim)
+            ] * n_face_out
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
@@ -279,48 +370,13 @@ class PallasADERDG:
             if getattr(self, "_profile_predictor_only", False):
                 return new
             faces = outs[1:]
-            face_va = sol.var_axis - 1
-            for d in lam_axes:
+            for i, d in enumerate(epilogue_axes):
                 lam = jnp.asarray(dt, u.dtype) / sol._dxs[d]
-                q_lo, q_hi, f_lo, f_hi = faces[4 * d : 4 * d + 4]
-                face_grid_ax = sol.grid_axis(d) - 1
-                q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
-                f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
-                s_hi = jnp.expand_dims(
-                    jnp.maximum(
-                        sol.max_eigenvalue_fn(q_hi, d, face_va),
-                        sol.max_eigenvalue_fn(q_plus, d, face_va),
-                    ),
-                    face_va,
+                q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
+                new = surface_update(
+                    new, q_lo, q_hi, f_lo, f_hi, d, lam,
+                    shift=lambda x, sh, ax: jnp.roll(x, shift=sh, axis=ax),
                 )
-                dq = q_plus - q_hi
-                if sol.dissipation_mask is not None:
-                    mshape = [1] * dq.ndim
-                    mshape[face_va] = len(sol.dissipation_mask)
-                    dq = dq * jnp.asarray(
-                        sol.dissipation_mask, dq.dtype
-                    ).reshape(mshape)
-                fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
-                fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
-                node_ax = sol.node_axis(d)
-                shape_i = [1] * new.ndim
-                shape_i[node_ax] = nn
-                phi1_w = jnp.asarray(ops.phi1 / ops.weights, u.dtype).reshape(shape_i)
-                phi0_w = jnp.asarray(ops.phi0 / ops.weights, u.dtype).reshape(shape_i)
-                new = new - lam * (
-                    phi1_w * jnp.expand_dims(fhat_hi, node_ax)
-                    - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
-                )
-                if sol.ncp_fn is not None:
-                    # Central halves of the path-conservative fluctuations
-                    # (dissipation already inside the Rusanov f̂ above).
-                    mid = 0.5 * (q_hi + q_plus)
-                    half = 0.5 * sol.ncp_fn(mid, q_plus - q_hi, d, face_va)
-                    half_lo = jnp.roll(half, shift=1, axis=face_grid_ax)
-                    new = new - lam * (
-                        phi1_w * jnp.expand_dims(half, node_ax)
-                        + phi0_w * jnp.expand_dims(half_lo, node_ax)
-                    )
             return new
 
         self._step = step

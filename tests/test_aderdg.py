@@ -545,3 +545,27 @@ def test_limiter_anisotropic_dx_runs():
         np.asarray(solver.total_mass(u0)),
         rtol=0, atol=1e-12,
     )
+
+
+def test_pallas_fused_interior_riemann_modes_agree():
+    """fuse_interior_riemann=True (axes>0 solved in-kernel) and False (all
+    axes in the XLA epilogue) agree with each other and the base solver."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(4, 8, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=0.25,
+    )
+    rng = np.random.default_rng(1)
+    no_var = solver.state_shape[: solver.var_axis] + solver.state_shape[solver.var_axis + 1 :]
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    comps = [rho, rho, 0.5 * rho, 0.25 * rho, 5.0 + 0.66 * rho]
+    Q0 = jnp.asarray(np.stack(comps, axis=solver.var_axis))
+    ref = np.asarray(solver.step(Q0, 1e-3))
+    on = PallasADERDG(solver, interpret=True, tile0=2, fuse_interior_riemann=True)
+    off = PallasADERDG(solver, interpret=True, tile0=2, fuse_interior_riemann=False)
+    got_on = np.asarray(on.step(Q0, 1e-3))
+    got_off = np.asarray(off.step(Q0, 1e-3))
+    np.testing.assert_allclose(got_on, ref, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got_off, ref, rtol=0, atol=1e-12)
