@@ -379,6 +379,12 @@ class PallasADERDG:
                 )
             return new
 
+        # Internals for the sharded wrapper (parallel/shard.py): the
+        # cell-local predictor and the per-direction surface update with a
+        # pluggable neighbour shift.
+        self._predictor_call_fn = predictor_call
+        self._surface_update_fn = surface_update
+        self._epilogue_axes = epilogue_axes
         self._step = step
         return step
 

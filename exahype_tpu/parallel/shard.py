@@ -121,3 +121,91 @@ def make_sharded_pallas_step(
         check_vma=False,
     )
     return jax.jit(mapped), sharding
+
+
+def _edge_shift(x, sh, axis, axis_name, n_shards):
+    """Periodic shift by one along a GRID axis that is sharded over
+    ``axis_name``: local roll + ``ppermute`` of the one-row edge the
+    neighbour shard owns (the roll wraps locally; the edge exchange fixes
+    the shard boundary)."""
+    n = x.shape[axis]
+    rolled = jnp.roll(x, sh, axis=axis)
+    if sh == -1:
+        edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)  # my first row
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        recv = jax.lax.ppermute(edge, axis_name, perm)
+        return jax.lax.dynamic_update_slice_in_dim(rolled, recv, n - 1, axis)
+    if sh == 1:
+        edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)  # my last row
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        recv = jax.lax.ppermute(edge, axis_name, perm)
+        return jax.lax.dynamic_update_slice_in_dim(rolled, recv, 0, axis)
+    raise SemanticError(f"edge shift supports +-1, got {sh}")
+
+
+def make_sharded_aderdg_step(
+    solver,
+    mesh: Mesh,
+    axis_name: str = PATCH_AXIS,
+    interpret: bool = False,
+    **pallas_kwargs,
+):
+    """Multi-chip fused-Pallas ADER-DG step: the cell grid's axis 0 is
+    sharded over ``axis_name``; each shard runs the VMEM predictor kernel
+    (cell-local, including the interior-axis Riemann solves), and the
+    axis-0 Riemann epilogue exchanges the one-face edge with neighbour
+    shards via explicit ``lax.ppermute`` over ICI.
+
+    Returns ``(step_fn, sharding)``: jit ``step_fn(Q, dt)`` with ``Q``
+    placed on ``sharding``.  GSPMD cannot partition ``pallas_call``, hence
+    the ``shard_map`` construction (same pattern as
+    :func:`make_sharded_pallas_step` for the FV path).
+    """
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    n_shards = mesh.shape[axis_name]
+    if solver.grid_shape[0] % n_shards != 0:
+        raise SemanticError(
+            f"grid axis 0 ({solver.grid_shape[0]}) must be divisible by the "
+            f"mesh size ({n_shards})"
+        )
+    local_grid = (solver.grid_shape[0] // n_shards,) + tuple(
+        solver.grid_shape[1:]
+    )
+    local_solver = dataclasses.replace(solver, grid_shape=local_grid)
+    fused = PallasADERDG(local_solver, interpret=interpret, **pallas_kwargs)
+    fused.build()
+    predictor_call = fused._predictor_call_fn
+    surface_update = fused._surface_update_fn
+    epilogue_axes = fused._epilogue_axes
+
+    shard_axis = solver.grid_axis(0)  # tensor axis of grid axis 0
+    ndim = len(solver.state_shape)
+    spec_list = [None] * ndim
+    spec_list[shard_axis] = axis_name
+    state_spec = PartitionSpec(*spec_list)
+    sharding = NamedSharding(mesh, state_spec)
+
+    def shift(x, sh, ax):
+        return _edge_shift(x, sh, ax, axis_name, n_shards)
+
+    def local_step(Q_local, dt):
+        outs = predictor_call(Q_local, dt)
+        new = outs[0]
+        faces = outs[1:]
+        for i, d in enumerate(epilogue_axes):
+            lam = jnp.asarray(dt, Q_local.dtype) / local_solver._dxs[d]
+            q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
+            new = surface_update(
+                new, q_lo, q_hi, f_lo, f_hi, d, lam, shift=shift
+            )
+        return new
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, PartitionSpec()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return step, sharding
