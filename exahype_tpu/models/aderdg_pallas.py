@@ -388,6 +388,16 @@ class PallasADERDG:
         self._step = step
         return step
 
+    # Solver-protocol delegates (TimeLoopDriver and analysis helpers).
+    def dofs(self) -> int:
+        return self.solver.dofs()
+
+    def cfl_dt(self, u, cfl: float = 0.4):
+        return self.solver.cfl_dt(u, cfl=cfl)
+
+    def total_mass(self, u):
+        return self.solver.total_mass(u)
+
     def step(self, u, dt):
         return self.build()(u, dt)
 

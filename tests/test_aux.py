@@ -339,3 +339,31 @@ def test_driver_drives_aderdg_solver():
         Q2, t2, stats2 = TimeLoopDriver(solver, cfg).run(Q0, 12, 1e-3)
         np.testing.assert_allclose(np.asarray(Q2), ref, rtol=0, atol=1e-13)
         assert stats2["steps"] == 4
+
+
+def test_driver_drives_pallas_aderdg():
+    """TimeLoopDriver also accepts the fused-Pallas ADER-DG solver."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.aderdg import ADERDGSolver
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    def flux(Q, axis, va):
+        return 0.5 * Q
+
+    def eig(Q, axis, va):
+        shape = Q.shape[:va] + Q.shape[va + 1 :]
+        return jnp.full(shape, 0.5, Q.dtype)
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(4, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=0.25,
+    )
+    fused = PallasADERDG(solver, interpret=True, tile0=2)
+    rng = np.random.default_rng(0)
+    Q0 = jnp.asarray(rng.random(solver.state_shape))
+    ref = np.asarray(fused.run(Q0, 6, 1e-3))
+    driver = TimeLoopDriver(fused, DriverConfig(chunk_steps=3, log_metrics=False))
+    Q, t, stats = driver.run(Q0, 6, 1e-3)
+    np.testing.assert_allclose(np.asarray(Q), ref, rtol=0, atol=1e-14)
+    assert stats["steps"] == 6
