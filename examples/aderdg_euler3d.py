@@ -50,7 +50,16 @@ dt = float(solver.cfl_dt(Q))
 n_steps = 20
 mass0 = np.asarray(solver.total_mass(Q))
 
-run = jax.jit(lambda q: solver.run(q, n_steps, dt))
+# The fused-Pallas fast path (VMEM predictor + in-kernel interior Riemann);
+# interpret mode on CPU, the real kernel on the chip.
+from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+fused = PallasADERDG(
+    solver,
+    interpret=(jax.default_backend() == "cpu"),
+    tile0=1 if jax.default_backend() == "cpu" else 2,
+)
+run = jax.jit(lambda q: fused.run(q, n_steps, dt))
 out = run(Q)
 out.block_until_ready()
 t0 = time.perf_counter()
