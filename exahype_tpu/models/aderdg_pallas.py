@@ -44,6 +44,12 @@ class PallasADERDG:
         interpret: bool = False,
         fuse_interior_riemann: bool = True,
     ):
+        if solver.boundary != "periodic":
+            raise LoweringError(
+                "PallasADERDG supports periodic boundaries only (the fused "
+                "face solves wrap); use the base ADERDGSolver for "
+                f"boundary={solver.boundary!r}"
+            )
         self.solver = solver
         self.interpret = interpret
         #: Solve the Riemann problems of grid axes 1..dim-1 INSIDE the

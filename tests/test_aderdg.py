@@ -569,3 +569,20 @@ def test_pallas_fused_interior_riemann_modes_agree():
     got_off = np.asarray(off.step(Q0, 1e-3))
     np.testing.assert_allclose(got_on, ref, rtol=0, atol=1e-12)
     np.testing.assert_allclose(got_off, ref, rtol=0, atol=1e-12)
+
+
+def test_pallas_rejects_reflective_boundary():
+    """The fused path would silently wrap periodically; reflective solvers
+    are rejected with a clear error."""
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.utils.errors import LoweringError
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(4, 4), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=0.25, boundary="reflective",
+        reflect_fn=euler_reflect(2), reflect_flux_fn=euler_reflect_flux(2),
+    )
+    with pytest.raises(LoweringError, match="periodic"):
+        PallasADERDG(solver, interpret=True, tile0=2)
