@@ -58,4 +58,16 @@ def __getattr__(name):
         from exahype_tpu.backends.mlir_backend import MLIRPrinter
 
         return MLIRPrinter
+    if name == "ADERDGSolver":
+        from exahype_tpu.models.aderdg import ADERDGSolver
+
+        return ADERDGSolver
+    if name == "PallasADERDG":
+        from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+        return PallasADERDG
+    if name == "LimitedADERDG":
+        from exahype_tpu.models.limiter import LimitedADERDG
+
+        return LimitedADERDG
     raise AttributeError(f"module 'exahype_tpu' has no attribute {name!r}")
