@@ -367,3 +367,27 @@ def test_driver_drives_pallas_aderdg():
     Q, t, stats = driver.run(Q0, 6, 1e-3)
     np.testing.assert_allclose(np.asarray(Q), ref, rtol=0, atol=1e-14)
     assert stats["steps"] == 6
+
+
+def test_checkpoint_roundtrip_sharded_state():
+    """Checkpointing a GSPMD-sharded state and restoring preserves values
+    (restore is host-side; re-placement is the caller's job)."""
+    import tempfile as _tf
+
+    from exahype_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, PartitionSpec("patches"))
+    rng = np.random.default_rng(0)
+    Q = jax.device_put(jnp.asarray(rng.random((16, 4, 4, 5))), sharding)
+
+    with _tf.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d)
+        mgr.save(3, {"step": 3, "t": 0.3, "dt": 1e-3, "Q": Q})
+        state = mgr.restore()
+        assert int(state["step"]) == 3
+        np.testing.assert_array_equal(np.asarray(state["Q"]), np.asarray(Q))
+        # re-place on the mesh and keep computing
+        Q2 = jax.device_put(jnp.asarray(state["Q"]), sharding)
+        np.testing.assert_array_equal(np.asarray(Q2 * 2.0), np.asarray(Q) * 2.0)
