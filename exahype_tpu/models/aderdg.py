@@ -334,94 +334,111 @@ class ADERDGSolver:
             q_lo = _project(ops.phi0, qbar, node_ax)  # my low face (x=0)
             f_hi = _project(ops.phi1, fbar[d], node_ax)
             f_lo = _project(ops.phi0, fbar[d], node_ax)
-
-            # Face between me and my +d neighbour: left state = my high
-            # face, right state = neighbour's low face (periodic roll).
-            q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
-            f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
-            if self.boundary == "reflective":
-                # Domain high wall (last cell along d): the ghost is the
-                # mirror of my own time-averaged face state/flux.
-                last = jax.lax.index_in_dim(
-                    q_hi, -1, face_grid_ax, keepdims=True
-                )
-                f_last = jax.lax.index_in_dim(
-                    f_hi, -1, face_grid_ax, keepdims=True
-                )
-                ghost = self.reflect_fn(last, d, face_va)
-                g = q_plus.shape[face_grid_ax]
-                q_plus = jax.lax.dynamic_update_slice_in_dim(
-                    q_plus, ghost, g - 1, face_grid_ax
-                )
-                f_plus = jax.lax.dynamic_update_slice_in_dim(
-                    f_plus,
-                    self.reflect_flux_fn(f_last, d, face_va),
-                    g - 1,
-                    face_grid_ax,
-                )
-            s_hi = jnp.expand_dims(
-                jnp.maximum(
-                    self.max_eigenvalue_fn(q_hi, d, face_va),
-                    self.max_eigenvalue_fn(q_plus, d, face_va),
-                ),
-                face_va,
-            )
-            dq = q_plus - q_hi
-            if self.dissipation_mask is not None:
-                mshape = [1] * dq.ndim
-                mshape[face_va] = len(self.dissipation_mask)
-                dq = dq * jnp.asarray(
-                    self.dissipation_mask, dq.dtype
-                ).reshape(mshape)
-            fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
+            new, fhat_hi = self.face_update(new, q_lo, q_hi, f_lo, f_hi, d, dt)
             face_fluxes.append(fhat_hi)
-
-            # Face between my -d neighbour and me: that neighbour's fhat_hi.
-            fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
-            if self.boundary == "reflective":
-                # Domain low wall (first cell along d): Riemann flux between
-                # the mirror ghost (left) and my own low-face state (right).
-                first = jax.lax.index_in_dim(q_lo, 0, face_grid_ax, keepdims=True)
-                f_first = jax.lax.index_in_dim(f_lo, 0, face_grid_ax, keepdims=True)
-                ghost = self.reflect_fn(first, d, face_va)
-                s_w = jnp.expand_dims(
-                    jnp.maximum(
-                        self.max_eigenvalue_fn(first, d, face_va),
-                        self.max_eigenvalue_fn(ghost, d, face_va),
-                    ),
-                    face_va,
-                )
-                wall = 0.5 * (
-                    self.reflect_flux_fn(f_first, d, face_va) + f_first
-                ) - 0.5 * s_w * (first - ghost)
-                fhat_lo = jax.lax.dynamic_update_slice_in_dim(
-                    fhat_lo, wall, 0, face_grid_ax
-                )
-
-            # Surface contribution: −(λ/w_i)(ℓ_i(1) F̂_hi − ℓ_i(0) F̂_lo).
-            shape_i = [1] * new.ndim
-            shape_i[node_ax] = self.n_nodes
-            phi1_w = jnp.asarray(ops.phi1 / ops.weights, u.dtype).reshape(shape_i)
-            phi0_w = jnp.asarray(ops.phi0 / ops.weights, u.dtype).reshape(shape_i)
-            new = new - lam * (
-                phi1_w * jnp.expand_dims(fhat_hi, node_ax)
-                - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
-            )
-            if self.ncp_fn is not None:
-                # Path-conservative face fluctuations: the central parts
-                # ½·B(q̃)·Δq go one to each side (the ±½sΔq dissipation is
-                # already carried by the Rusanov f̂ above, which is
-                # well-defined even for identically-zero flux).
-                mid = 0.5 * (q_hi + q_plus)
-                half = 0.5 * self.ncp_fn(mid, q_plus - q_hi, d, face_va)
-                half_lo = jnp.roll(half, shift=1, axis=face_grid_ax)
-                new = new - lam * (
-                    phi1_w * jnp.expand_dims(half, node_ax)
-                    + phi0_w * jnp.expand_dims(half_lo, node_ax)
-                )
         if return_face_fluxes:
             return new, face_fluxes
         return new
+
+    def face_update(self, new, q_lo, q_hi, f_lo, f_hi, d, dt):
+        """Riemann solve + surface (and NCP-fluctuation) corrector update
+        for direction ``d`` from face-extrapolated time-averaged state/flux.
+
+        Shared by :meth:`step` and the fused-Pallas reflective epilogue
+        (``models/aderdg_pallas.py``): the predictor kernel is boundary-
+        independent, so walls only need this face stage.  Returns
+        ``(new, fhat_hi)``.
+        """
+        ops = self.ops
+        lam = dt / self._dxs[d]
+        node_ax = self.node_axis(d)
+        face_grid_ax = self.grid_axis(d) - 1
+        face_va = self.var_axis - 1
+
+        # Face between me and my +d neighbour: left state = my high
+        # face, right state = neighbour's low face (periodic roll).
+        q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
+        f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
+        if self.boundary == "reflective":
+            # Domain high wall (last cell along d): the ghost is the
+            # mirror of my own time-averaged face state/flux.
+            last = jax.lax.index_in_dim(
+                q_hi, -1, face_grid_ax, keepdims=True
+            )
+            f_last = jax.lax.index_in_dim(
+                f_hi, -1, face_grid_ax, keepdims=True
+            )
+            ghost = self.reflect_fn(last, d, face_va)
+            g = q_plus.shape[face_grid_ax]
+            q_plus = jax.lax.dynamic_update_slice_in_dim(
+                q_plus, ghost, g - 1, face_grid_ax
+            )
+            f_plus = jax.lax.dynamic_update_slice_in_dim(
+                f_plus,
+                self.reflect_flux_fn(f_last, d, face_va),
+                g - 1,
+                face_grid_ax,
+            )
+        s_hi = jnp.expand_dims(
+            jnp.maximum(
+                self.max_eigenvalue_fn(q_hi, d, face_va),
+                self.max_eigenvalue_fn(q_plus, d, face_va),
+            ),
+            face_va,
+        )
+        dq = q_plus - q_hi
+        if self.dissipation_mask is not None:
+            mshape = [1] * dq.ndim
+            mshape[face_va] = len(self.dissipation_mask)
+            dq = dq * jnp.asarray(
+                self.dissipation_mask, dq.dtype
+            ).reshape(mshape)
+        fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
+
+        # Face between my -d neighbour and me: that neighbour's fhat_hi.
+        fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
+        if self.boundary == "reflective":
+            # Domain low wall (first cell along d): Riemann flux between
+            # the mirror ghost (left) and my own low-face state (right).
+            first = jax.lax.index_in_dim(q_lo, 0, face_grid_ax, keepdims=True)
+            f_first = jax.lax.index_in_dim(f_lo, 0, face_grid_ax, keepdims=True)
+            ghost = self.reflect_fn(first, d, face_va)
+            s_w = jnp.expand_dims(
+                jnp.maximum(
+                    self.max_eigenvalue_fn(first, d, face_va),
+                    self.max_eigenvalue_fn(ghost, d, face_va),
+                ),
+                face_va,
+            )
+            wall = 0.5 * (
+                self.reflect_flux_fn(f_first, d, face_va) + f_first
+            ) - 0.5 * s_w * (first - ghost)
+            fhat_lo = jax.lax.dynamic_update_slice_in_dim(
+                fhat_lo, wall, 0, face_grid_ax
+            )
+
+        # Surface contribution: −(λ/w_i)(ℓ_i(1) F̂_hi − ℓ_i(0) F̂_lo).
+        shape_i = [1] * new.ndim
+        shape_i[node_ax] = self.n_nodes
+        phi1_w = jnp.asarray(ops.phi1 / ops.weights, new.dtype).reshape(shape_i)
+        phi0_w = jnp.asarray(ops.phi0 / ops.weights, new.dtype).reshape(shape_i)
+        new = new - lam * (
+            phi1_w * jnp.expand_dims(fhat_hi, node_ax)
+            - phi0_w * jnp.expand_dims(fhat_lo, node_ax)
+        )
+        if self.ncp_fn is not None:
+            # Path-conservative face fluctuations: the central parts
+            # ½·B(q̃)·Δq go one to each side (the ±½sΔq dissipation is
+            # already carried by the Rusanov f̂ above, which is
+            # well-defined even for identically-zero flux).
+            mid = 0.5 * (q_hi + q_plus)
+            half = 0.5 * self.ncp_fn(mid, q_plus - q_hi, d, face_va)
+            half_lo = jnp.roll(half, shift=1, axis=face_grid_ax)
+            new = new - lam * (
+                phi1_w * jnp.expand_dims(half, node_ax)
+                + phi0_w * jnp.expand_dims(half_lo, node_ax)
+            )
+        return new, fhat_hi
 
     # ---------------------------------------------------------------- driver
 

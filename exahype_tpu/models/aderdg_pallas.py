@@ -45,11 +45,9 @@ class PallasADERDG:
         fuse_interior_riemann: bool = True,
     ):
         if solver.boundary != "periodic":
-            raise LoweringError(
-                "PallasADERDG supports periodic boundaries only (the fused "
-                "face solves wrap); use the base ADERDGSolver for "
-                f"boundary={solver.boundary!r}"
-            )
+            # The in-kernel face wraps assume periodicity; with walls every
+            # axis goes through the (boundary-aware) XLA epilogue instead.
+            fuse_interior_riemann = False
         self.solver = solver
         self.interpret = interpret
         #: Solve the Riemann problems of grid axes 1..dim-1 INSIDE the
@@ -127,6 +125,7 @@ class PallasADERDG:
         PHI1W = [float(v) for v in np.asarray(ops.phi1 / ops.weights)]
         va = sol.var_axis  # var axis of per-time-slice arrays
         face_va = sol.var_axis - 1  # var axis of face-projected arrays
+        reflective = sol.boundary == "reflective"
         if self.fuse_interior_riemann and dim > 1:
             fused_axes = tuple(d for d in lam_axes if d != 0)
             epilogue_axes = (0,)
@@ -376,13 +375,20 @@ class PallasADERDG:
             if getattr(self, "_profile_predictor_only", False):
                 return new
             faces = outs[1:]
+            dtv = jnp.asarray(dt, u.dtype)
             for i, d in enumerate(epilogue_axes):
-                lam = jnp.asarray(dt, u.dtype) / sol._dxs[d]
                 q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
-                new = surface_update(
-                    new, q_lo, q_hi, f_lo, f_hi, d, lam,
-                    shift=lambda x, sh, ax: jnp.roll(x, shift=sh, axis=ax),
-                )
+                if reflective:
+                    # Boundary-aware face stage from the base solver (the
+                    # predictor kernel is boundary-independent).
+                    new, _ = sol.face_update(
+                        new, q_lo, q_hi, f_lo, f_hi, d, dtv
+                    )
+                else:
+                    new = surface_update(
+                        new, q_lo, q_hi, f_lo, f_hi, d, dtv / sol._dxs[d],
+                        shift=lambda x, sh, ax: jnp.roll(x, shift=sh, axis=ax),
+                    )
             return new
 
         # Internals for the sharded wrapper (parallel/shard.py): the

@@ -571,18 +571,31 @@ def test_pallas_fused_interior_riemann_modes_agree():
     np.testing.assert_allclose(got_off, ref, rtol=0, atol=1e-12)
 
 
-def test_pallas_rejects_reflective_boundary():
-    """The fused path would silently wrap periodically; reflective solvers
-    are rejected with a clear error."""
+def test_pallas_reflective_matches_base():
+    """Reflective walls on the fused path: the predictor kernel is
+    boundary-independent; the epilogue reuses the base solver's
+    boundary-aware face stage. Matches the base step to 1e-12."""
     from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
-    from exahype_tpu.utils.errors import LoweringError
 
     flux, eig = euler_physics(dim=2, n_real=4)
     solver = ADERDGSolver(
-        dim=2, order=2, n_vars=4, grid_shape=(4, 4), flux_fn=flux,
-        max_eigenvalue_fn=eig, dx=0.25, boundary="reflective",
+        dim=2, order=2, n_vars=4, grid_shape=(8, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="reflective",
         reflect_fn=euler_reflect(2), reflect_flux_fn=euler_reflect_flux(2),
     )
-    with pytest.raises(LoweringError, match="periodic"):
-        PallasADERDG(solver, interpret=True, tile0=2)
+    rng = np.random.default_rng(6)
+    no_var = solver.state_shape[: solver.var_axis] + solver.state_shape[solver.var_axis + 1 :]
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    Q0 = jnp.asarray(np.stack(
+        [rho, 0.1 * rho, -0.1 * rho, 5.0 + 0.6 * rho], axis=solver.var_axis))
+    ref = np.asarray(solver.step(Q0, 1e-3))
+    fused = PallasADERDG(solver, interpret=True, tile0=2)
+    assert fused.fuse_interior_riemann is False
+    got = np.asarray(fused.step(Q0, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+    # multi-step energy behavior matches too (walls stay walls)
+    ref_run = np.asarray(solver.run(Q0, 5, 1e-3))
+    got_run = np.asarray(fused.run(Q0, 5, 1e-3))
+    np.testing.assert_allclose(got_run, ref_run, rtol=0, atol=1e-11)
