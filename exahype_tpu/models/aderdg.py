@@ -340,25 +340,54 @@ class ADERDGSolver:
             return new, face_fluxes
         return new
 
-    def face_update(self, new, q_lo, q_hi, f_lo, f_hi, d, dt):
+    def face_update(
+        self,
+        new,
+        q_lo,
+        q_hi,
+        f_lo,
+        f_hi,
+        d,
+        dt,
+        shift=None,
+        holds_lo_wall=True,
+        holds_hi_wall=True,
+    ):
         """Riemann solve + surface (and NCP-fluctuation) corrector update
         for direction ``d`` from face-extrapolated time-averaged state/flux.
 
-        Shared by :meth:`step` and the fused-Pallas reflective epilogue
-        (``models/aderdg_pallas.py``): the predictor kernel is boundary-
+        Shared by :meth:`step`, the fused-Pallas reflective epilogue
+        (``models/aderdg_pallas.py``), and the multi-chip wrapper
+        (``parallel/shard.py``): the predictor kernel is boundary-
         independent, so walls only need this face stage.  Returns
         ``(new, fhat_hi)``.
+
+        ``shift(x, sh, axis)`` supplies the neighbour access (defaults to
+        the periodic ``jnp.roll``; the sharded path passes a local-roll +
+        ``ppermute`` edge repair).  ``holds_lo_wall`` / ``holds_hi_wall``
+        gate the reflective-wall ghost overwrite at the first/last row —
+        pass per-shard predicates (``axis_index == 0`` etc.) when the grid
+        axis is sharded so only the shards owning a domain wall apply it.
         """
         ops = self.ops
         lam = dt / self._dxs[d]
         node_ax = self.node_axis(d)
         face_grid_ax = self.grid_axis(d) - 1
         face_va = self.var_axis - 1
+        if shift is None:
+            shift = lambda x, sh, ax: jnp.roll(x, shift=sh, axis=ax)
+
+        def _gate(gate, wall_row, exchanged, pos):
+            """Wall row unless this shard doesn't own the wall."""
+            if gate is True:
+                return wall_row
+            cur = jax.lax.index_in_dim(exchanged, pos, face_grid_ax, keepdims=True)
+            return jnp.where(gate, wall_row, cur)
 
         # Face between me and my +d neighbour: left state = my high
         # face, right state = neighbour's low face (periodic roll).
-        q_plus = jnp.roll(q_lo, shift=-1, axis=face_grid_ax)
-        f_plus = jnp.roll(f_lo, shift=-1, axis=face_grid_ax)
+        q_plus = shift(q_lo, -1, face_grid_ax)
+        f_plus = shift(f_lo, -1, face_grid_ax)
         if self.boundary == "reflective":
             # Domain high wall (last cell along d): the ghost is the
             # mirror of my own time-averaged face state/flux.
@@ -368,16 +397,21 @@ class ADERDGSolver:
             f_last = jax.lax.index_in_dim(
                 f_hi, -1, face_grid_ax, keepdims=True
             )
-            ghost = self.reflect_fn(last, d, face_va)
+            ghost = _gate(
+                holds_hi_wall, self.reflect_fn(last, d, face_va), q_plus, -1
+            )
+            ghost_f = _gate(
+                holds_hi_wall,
+                self.reflect_flux_fn(f_last, d, face_va),
+                f_plus,
+                -1,
+            )
             g = q_plus.shape[face_grid_ax]
             q_plus = jax.lax.dynamic_update_slice_in_dim(
                 q_plus, ghost, g - 1, face_grid_ax
             )
             f_plus = jax.lax.dynamic_update_slice_in_dim(
-                f_plus,
-                self.reflect_flux_fn(f_last, d, face_va),
-                g - 1,
-                face_grid_ax,
+                f_plus, ghost_f, g - 1, face_grid_ax
             )
         s_hi = jnp.expand_dims(
             jnp.maximum(
@@ -396,7 +430,7 @@ class ADERDGSolver:
         fhat_hi = 0.5 * (f_hi + f_plus) - 0.5 * s_hi * dq
 
         # Face between my -d neighbour and me: that neighbour's fhat_hi.
-        fhat_lo = jnp.roll(fhat_hi, shift=1, axis=face_grid_ax)
+        fhat_lo = shift(fhat_hi, 1, face_grid_ax)
         if self.boundary == "reflective":
             # Domain low wall (first cell along d): Riemann flux between
             # the mirror ghost (left) and my own low-face state (right).
@@ -413,6 +447,7 @@ class ADERDGSolver:
             wall = 0.5 * (
                 self.reflect_flux_fn(f_first, d, face_va) + f_first
             ) - 0.5 * s_w * (first - ghost)
+            wall = _gate(holds_lo_wall, wall, fhat_lo, 0)
             fhat_lo = jax.lax.dynamic_update_slice_in_dim(
                 fhat_lo, wall, 0, face_grid_ax
             )
@@ -433,7 +468,7 @@ class ADERDGSolver:
             # well-defined even for identically-zero flux).
             mid = 0.5 * (q_hi + q_plus)
             half = 0.5 * self.ncp_fn(mid, q_plus - q_hi, d, face_va)
-            half_lo = jnp.roll(half, shift=1, axis=face_grid_ax)
+            half_lo = shift(half, 1, face_grid_ax)
             new = new - lam * (
                 phi1_w * jnp.expand_dims(half, node_ax)
                 + phi0_w * jnp.expand_dims(half_lo, node_ax)

@@ -152,9 +152,13 @@ def make_sharded_aderdg_step(
 ):
     """Multi-chip fused-Pallas ADER-DG step: the cell grid's axis 0 is
     sharded over ``axis_name``; each shard runs the VMEM predictor kernel
-    (cell-local, including the interior-axis Riemann solves), and the
-    axis-0 Riemann epilogue exchanges the one-face edge with neighbour
-    shards via explicit ``lax.ppermute`` over ICI.
+    (cell-local, including the interior-axis Riemann solves when fused),
+    and the Riemann epilogue runs through the boundary-aware
+    ``ADERDGSolver.face_update``: the sharded axis 0 exchanges its one-face
+    edge with neighbour shards via explicit ``lax.ppermute`` over ICI and
+    gates wall ghosts to the shards owning a domain wall; interior epilogue
+    axes (present with walls or ``fuse_interior_riemann=False``) are whole
+    within each shard and use the plain local roll.
 
     Returns ``(step_fn, sharding)``: jit ``step_fn(Q, dt)`` with ``Q``
     placed on ``sharding``.  GSPMD cannot partition ``pallas_call``, hence
@@ -176,7 +180,6 @@ def make_sharded_aderdg_step(
     fused = PallasADERDG(local_solver, interpret=interpret, **pallas_kwargs)
     fused.build()
     predictor_call = fused._predictor_call_fn
-    surface_update = fused._surface_update_fn
     epilogue_axes = fused._epilogue_axes
 
     shard_axis = solver.grid_axis(0)  # tensor axis of grid axis 0
@@ -193,12 +196,31 @@ def make_sharded_aderdg_step(
         outs = predictor_call(Q_local, dt)
         new = outs[0]
         faces = outs[1:]
+        dtv = jnp.asarray(dt, Q_local.dtype)
+        idx = jax.lax.axis_index(axis_name)
         for i, d in enumerate(epilogue_axes):
-            lam = jnp.asarray(dt, Q_local.dtype) / local_solver._dxs[d]
             q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
-            new = surface_update(
-                new, q_lo, q_hi, f_lo, f_hi, d, lam, shift=shift
-            )
+            if d == 0:
+                # Sharded axis: ppermute edge exchange; wall ghosts only on
+                # the first/last shard.
+                new, _ = local_solver.face_update(
+                    new,
+                    q_lo,
+                    q_hi,
+                    f_lo,
+                    f_hi,
+                    d,
+                    dtv,
+                    shift=shift,
+                    holds_lo_wall=idx == 0,
+                    holds_hi_wall=idx == n_shards - 1,
+                )
+            else:
+                # Interior grid axes are whole within the shard: the plain
+                # (boundary-aware) local face stage is exactly right.
+                new, _ = local_solver.face_update(
+                    new, q_lo, q_hi, f_lo, f_hi, d, dtv
+                )
         return new
 
     step = jax.shard_map(

@@ -333,3 +333,70 @@ def test_sharded_pallas_aderdg_matches_single_device():
     # collectives really appear in the compiled program
     hlo = jax.jit(step).lower(Qs, 1e-3).compile().as_text()
     assert "collective-permute" in hlo
+
+
+def _aderdg_euler_state(solver, seed=4):
+    rng = np.random.default_rng(seed)
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    comps = [rho, 0.4 * rho, 0.5 * rho, 0.25 * rho, 5.0 + 0.66 * rho]
+    return jnp.asarray(np.stack(comps, axis=solver.var_axis))
+
+
+def test_sharded_aderdg_reflective_matches_single_device():
+    """Reflective walls on the sharded fused path: fusion auto-disables, so
+    every axis goes through the epilogue; the sharded axis-0 face stage must
+    apply wall ghosts only on the first/last shard and ppermute elsewhere,
+    and interior axes must use the LOCAL wall-aware face stage (they are
+    unsharded).  Guards the round-1 advisory bug where _edge_shift was
+    applied to every epilogue axis (max error 0.128 vs the base solver)."""
+    from exahype_tpu.models.aderdg import (
+        ADERDGSolver,
+        euler_physics,
+        euler_reflect,
+        euler_reflect_flux,
+    )
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 4), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="reflective",
+        reflect_fn=euler_reflect(3), reflect_flux_fn=euler_reflect_flux(3),
+    )
+    Q0 = _aderdg_euler_state(solver)
+    ref = np.asarray(jax.jit(solver.step)(Q0, 1e-3))
+
+    mesh = make_mesh(8)
+    step, sharding = make_sharded_aderdg_step(solver, mesh, interpret=True, tile0=1)
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_sharded_aderdg_unfused_periodic_matches_single_device():
+    """fuse_interior_riemann=False (the documented setting when interior
+    grid axes are sharded) forwarded through make_sharded_aderdg_step: the
+    interior-axis epilogues must wrap locally, not ppermute (round-1
+    advisory: 2.2e-3 error)."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 4), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    Q0 = _aderdg_euler_state(solver, seed=7)
+    ref = np.asarray(jax.jit(solver.step)(Q0, 1e-3))
+
+    mesh = make_mesh(8)
+    step, sharding = make_sharded_aderdg_step(
+        solver, mesh, interpret=True, tile0=1, fuse_interior_riemann=False
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
