@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Literal
+from typing import Callable, Literal, Optional
 
 import jax.numpy as jnp
 
@@ -43,11 +43,21 @@ def _axis_slice(ndim: int, axis: int, lo: int, hi: int) -> tuple:
 
 @dataclasses.dataclass(frozen=True)
 class PatchGrid:
-    """A Cartesian arrangement of patches covering a global domain."""
+    """A Cartesian arrangement of patches covering a global domain.
+
+    ``boundary="reflective"`` mirrors the interior into the domain-face
+    halos.  The plain mirror is a SYMMETRY (slip/zero-gradient) boundary;
+    for a physical wall pass ``reflect_fn(slab, axis, var_axis)`` to
+    transform the mirrored ghost state per variable — e.g.
+    :func:`exahype_tpu.models.aderdg.euler_reflect` negates the normal
+    momentum, giving an exactly zero mass flux through the wall.
+    """
 
     config: KernelConfig
     grid_shape: tuple[int, ...]
     boundary: Boundary = "periodic"
+    #: Ghost-state transform applied after the mirror flip (see class doc).
+    reflect_fn: Optional[Callable] = None
 
     def __post_init__(self):
         if len(self.grid_shape) != self.config.dim:
@@ -110,6 +120,14 @@ class PatchGrid:
                 Q = self._reflect(Q, d)
         return Q
 
+    def _mirror_slab(self, slab, d: int, spat_ax: int, var_axis: int):
+        """Ghost slab for a wall along ``d``: mirror flip + optional
+        per-variable transform (e.g. normal-momentum negation)."""
+        out = jnp.flip(slab, axis=spat_ax)
+        if self.reflect_fn is not None:
+            out = self.reflect_fn(out, d, var_axis)
+        return out
+
     def _reflect(self, Q, d: int):
         """Mirror the interior into the outer faces of the domain boundary."""
         cfg = self.config
@@ -117,6 +135,7 @@ class PatchGrid:
         nd = Q.ndim
         grid_ax, spat_ax = d, cfg.dim + d
         n_g = self.grid_shape[d]
+        var_axis = nd - 1
 
         def sl(grid_rng, spat_rng):
             s = [slice(None)] * nd
@@ -126,8 +145,10 @@ class PatchGrid:
 
         # Low face of grid block 0 mirrors its first h interior layers;
         # high face of the last block mirrors its last h interior layers.
-        interior_lo = jnp.flip(Q[sl((0, 1), (h, 2 * h))], axis=spat_ax)
-        interior_hi = jnp.flip(Q[sl((n_g - 1, n_g), (P, P + h))], axis=spat_ax)
+        interior_lo = self._mirror_slab(Q[sl((0, 1), (h, 2 * h))], d, spat_ax, var_axis)
+        interior_hi = self._mirror_slab(
+            Q[sl((n_g - 1, n_g), (P, P + h))], d, spat_ax, var_axis
+        )
         Q = Q.at[sl((0, 1), (0, h))].set(interior_lo)
         Q = Q.at[sl((n_g - 1, n_g), (P + h, P + 2 * h))].set(interior_hi)
         return Q
@@ -149,6 +170,9 @@ class TpuPatchGrid:
     config: KernelConfig
     grid_shape: tuple[int, ...]
     boundary: Boundary = "periodic"
+    #: Ghost-state transform applied after the mirror flip (see
+    #: :class:`PatchGrid`).
+    reflect_fn: Optional[Callable] = None
 
     def __post_init__(self):
         if len(self.grid_shape) != self.config.dim:
@@ -211,6 +235,13 @@ class TpuPatchGrid:
                 Q = self._reflect(Q, d)
         return Q
 
+    def _mirror_slab(self, slab, d: int, spat_ax: int):
+        """Ghost slab for a wall along ``d`` (SoA-P: var axis = dim)."""
+        out = jnp.flip(slab, axis=spat_ax)
+        if self.reflect_fn is not None:
+            out = self.reflect_fn(out, d, self.config.dim)
+        return out
+
     def _reflect(self, Q, d: int):
         cfg = self.config
         h, P = cfg.halo_size, cfg.patch_size
@@ -225,8 +256,8 @@ class TpuPatchGrid:
             s[spat_ax] = slice(*spat_rng)
             return tuple(s)
 
-        interior_lo = jnp.flip(Q[sl((0, 1), (h, 2 * h))], axis=spat_ax)
-        interior_hi = jnp.flip(Q[sl((n_g - 1, n_g), (P, P + h))], axis=spat_ax)
+        interior_lo = self._mirror_slab(Q[sl((0, 1), (h, 2 * h))], d, spat_ax)
+        interior_hi = self._mirror_slab(Q[sl((n_g - 1, n_g), (P, P + h))], d, spat_ax)
         Q = Q.at[sl((0, 1), (0, h))].set(interior_lo)
         Q = Q.at[sl((n_g - 1, n_g), (P + h, P + 2 * h))].set(interior_hi)
         return Q

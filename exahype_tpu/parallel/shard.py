@@ -26,21 +26,23 @@ from exahype_tpu.utils.errors import SemanticError
 def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AXIS):
     """Halo fill for a grid whose axis 0 is sharded (call under shard_map).
 
-    Inner grid axes use the local periodic roll; the sharded axis rolls
-    locally and then repairs the shard-boundary rows with ``ppermute``d edge
-    slabs (periodic over the whole mesh).
+    Inner grid axes use the local exchange (periodic roll, plus the grid's
+    wall mirror when ``boundary="reflective"`` — those axes are whole within
+    the shard); the sharded axis rolls locally and then repairs the
+    shard-boundary rows with ``ppermute``d edge slabs.  With reflective
+    boundaries the domain-face mirror on the sharded axis is applied only by
+    the shards owning the global first/last grid row.
     """
     cfg = local_grid.config
     h, P = cfg.halo_size, cfg.patch_size
     if h == 0:
         return Q
-    if local_grid.boundary != "periodic":
-        raise SemanticError("sharded halo exchange supports periodic boundaries")
     nd = Q.ndim
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    reflective = local_grid.boundary == "reflective"
 
     for d in range(cfg.dim):
         spat_ax = d
@@ -57,6 +59,22 @@ def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AX
             from_left = jax.lax.ppermute(send_last, axis_name, fwd)
             send_first = jax.lax.index_in_dim(hi_src, 0, grid_ax, keepdims=True)
             from_right = jax.lax.ppermute(send_first, axis_name, bwd)
+            if reflective:
+                # Domain walls live on the first/last shard only: their
+                # outer-face halo is the mirror of their own interior edge,
+                # not the (wrapped) ppermute payload.
+                mirror_lo = local_grid._mirror_slab(
+                    jax.lax.index_in_dim(hi_src, 0, grid_ax, keepdims=True),
+                    d,
+                    spat_ax,
+                )
+                mirror_hi = local_grid._mirror_slab(
+                    jax.lax.index_in_dim(lo_src, -1, grid_ax, keepdims=True),
+                    d,
+                    spat_ax,
+                )
+                from_left = jnp.where(idx == 0, mirror_lo, from_left)
+                from_right = jnp.where(idx == n_dev - 1, mirror_hi, from_right)
             g0 = lo_halo.shape[grid_ax]
             lo_halo = jax.lax.dynamic_update_slice_in_dim(
                 lo_halo, from_left, 0, grid_ax
@@ -66,6 +84,8 @@ def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AX
             )
         Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(lo_halo)
         Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(hi_halo)
+        if reflective and d != 0:
+            Q = local_grid._reflect(Q, d)
     return Q
 
 

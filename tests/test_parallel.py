@@ -400,3 +400,93 @@ def test_sharded_aderdg_unfused_periodic_matches_single_device():
     Qs = jax.device_put(Q0, sharding)
     got = np.asarray(jax.jit(step)(Qs, 1e-3))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_fv_wall_conserves_mass_and_energy():
+    """Reflective walls with the Euler reflect hook (normal momentum
+    negated): zero mass/energy flux through the wall, so both are conserved
+    to rounding; the plain mirror (no hook) is only a symmetry boundary and
+    leaks mass (round-1 advisory)."""
+    from exahype_tpu.models.aderdg import euler_reflect
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=4
+    )
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=4
+    )
+    rng = np.random.default_rng(5)
+    Q0 = rng.uniform(0.1, 1.0, size=(2, 2, 6, 6, 5))
+    Q0[..., 0] += 1.0
+    Q0[..., 1] += 0.5  # directed x-velocity so wall flux is exercised
+    Q0[..., 3] += 5.0
+    Q0 = jnp.asarray(Q0)
+
+    def totals(solver, Q):
+        interior = solver._interior(Q)
+        return np.asarray(jnp.sum(interior, axis=tuple(range(interior.ndim - 1))))
+
+    wall_grid = PatchGrid(
+        config=cfg, grid_shape=(2, 2), boundary="reflective",
+        reflect_fn=euler_reflect(2),
+    )
+    solver = GridSolver(wall_grid, kb, dx=0.1, kernel_dt="lambda")
+    Q = Q0
+    before = totals(solver, Q)
+    for _ in range(5):
+        Q = solver.step(Q, 1e-3)
+    after = totals(solver, Q)
+    assert bool(jnp.isfinite(Q).all())
+    np.testing.assert_allclose(after[0], before[0], rtol=1e-12)  # mass
+    np.testing.assert_allclose(after[3], before[3], rtol=1e-12)  # energy
+    # Momentum is NOT conserved (walls exert pressure).
+    assert abs(after[1] - before[1]) > 1e-6
+
+    # Plain mirror (no hook): a symmetry boundary — mass leaks through.
+    sym_grid = PatchGrid(config=cfg, grid_shape=(2, 2), boundary="reflective")
+    sym_solver = GridSolver(sym_grid, kb, dx=0.1, kernel_dt="lambda")
+    Qs = Q0
+    for _ in range(5):
+        Qs = sym_solver.step(Qs, 1e-3)
+    leaked = totals(sym_solver, Qs)
+    assert abs(leaked[0] - before[0]) > 1e-6
+
+
+def test_sharded_pallas_reflective_matches_single_device():
+    """Reflective walls through the explicit shard_map FV path: the sharded
+    axis-0 wall mirror must apply only on the first/last shard."""
+    from exahype_tpu.models.aderdg import euler_reflect
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.parallel.shard import make_sharded_pallas_step
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    grid = TpuPatchGrid(
+        config=cfg, grid_shape=(8, 2), boundary="reflective",
+        reflect_fn=euler_reflect(2),
+    )
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    solver = GridSolver(
+        grid, kb, dx=0.1, backend="pallas", interpret=True, tile_patches=2
+    )
+    rng = np.random.default_rng(23)
+    aos = rng.uniform(0.1, 1.0, size=(16, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 1] += 0.5
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    Q = grid.from_aos(jnp.asarray(aos))
+
+    ref = np.asarray(solver.step(Q, 1e-3))
+
+    mesh = make_mesh(8)
+    step, sharding = make_sharded_pallas_step(
+        kb, grid, mesh, interpret=True, tile_patches=2
+    )
+    Qs = jax.device_put(Q, sharding)
+    out = np.asarray(step(Qs, 1e-3))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-13)
