@@ -32,6 +32,7 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import sympy
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -76,6 +77,7 @@ class PallasPrinter(CodePrinter):
         interpret: bool = False,
         vmem_limit_bytes: Optional[int] = None,
         patch_grid_shape: Optional[Sequence[int]] = None,
+        dtype=None,
     ):
         super().__init__(kernel, function_name=function_name)
         self.policy = policy
@@ -83,6 +85,11 @@ class PallasPrinter(CodePrinter):
         #: Raise the Mosaic scoped-VMEM ceiling (bytes); None keeps the
         #: compiler default (~16 MiB).
         self.vmem_limit_bytes = vmem_limit_bytes
+        #: State dtype assumed by the VMEM tile-size estimate (the kernel
+        #: itself is dtype-polymorphic).  Default f32; pass f64 when running
+        #: interpret-mode tests with x64 state so auto-tiling doesn't
+        #: overcommit the budget on real hardware shapes.
+        self._itemsize = int(np.dtype(dtype or np.float32).itemsize)
         cfg = kernel.config
         if patch_grid_shape is not None:
             self.patch_tail = tuple(patch_grid_shape)
@@ -113,7 +120,7 @@ class PallasPrinter(CodePrinter):
 
     # ----------------------------------------------------------- tile sizing
 
-    def _vmem_bytes_per_patch(self, itemsize: int = 4) -> int:
+    def _vmem_bytes_per_patch(self, itemsize: Optional[int] = None) -> int:
         """Peak VMEM estimate per patch lane: in+out blocks of the primary
         (double-buffered by the pipeline) plus every temp array.
 
@@ -122,6 +129,8 @@ class PallasPrinter(CodePrinter):
         """
         kb = self._kernel
         cfg = kb.config
+        if itemsize is None:
+            itemsize = self._itemsize
         cells = cfg.extent**cfg.dim
         sublane = 8
 

@@ -404,17 +404,21 @@ class KernelBuilder:
         )
 
     def with_n_patches(self, n_patches: int) -> "KernelBuilder":
-        """A view of this spec with a different patch count.
+        """A copy of this spec with a different patch count.
 
-        Statements and registries are shared (they are patch-count
-        independent); only the config differs.  Used by the distributed
-        layer to build per-shard kernels.
+        Statement lists and registries are COPIED (shallow one level — the
+        contained sympy expressions are immutable), so appending statements
+        to either builder cannot corrupt the other.  Used by the
+        distributed layer to build per-shard kernels.
         """
         import copy as _copy
         import dataclasses as _dc
 
         clone = _copy.copy(self)
         clone.config = _dc.replace(self.config, n_patches=n_patches)
+        for attr, val in vars(self).items():
+            if isinstance(val, (list, dict)):
+                setattr(clone, attr, val.copy())
         return clone
 
     def temp_items(self) -> list[str]:

@@ -43,6 +43,7 @@ class PallasADERDG:
         vmem_limit_bytes: int = 100 * 1024 * 1024,
         interpret: bool = False,
         fuse_interior_riemann: bool = True,
+        dtype=None,
     ):
         if solver.boundary != "periodic":
             # The in-kernel face wraps assume periodicity; with walls every
@@ -58,6 +59,10 @@ class PallasADERDG:
         #: assumes they are whole and periodic).
         self.fuse_interior_riemann = fuse_interior_riemann
         self.vmem_limit_bytes = vmem_limit_bytes
+        #: State dtype assumed by the VMEM estimate (f32 default; pass the
+        #: real dtype, e.g. f64 in x64 interpret tests, so auto-tiling
+        #: doesn't undersize the working set).
+        self._itemsize = int(np.dtype(dtype or np.float32).itemsize)
         if tile0 is None:
             tile0 = self._default_tile0(vmem_limit_bytes * 3 // 4)
         if solver.grid_shape[0] % tile0 != 0:
@@ -67,7 +72,9 @@ class PallasADERDG:
         self.tile0 = tile0
         self._step = None
 
-    def _bytes_per_cell(self, itemsize: int = 4) -> int:
+    def _bytes_per_cell(self, itemsize: Optional[int] = None) -> int:
+        if itemsize is None:
+            itemsize = self._itemsize
         sol = self.solver
         nodal = sol.n_nodes**sol.dim * sol.n_vars * itemsize
         # u in/out (double-buffered, 4 buffers) + the space-time q (n_nodes

@@ -59,18 +59,28 @@ class TimeLoopDriver:
             if config.checkpoint_every and config.checkpoint_dir
             else None
         )
-        in_shardings = (sharding, None) if sharding is not None else None
-        kwargs = {}
+        self._jit_kwargs = {}
         if sharding is not None:
-            kwargs = {"in_shardings": in_shardings, "out_shardings": (sharding, None)}
-        self._run_chunk = jax.jit(
-            lambda Q, dt: self._normalize(
-                self.solver.run(Q, config.chunk_steps, dt=dt),
-                config.chunk_steps,
-                dt,
-            ),
-            **kwargs,
-        )
+            self._jit_kwargs = {
+                "in_shardings": (sharding, None),
+                "out_shardings": (sharding, None),
+            }
+        # Jitted chunk runners keyed by chunk length (the tail chunk of a
+        # run that isn't a multiple of chunk_steps compiles once, not per
+        # call).
+        self._chunk_fns: dict[int, callable] = {}
+
+    def _chunk_fn(self, n_steps: int):
+        fn = self._chunk_fns.get(n_steps)
+        if fn is None:
+            fn = jax.jit(
+                lambda Q, dt: self._normalize(
+                    self.solver.run(Q, n_steps, dt=dt), n_steps, dt
+                ),
+                **self._jit_kwargs,
+            )
+            self._chunk_fns[n_steps] = fn
+        return fn
 
     @staticmethod
     def _normalize(res, n_steps, dt):
@@ -85,38 +95,39 @@ class TimeLoopDriver:
             return grid.config.dofs()
         return self.solver.dofs()
 
-    def resume_or_init(self, Q0):
-        """Restore the latest checkpoint if one exists, else start fresh."""
+    def resume_or_init(self, Q0, dt: Optional[float] = None):
+        """Restore the latest checkpoint if one exists, else start fresh.
+
+        Returns ``(Q, t, step, dt)``: the checkpointed dt (possibly reduced
+        by a past non-finite recovery) wins over the caller's — otherwise a
+        restart would silently revert to the dt that blew up.
+        """
         if self.ckpt is not None:
             state = self.ckpt.restore()
             if state is not None:
                 logger.info("resuming from step %d", int(state["step"]))
+                ckpt_dt = state.get("dt")
                 return (
                     jnp.asarray(state["Q"]),
                     float(state["t"]),
                     int(state["step"]),
+                    float(ckpt_dt) if ckpt_dt is not None else dt,
                 )
-        return jnp.asarray(Q0), 0.0, 0
+        return jnp.asarray(Q0), 0.0, 0, dt
 
     def run(self, Q0, n_steps: int, dt: float):
         """Integrate ``n_steps`` with fixed dt; returns (Q, t, stats dict)."""
         cfg = self.config
-        Q, t, start_step = self.resume_or_init(Q0)
+        Q, t, start_step, dt = self.resume_or_init(Q0, dt)
         step = start_step
         recoveries = 0
+        chunks_done = 0
         dof = self._dofs()
         wall0 = time.perf_counter()
 
         while step < n_steps:
             chunk = min(cfg.chunk_steps, n_steps - step)
-            if chunk != cfg.chunk_steps:
-                Qn, t_inc = jax.jit(
-                    lambda q, d: self._normalize(
-                        self.solver.run(q, chunk, dt=d), chunk, d
-                    )
-                )(Q, dt)
-            else:
-                Qn, t_inc = self._run_chunk(Q, dt)
+            Qn, t_inc = self._chunk_fn(chunk)(Q, dt)
             Qn.block_until_ready()
 
             if not bool(jnp.isfinite(Qn).all()):
@@ -145,8 +156,9 @@ class TimeLoopDriver:
             Q = Qn
             t += float(t_inc)
             step += chunk
+            chunks_done += 1
 
-            if self.ckpt is not None and (step // cfg.chunk_steps) % cfg.checkpoint_every == 0:
+            if self.ckpt is not None and chunks_done % cfg.checkpoint_every == 0:
                 self.ckpt.save(step, {"step": step, "t": t, "dt": dt, "Q": Q})
 
             if cfg.log_metrics:

@@ -98,8 +98,9 @@ def test_driver_runs_and_checkpoints(tmp_path, caplog):
             chunk_steps=2, checkpoint_every=1, checkpoint_dir=str(tmp_path / "ck")
         ),
     )
-    Qr, tr, start = driver2.resume_or_init(Q0)
+    Qr, tr, start, dt_r = driver2.resume_or_init(Q0, 1e-3)
     assert start > 0
+    assert dt_r == pytest.approx(1e-3)  # checkpointed dt wins on resume
 
 
 def test_driver_failure_detection_without_checkpoint():
@@ -144,7 +145,7 @@ def test_driver_elastic_recovery(tmp_path, caplog):
                 return jnp.asarray(bad), t_inc
             return Qn, t_inc
 
-    driver._run_chunk = PoisonOnce(driver._run_chunk)
+    driver._chunk_fns[1] = PoisonOnce(driver._chunk_fn(1))
     with caplog.at_level(logging.WARNING, logger="exahype_tpu.driver"):
         Q2, t2, stats2 = driver.run(np.asarray(Q), n_steps=3, dt=1e-3)
     assert stats2["recoveries"] == 1
@@ -391,3 +392,21 @@ def test_checkpoint_roundtrip_sharded_state():
         # re-place on the mesh and keep computing
         Q2 = jax.device_put(jnp.asarray(state["Q"]), sharding)
         np.testing.assert_array_equal(np.asarray(Q2 * 2.0), np.asarray(Q) * 2.0)
+
+
+def test_resume_uses_checkpointed_dt(tmp_path):
+    """A recovery-reduced dt must survive a process restart: resume_or_init
+    prefers the checkpointed dt over the caller's (round-1 advisory)."""
+    solver = make_solver()
+    driver = TimeLoopDriver(
+        solver,
+        DriverConfig(
+            chunk_steps=2, checkpoint_every=1, checkpoint_dir=str(tmp_path / "ck"),
+            log_metrics=False,
+        ),
+    )
+    Q = jnp.zeros(solver.grid.state_shape)
+    driver.ckpt.save(4, {"step": 4, "t": 0.1, "dt": 5e-4, "Q": Q})
+    _, _, step, dt = driver.resume_or_init(Q, 1e-3)
+    assert step == 4
+    assert dt == pytest.approx(5e-4)

@@ -152,3 +152,23 @@ def test_index_accepts_string_input():
     kb.item("Q")
     injected = kb.index("Q[0]")
     assert str(injected) == "Q[patch, i, j, var]"
+
+
+def test_with_n_patches_clone_is_independent():
+    """Mutating the per-shard clone (or the parent) must not leak into the
+    other: the statement lists and registries are copied, not aliased."""
+    from exahype_tpu.models import build_rusanov_kernel
+
+    kb = build_rusanov_kernel(dim=2, patch_size=4, halo_size=1, n_real=5,
+                              n_aux=0, n_patches=8)
+    clone = kb.with_n_patches(2)
+    assert clone.config.n_patches == 2
+    assert kb.config.n_patches == 8
+
+    n_stmts = len(kb.statements)
+    extra = clone.item("extra_item")
+    clone.single(extra[0], clone.all_items["Q"][0])
+    assert len(clone.statements) == n_stmts + 1
+    assert len(kb.statements) == n_stmts
+    assert "extra_item" not in kb.all_items
+    assert "extra_item" in clone.all_items
