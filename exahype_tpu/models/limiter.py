@@ -24,6 +24,11 @@ kept for comparison.  Mixed DG/FV faces are made single-valued by the
 interface-matching pass
 (untroubled neighbours adopt the troubled side's transverse-mean face flux),
 so the full limited step conserves to machine precision.
+
+Reflective walls (solver ``boundary="reflective"``) are fully supported:
+detection clamps the DMP neighbourhood at domain faces, both fallbacks use
+mirror ghosts through ``solver.reflect_fn``, and wall faces are excluded
+from interface matching (they have a single owner).
 """
 
 from __future__ import annotations
@@ -82,6 +87,44 @@ class LimitedADERDG:
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
 
+    # ------------------------------------------------------- boundary helpers
+
+    @property
+    def _wall(self) -> bool:
+        return self.solver.boundary == "reflective"
+
+    @staticmethod
+    def _set_row(x, row, pos, ax):
+        n = x.shape[ax]
+        return jax.lax.dynamic_update_slice_in_dim(
+            x, row, pos % n, ax
+        )
+
+    @staticmethod
+    def _row(x, pos, ax):
+        return jax.lax.index_in_dim(x, pos, ax, keepdims=True)
+
+    def _shift_clamp(self, x, sh, ax):
+        """Neighbour values along a grid axis; at reflective walls the
+        missing neighbour is replaced by the cell's own value (shrinking the
+        DMP neighbourhood instead of wrapping around the domain)."""
+        out = jnp.roll(x, sh, axis=ax)
+        if self._wall:
+            pos = -1 if sh == -1 else 0
+            out = self._set_row(out, self._row(x, pos, ax), pos, ax)
+        return out
+
+    def _shift_reflect(self, x, sh, ax, d, var_axis):
+        """Neighbour STATE along grid axis ``ax`` for direction ``d``; at
+        reflective walls the ghost is the mirror of the wall-adjacent value
+        (``solver.reflect_fn``, e.g. normal momentum negated)."""
+        out = jnp.roll(x, sh, axis=ax)
+        if self._wall:
+            pos = -1 if sh == -1 else 0
+            ghost = self.solver.reflect_fn(self._row(x, pos, ax), d, var_axis)
+            out = self._set_row(out, ghost, pos, ax)
+        return out
+
 
 
     # ------------------------------------------------------------- means
@@ -111,13 +154,14 @@ class LimitedADERDG:
         new_lo = jnp.min(candidate, axis=node_axes)
         new_hi = jnp.max(candidate, axis=node_axes)
 
-        # Neighbourhood extremes over faces in each direction.
+        # Neighbourhood extremes over faces in each direction (walls clamp:
+        # the neighbourhood simply shrinks at a domain face).
         lo, hi = cell_lo, cell_hi
         for d in range(sol.dim):
             ax = 1 + d  # grid axis within the [V, *grid] arrays
             for shift in (-1, 1):
-                lo = jnp.minimum(lo, jnp.roll(cell_lo, shift, axis=ax))
-                hi = jnp.maximum(hi, jnp.roll(cell_hi, shift, axis=ax))
+                lo = jnp.minimum(lo, self._shift_clamp(cell_lo, shift, ax))
+                hi = jnp.maximum(hi, self._shift_clamp(cell_hi, shift, ax))
         # Relaxation widened relative to the variable magnitude, so smooth
         # extrema of large-valued variables (e.g. total energy) don't
         # false-positive at tight absolute tolerances.
@@ -154,8 +198,8 @@ class LimitedADERDG:
         for d in range(sol.dim):
             lam = dt / sol._dxs[d]
             ax = 1 + d
-            up = jnp.roll(means, -1, axis=ax)  # +d neighbour
-            dn = jnp.roll(means, 1, axis=ax)  # -d neighbour
+            up = self._shift_reflect(means, -1, ax, d, 0)  # +d neighbour
+            dn = self._shift_reflect(means, 1, ax, d, 0)  # -d neighbour
 
             def flux(Q):
                 return sol.flux_fn(Q, d, 0)
@@ -239,6 +283,13 @@ class LimitedADERDG:
             last = take(slice(n_sub - 1, n_sub))
             from_right = jnp.roll(first, shift=-1, axis=grid_ax)
             from_left = jnp.roll(last, shift=1, axis=grid_ax)
+            if self._wall:
+                # Ghost subcells at reflective walls mirror the wall-adjacent
+                # subcell of the SAME cell (the nearest interior subcell).
+                ghost_hi = sol.reflect_fn(self._row(last, -1, grid_ax), d, va)
+                from_right = self._set_row(from_right, ghost_hi, -1, grid_ax)
+                ghost_lo = sol.reflect_fn(self._row(first, 0, grid_ax), d, va)
+                from_left = self._set_row(from_left, ghost_lo, 0, grid_ax)
             u_plus = jnp.concatenate([take(slice(1, None)), from_right], axis=sub_ax)
             u_minus = jnp.concatenate([from_left, take(slice(0, n_sub - 1))], axis=sub_ax)
 
@@ -312,6 +363,14 @@ class LimitedADERDG:
             # Face c|c+1 is mixed with me (c) untroubled, neighbour troubled.
             nbr_hi = jnp.roll(troubled, shift=-1, axis=grid_ax_mask)
             nbr_lo = jnp.roll(troubled, shift=1, axis=grid_ax_mask)
+            if self._wall:
+                # Wall faces have one owner — never a mixed DG/FV interface
+                # (and the wrapped mask rows are meaningless).
+                false_row = jnp.zeros_like(
+                    self._row(nbr_hi, -1, grid_ax_mask)
+                )
+                nbr_hi = self._set_row(nbr_hi, false_row, -1, grid_ax_mask)
+                nbr_lo = self._set_row(nbr_lo, false_row, 0, grid_ax_mask)
             mixed_hi = (~troubled) & nbr_hi
             mixed_lo = (~troubled) & nbr_lo
 

@@ -300,3 +300,115 @@ def test_limited_swe_dam_break_conserves_water():
     np.testing.assert_allclose(
         np.asarray(Q[bsel]), np.asarray(Q0[bsel]), rtol=0, atol=1e-13
     )
+
+
+def make_limited_reflective(cells=8, order=2, **kw):
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2,
+        order=order,
+        n_vars=4,
+        grid_shape=(cells, cells),
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        dx=1.0 / cells,
+        boundary="reflective",
+        reflect_fn=euler_reflect(2),
+        reflect_flux_fn=euler_reflect_flux(2),
+    )
+    return solver, LimitedADERDG(solver, admissible=euler_admissible(dim=2), **kw)
+
+
+def wall_state(solver, seed=3):
+    """Smooth positive state with directed velocity toward the x walls."""
+    rng = np.random.default_rng(seed)
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = 1.0 + 0.1 * rng.random(no_var)
+    Q = np.stack(
+        [rho, 0.3 * rho, 0.1 * rho, 5.0 + 0.5 * rho], axis=solver.var_axis
+    )
+    return jnp.asarray(Q)
+
+
+def smooth_wall_state(solver):
+    """Genuinely smooth wall-compatible flow (velocity zero at the walls)."""
+    x, y = solver.nodes_meshgrid()
+    x = np.asarray(x)
+    y = np.asarray(y)
+    rho = 1.0 + 0.05 * np.cos(np.pi * x) * np.cos(np.pi * y)
+    u = 0.02 * np.sin(np.pi * x) * np.ones_like(y)
+    v = 0.02 * np.sin(np.pi * y) * np.ones_like(x)
+    p = np.ones_like(rho)
+    E = p / 0.4 + 0.5 * rho * (u * u + v * v)
+    return jnp.asarray(
+        np.concatenate([rho, rho * u, rho * v, E], axis=solver.var_axis)
+    )
+
+
+def test_limiter_reflective_smooth_matches_base():
+    """With no troubled cells the limited reflective step IS the base step
+    (detection must not wrap the DMP neighbourhood around the walls)."""
+    solver, limited = make_limited_reflective(cells=8, order=2)
+    Q0 = smooth_wall_state(solver)
+    dt = 2e-4
+    candidate = solver.step(Q0, dt)
+    mask = np.asarray(limited.troubled_mask(Q0, candidate))
+    assert not mask.any(), f"{mask.sum()} cells flagged on smooth wall flow"
+    np.testing.assert_array_equal(
+        np.asarray(limited.step(Q0, dt)), np.asarray(candidate)
+    )
+
+
+@pytest.mark.parametrize("fallback", ["subcell", "means"])
+def test_limiter_reflective_forced_fallback_conserves(fallback):
+    """Force EVERY cell through the FV fallback in a walled domain: the
+    fallback must use wall ghosts (mirror + negated normal momentum), so
+    mass and energy are conserved to rounding (round-1 advisory: periodic
+    wraps silently leaked conserved quantities at the walls)."""
+    solver, limited = make_limited_reflective(cells=8, order=2, fallback=fallback)
+    limited.admissible = lambda Q, va: jnp.zeros(
+        Q.shape[:va] + Q.shape[va + 1 :], bool
+    )  # nothing admissible -> all troubled
+    Q0 = wall_state(solver)
+    dt = 5e-4
+    mass0 = np.asarray(solver.total_mass(Q0))
+    Q = Q0
+    for _ in range(3):
+        Q = limited.step(Q, dt)
+        assert np.asarray(
+            limited.troubled_mask(Q0, solver.step(Q0, dt))
+        ).all()  # the forcing really fires everywhere
+    mass = np.asarray(solver.total_mass(Q))
+    np.testing.assert_allclose(mass[0], mass0[0], rtol=1e-12)  # mass
+    np.testing.assert_allclose(mass[3], mass0[3], rtol=1e-12)  # energy
+    assert abs(mass[1] - mass0[1]) > 1e-8  # walls exert pressure
+
+
+def test_limiter_reflective_mixed_interface_conserves():
+    """Troubled region NOT touching the walls: mixed DG/FV interface
+    matching plus wall faces together still conserve mass and energy."""
+    solver, limited = make_limited_reflective(cells=8, order=2)
+
+    def middle_troubled(Q, va):
+        shape = Q.shape[:va] + Q.shape[va + 1 :]
+        ok = np.ones(shape, bool)
+        # node axes first, then grid: mark grid cells 3..4 x 3..4 inadmissible
+        ok[..., 3:5, 3:5] = False
+        return jnp.asarray(ok)
+
+    limited.admissible = middle_troubled
+    Q0 = wall_state(solver, seed=5)
+    dt = 5e-4
+    mass0 = np.asarray(solver.total_mass(Q0))
+    candidate = solver.step(Q0, dt)
+    mask = np.asarray(limited.troubled_mask(Q0, candidate))
+    assert mask.any() and not mask.all()
+    Q = limited.step(Q0, dt)
+    mass = np.asarray(solver.total_mass(Q))
+    np.testing.assert_allclose(mass[0], mass0[0], rtol=1e-12)
+    np.testing.assert_allclose(mass[3], mass0[3], rtol=1e-12)
