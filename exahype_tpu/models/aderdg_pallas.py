@@ -153,7 +153,9 @@ class PallasADERDG:
             (shape-agnostic: used on full arrays in the XLA epilogue, where
             ``shift=jnp.roll`` is faster, and on VMEM blocks inside the
             kernel for the interior axes, where only the concatenated-slice
-            form lowers; both are exactly periodic shifts)."""
+            form lowers; both are exactly periodic shifts).  Returns
+            ``(new, fhat_hi)`` — the high-face Rusanov flux feeds the
+            limiter's interface matching."""
             if shift is None:
                 shift = _shift
             face_grid_ax = sol.grid_axis(d) - 1
@@ -199,7 +201,7 @@ class PallasADERDG:
                     axis=node_ax,
                 )
                 new = new - lam * fluct
-            return new
+            return new, fhat_hi
 
         def mat_apply(mat, x, axis):
             """out[..., i, ...] = Σ_j mat[i][j] x[..., j, ...] (unrolled)."""
@@ -223,7 +225,13 @@ class PallasADERDG:
                 acc = acc + vec[j] * slices[j]
             return acc
 
-        def body(dt_ref, u_ref, out_vol_ref, *face_refs):
+        def make_body(emit_fused_fhat: bool):
+            def body(dt_ref, u_ref, out_vol_ref, *face_refs):
+                return _body(dt_ref, u_ref, out_vol_ref, face_refs, emit_fused_fhat)
+
+            return body
+
+        def _body(dt_ref, u_ref, out_vol_ref, face_refs, emit_fused_fhat):
             u = u_ref[...]
             dtv = dt_ref[0]
             lams = [dtv / sol._dxs[d] for d in lam_axes]
@@ -322,9 +330,10 @@ class PallasADERDG:
                         va,
                     )
             # Interior-axis Riemann solves, block-local (axes held in full).
+            fused_fhats = []
             for d in fused_axes:
                 na = sol.node_axis(d)
-                new = surface_update(
+                new, fhat_d = surface_update(
                     new,
                     vec_project(PHI0, qbar, na),
                     vec_project(PHI1, qbar, na),
@@ -333,6 +342,7 @@ class PallasADERDG:
                     d,
                     lams[d],
                 )
+                fused_fhats.append(fhat_d)
             out_vol_ref[...] = new
             # Face outputs for the epilogue axes: q_lo, q_hi, f_lo, f_hi.
             for i, d in enumerate(epilogue_axes):
@@ -341,20 +351,27 @@ class PallasADERDG:
                 face_refs[4 * i + 1][...] = vec_project(PHI1, qbar, na)
                 face_refs[4 * i + 2][...] = vec_project(PHI0, fbar[d], na)
                 face_refs[4 * i + 3][...] = vec_project(PHI1, fbar[d], na)
+            if emit_fused_fhat:
+                # One extra out ref per FUSED axis: its high-face Rusanov
+                # flux (the limiter's interface matching consumes it).
+                base = 4 * len(epilogue_axes)
+                for j, fhat_d in enumerate(fused_fhats):
+                    face_refs[base + j][...] = fhat_d
 
         state_shape = sol.state_shape
         face_shape = (nn,) * (dim - 1) + (nv,) + grid
         n_face_out = 4 * len(epilogue_axes)
 
-        def predictor_call(u, dt):
+        def predictor_call(u, dt, emit_fused_fhat: bool = False):
+            n_extra = len(fused_axes) if emit_fused_fhat else 0
             out_shapes = [jax.ShapeDtypeStruct(state_shape, u.dtype)] + [
                 jax.ShapeDtypeStruct(face_shape, u.dtype)
-            ] * n_face_out
+            ] * (n_face_out + n_extra)
             out_specs = [
                 pl.BlockSpec(vol_block, vol_map, memory_space=pltpu.VMEM)
             ] + [
                 pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
-            ] * n_face_out
+            ] * (n_face_out + n_extra)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
@@ -369,40 +386,51 @@ class PallasADERDG:
                     vmem_limit_bytes=self.vmem_limit_bytes
                 )
             return pl.pallas_call(
-                body,
+                make_body(emit_fused_fhat),
                 grid_spec=grid_spec,
                 out_shape=tuple(out_shapes),
                 interpret=self.interpret,
                 **kwargs,
             )(jnp.asarray(dt, u.dtype).reshape(1), u)
 
-        def step(u, dt):
-            outs = predictor_call(u, dt)
+        def step(u, dt, return_face_fluxes: bool = False):
+            """One fused step.  ``return_face_fluxes=True`` additionally
+            returns the per-direction high-face Rusanov fluxes (matching
+            ``ADERDGSolver.step``) — fused axes emit theirs from inside the
+            kernel, epilogue axes compute theirs in the XLA face stage."""
+            outs = predictor_call(u, dt, emit_fused_fhat=return_face_fluxes)
             new = outs[0]
             if getattr(self, "_profile_predictor_only", False):
                 return new
-            faces = outs[1:]
+            faces = outs[1 : 1 + n_face_out]
+            fused_fhats = list(outs[1 + n_face_out :])
             dtv = jnp.asarray(dt, u.dtype)
+            fhat_by_dir = {}
             for i, d in enumerate(epilogue_axes):
                 q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
-                if reflective:
+                if reflective or return_face_fluxes:
                     # Boundary-aware face stage from the base solver (the
-                    # predictor kernel is boundary-independent).
-                    new, _ = sol.face_update(
+                    # predictor kernel is boundary-independent); also the
+                    # flux-returning path, so fluxes match the base solver.
+                    new, fhat_d = sol.face_update(
                         new, q_lo, q_hi, f_lo, f_hi, d, dtv
                     )
                 else:
-                    new = surface_update(
+                    new, fhat_d = surface_update(
                         new, q_lo, q_hi, f_lo, f_hi, d, dtv / sol._dxs[d],
                         shift=lambda x, sh, ax: jnp.roll(x, shift=sh, axis=ax),
                     )
+                fhat_by_dir[d] = fhat_d
+            if return_face_fluxes:
+                for j, d in enumerate(fused_axes):
+                    fhat_by_dir[d] = fused_fhats[j]
+                return new, [fhat_by_dir[d] for d in range(dim)]
             return new
 
         # Internals for the sharded wrapper (parallel/shard.py): the
-        # cell-local predictor and the per-direction surface update with a
-        # pluggable neighbour shift.
+        # cell-local predictor; the epilogue goes through the base solver's
+        # boundary-aware face_update with a pluggable neighbour shift.
         self._predictor_call_fn = predictor_call
-        self._surface_update_fn = surface_update
         self._epilogue_axes = epilogue_axes
         self._step = step
         return step
@@ -417,8 +445,8 @@ class PallasADERDG:
     def total_mass(self, u):
         return self.solver.total_mass(u)
 
-    def step(self, u, dt):
-        return self.build()(u, dt)
+    def step(self, u, dt, return_face_fluxes: bool = False):
+        return self.build()(u, dt, return_face_fluxes)
 
     def run(self, u, n_steps: int, dt):
         step = self.build()

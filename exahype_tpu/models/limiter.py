@@ -74,6 +74,11 @@ class LimitedADERDG:
     #: (2N+1)-subcell FV — subcell-resolved, the production choice) or
     #: "means" (first-order cell-mean FV).
     fallback: str = "subcell"
+    #: Optional fused-Pallas accelerator
+    #: (:class:`~exahype_tpu.models.aderdg_pallas.PallasADERDG` built over
+    #: the SAME base solver): the candidate step + face fluxes run through
+    #: the VMEM predictor kernel; detection and the FV fallback stay XLA.
+    accelerator: Optional[object] = None
 
     def __post_init__(self):
         from exahype_tpu.models.dg import (
@@ -86,6 +91,10 @@ class LimitedADERDG:
         self._R = subcell_reconstruction(self.solver.order, self.n_sub)
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
+        if self.accelerator is not None and self.accelerator.solver is not self.solver:
+            raise ValueError(
+                "accelerator must wrap the limiter's own base solver"
+            )
 
     # ------------------------------------------------------- boundary helpers
 
@@ -404,7 +413,8 @@ class LimitedADERDG:
     # -------------------------------------------------------------- step
 
     def step(self, u, dt):
-        candidate, dg_fluxes = self.solver.step(u, dt, return_face_fluxes=True)
+        stepper = self.accelerator if self.accelerator is not None else self.solver
+        candidate, dg_fluxes = stepper.step(u, dt, return_face_fluxes=True)
         troubled = self.troubled_mask(u, candidate)  # [*grid]
         if self.fallback == "subcell":
             fb, fv_fluxes = self.subcell_fv_step(u, dt, return_face_fluxes=True)

@@ -599,3 +599,29 @@ def test_pallas_reflective_matches_base():
     ref_run = np.asarray(solver.run(Q0, 5, 1e-3))
     got_run = np.asarray(fused.run(Q0, 5, 1e-3))
     np.testing.assert_allclose(got_run, ref_run, rtol=0, atol=1e-11)
+
+
+def test_pallas_step_face_fluxes_match_base():
+    """return_face_fluxes=True on the fused path: the state AND every
+    per-direction high-face Rusanov flux must match the base solver (the
+    fused interior axes emit theirs from inside the kernel)."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=8, order=3)
+    Q0 = euler_density_wave_state(solver)
+    ref, ref_fluxes = solver.step(Q0, 1e-3, return_face_fluxes=True)
+
+    for fuse in (True, False):
+        fused = PallasADERDG(
+            solver, interpret=True, tile0=2, fuse_interior_riemann=fuse
+        )
+        got, fluxes = fused.step(Q0, 1e-3, return_face_fluxes=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=1e-12
+        )
+        assert len(fluxes) == solver.dim
+        for d in range(solver.dim):
+            np.testing.assert_allclose(
+                np.asarray(fluxes[d]), np.asarray(ref_fluxes[d]),
+                rtol=0, atol=1e-12, err_msg=f"direction {d}, fuse={fuse}",
+            )

@@ -412,3 +412,39 @@ def test_limiter_reflective_mixed_interface_conserves():
     mass = np.asarray(solver.total_mass(Q))
     np.testing.assert_allclose(mass[0], mass0[0], rtol=1e-12)
     np.testing.assert_allclose(mass[3], mass0[3], rtol=1e-12)
+
+
+def test_limited_step_with_pallas_accelerator_matches():
+    """The production config — limited ADER-DG with the fused Pallas
+    predictor supplying candidate + face fluxes — must reproduce the plain
+    limited step (same troubled cells, same fallback, same matching)."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver, limited = make_limited(cells=8, order=2)
+    accel = PallasADERDG(solver, interpret=True, tile0=2)
+    fast = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), accelerator=accel
+    )
+    Q0 = sod_like_state(solver)
+    dt = 2e-3
+    ref = np.asarray(limited.step(Q0, dt))
+    got = np.asarray(fast.step(Q0, dt))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+    # Multi-step (through lax.scan) as well.
+    np.testing.assert_allclose(
+        np.asarray(fast.run(Q0, 3, dt)),
+        np.asarray(limited.run(Q0, 3, dt)),
+        rtol=0,
+        atol=1e-11,
+    )
+
+
+def test_limiter_accelerator_solver_mismatch_rejected():
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver, _ = make_limited(cells=8, order=2)
+    other, _ = make_limited(cells=8, order=2)
+    accel = PallasADERDG(other, interpret=True, tile0=2)
+    with pytest.raises(ValueError):
+        LimitedADERDG(solver, accelerator=accel)
