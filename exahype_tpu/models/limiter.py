@@ -74,6 +74,17 @@ class LimitedADERDG:
     #: (2N+1)-subcell FV — subcell-resolved, the production choice) or
     #: "means" (first-order cell-mean FV).
     fallback: str = "subcell"
+    #: Accuracy of the subcell fallback: 1 = piecewise-constant Rusanov
+    #: (dimensionally split, forward Euler); 2 = MUSCL reconstruction on the
+    #: subcell grid (unsplit) with Heun (SSP-RK2) time stepping — the
+    #: path-conservative fluctuation form gains the in-cell reconstruction
+    #: term ``B(u)·σ``, lifting NCP problems to second order under forced
+    #: limiting.
+    fallback_order: int = 1
+    #: Slope limiter for ``fallback_order=2``: "minmod" (TVD, the robust
+    #: default), "mc" (monotonized central) or "central" (unlimited; for
+    #: smooth-convergence studies only).
+    fallback_slope: str = "minmod"
     #: Optional fused-Pallas accelerator
     #: (:class:`~exahype_tpu.models.aderdg_pallas.PallasADERDG` built over
     #: the SAME base solver): the candidate step + face fluxes run through
@@ -91,6 +102,10 @@ class LimitedADERDG:
         self._R = subcell_reconstruction(self.solver.order, self.n_sub)
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
+        if self.fallback_order not in (1, 2):
+            raise ValueError(f"fallback_order must be 1 or 2, got {self.fallback_order}")
+        if self.fallback_slope not in ("minmod", "mc", "central"):
+            raise ValueError(f"unknown fallback_slope {self.fallback_slope!r}")
         if self.accelerator is not None and self.accelerator.solver is not self.solver:
             raise ValueError(
                 "accelerator must wrap the limiter's own base solver"
@@ -278,6 +293,17 @@ class LimitedADERDG:
         s = self.project_subcells(u)
         face_fluxes = []
 
+        if self.fallback_order == 2:
+            # MUSCL + Heun (SSP-RK2): second order in space and time; the
+            # effective cell-boundary flux is the stage average.
+            s1, fl1 = self._muscl_sweep(s, dt, return_face_fluxes)
+            s2, fl2 = self._muscl_sweep(s1, dt, return_face_fluxes)
+            s_new = 0.5 * (s + s2)
+            recon = self.reconstruct_subcells(s_new)
+            if return_face_fluxes:
+                return recon, [0.5 * (a + b) for a, b in zip(fl1, fl2)]
+            return recon
+
         for d in range(sol.dim):
             lam = dt / (sol._dxs[d] / n_sub)
             sub_ax = sol.node_axis(d)
@@ -350,6 +376,124 @@ class LimitedADERDG:
         if return_face_fluxes:
             return recon, face_fluxes
         return recon
+
+    # -------------------------------------------------- second-order subcell
+
+    def _sub_shift(self, x, sh, d, va, negate_ghost=False):
+        """Shift by one along the GLOBAL subcell index of direction ``d``
+        (subcell axis within each cell + grid axis across cells, periodic
+        across the domain).  At reflective walls the missing value is the
+        mirror ghost (``reflect_fn``), negated as well for slope fields
+        (mirroring flips the spatial direction)."""
+        sol = self.solver
+        sub_ax = sol.node_axis(d)
+        grid_ax = sol.grid_axis(d)
+        n_sub = self.n_sub
+
+        def take(rng):
+            sl = [slice(None)] * x.ndim
+            sl[sub_ax] = rng
+            return x[tuple(sl)]
+
+        first = take(slice(0, 1))
+        last = take(slice(n_sub - 1, n_sub))
+        if sh == -1:
+            nxt = jnp.roll(first, shift=-1, axis=grid_ax)
+            if self._wall:
+                ghost = sol.reflect_fn(self._row(last, -1, grid_ax), d, va)
+                if negate_ghost:
+                    ghost = -ghost
+                nxt = self._set_row(nxt, ghost, -1, grid_ax)
+            return jnp.concatenate([take(slice(1, None)), nxt], axis=sub_ax)
+        if sh == 1:
+            prv = jnp.roll(last, shift=1, axis=grid_ax)
+            if self._wall:
+                ghost = sol.reflect_fn(self._row(first, 0, grid_ax), d, va)
+                if negate_ghost:
+                    ghost = -ghost
+                prv = self._set_row(prv, ghost, 0, grid_ax)
+            return jnp.concatenate([prv, take(slice(0, n_sub - 1))], axis=sub_ax)
+        raise ValueError(f"shift must be +-1, got {sh}")
+
+    def _slope(self, d_plus, d_minus):
+        """Limited slope from forward/backward differences."""
+        if self.fallback_slope == "central":
+            return 0.5 * (d_plus + d_minus)
+        same = (d_plus * d_minus) > 0.0
+        if self.fallback_slope == "minmod":
+            lim = jnp.where(
+                jnp.abs(d_plus) < jnp.abs(d_minus), d_plus, d_minus
+            )
+            return jnp.where(same, lim, 0.0)
+        # monotonized central
+        lim = jnp.sign(d_plus) * jnp.minimum(
+            jnp.abs(0.5 * (d_plus + d_minus)),
+            2.0 * jnp.minimum(jnp.abs(d_plus), jnp.abs(d_minus)),
+        )
+        return jnp.where(same, lim, 0.0)
+
+    def _muscl_sweep(self, s, dt, capture_fluxes: bool):
+        """One unsplit MUSCL Rusanov stage on the subcell grid: returns
+        ``s + dt·L(s)`` and (optionally) the per-direction transverse-mean
+        cell-boundary fluxes.  Path-conservative NCP: face fluctuations from
+        reconstructed interface states plus the in-cell term ``B(s)·σ``."""
+        sol = self.solver
+        va = sol.var_axis
+        n_sub = self.n_sub
+        out = s
+        face_fluxes = []
+        for d in range(sol.dim):
+            lam = dt / (sol._dxs[d] / n_sub)
+            sub_ax = sol.node_axis(d)
+
+            u_plus = self._sub_shift(s, -1, d, va)
+            u_minus = self._sub_shift(s, 1, d, va)
+            sigma = self._slope(u_plus - s, s - u_minus)
+            sigma_plus = self._sub_shift(sigma, -1, d, va, negate_ghost=True)
+            sigma_minus = self._sub_shift(sigma, 1, d, va, negate_ghost=True)
+
+            # Reconstructed interface states at my high and low faces.
+            qL_hi = s + 0.5 * sigma
+            qR_hi = u_plus - 0.5 * sigma_plus
+            qL_lo = u_minus + 0.5 * sigma_minus
+            qR_lo = s - 0.5 * sigma
+
+            def rusanov(qL, qR):
+                F = 0.5 * (sol.flux_fn(qL, d, va) + sol.flux_fn(qR, d, va))
+                sp = jnp.expand_dims(
+                    jnp.maximum(
+                        sol.max_eigenvalue_fn(qL, d, va),
+                        sol.max_eigenvalue_fn(qR, d, va),
+                    ),
+                    va,
+                )
+                return F - 0.5 * sp * self._masked_jump(qR - qL, va)
+
+            fhat_hi = rusanov(qL_hi, qR_hi)
+            fhat_lo = rusanov(qL_lo, qR_lo)
+            out = out - lam * (fhat_hi - fhat_lo)
+            if sol.ncp_fn is not None:
+                half_hi = 0.5 * sol.ncp_fn(
+                    0.5 * (qL_hi + qR_hi), qR_hi - qL_hi, d, va
+                )
+                half_lo = 0.5 * sol.ncp_fn(
+                    0.5 * (qL_lo + qR_lo), qR_lo - qL_lo, d, va
+                )
+                # In-cell reconstruction term: B(s)·σ — this is what lifts
+                # the path-conservative fallback to second order.
+                vol = sol.ncp_fn(s, sigma, d, va)
+                out = out - lam * (half_hi + half_lo + vol)
+            if capture_fluxes:
+                boundary = jax.lax.index_in_dim(
+                    fhat_hi, n_sub - 1, sub_ax, keepdims=False
+                )
+                other_sub_axes = tuple(
+                    a if a < d else a - 1 for a in range(sol.dim) if a != d
+                )
+                face_fluxes.append(jnp.mean(boundary, axis=other_sub_axes))
+        if sol.source_fn is not None:
+            out = out + dt * sol.source_fn(s, va)
+        return out, face_fluxes
 
     # --------------------------------------------------- interface matching
 

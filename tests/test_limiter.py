@@ -364,13 +364,18 @@ def test_limiter_reflective_smooth_matches_base():
     )
 
 
-@pytest.mark.parametrize("fallback", ["subcell", "means"])
-def test_limiter_reflective_forced_fallback_conserves(fallback):
+@pytest.mark.parametrize(
+    "fallback,fb_order",
+    [("subcell", 1), ("subcell", 2), ("means", 1)],
+)
+def test_limiter_reflective_forced_fallback_conserves(fallback, fb_order):
     """Force EVERY cell through the FV fallback in a walled domain: the
     fallback must use wall ghosts (mirror + negated normal momentum), so
     mass and energy are conserved to rounding (round-1 advisory: periodic
     wraps silently leaked conserved quantities at the walls)."""
-    solver, limited = make_limited_reflective(cells=8, order=2, fallback=fallback)
+    solver, limited = make_limited_reflective(
+        cells=8, order=2, fallback=fallback, fallback_order=fb_order
+    )
     limited.admissible = lambda Q, va: jnp.zeros(
         Q.shape[:va] + Q.shape[va + 1 :], bool
     )  # nothing admissible -> all troubled
@@ -448,3 +453,69 @@ def test_limiter_accelerator_solver_mismatch_rejected():
     accel = PallasADERDG(other, interpret=True, tile0=2)
     with pytest.raises(ValueError):
         LimitedADERDG(solver, accelerator=accel)
+
+
+def test_subcell_fallback_second_order_ncp_convergence():
+    """VERDICT r1 item 6: a smooth pure-NCP problem (linear advection written
+    as B·grad) under FORCED limiting must converge at >=2nd order with
+    fallback_order=2 (MUSCL subcell reconstruction term + Heun), versus ~1st
+    order for the piecewise-constant fallback."""
+    a = 1.0
+
+    def flux(Q, axis, va):
+        return jnp.zeros_like(Q)
+
+    def eig(Q, axis, va):
+        shape = Q.shape[:va] + Q.shape[va + 1 :]
+        return jnp.full(shape, a, Q.dtype)
+
+    def ncp(Q, grad, axis, va):
+        return a * grad if axis == 0 else jnp.zeros_like(grad)
+
+    never = lambda Q, va: jnp.zeros(Q.shape[:va] + Q.shape[va + 1 :], bool)
+
+    def run(cells, order_fb, slope):
+        solver = ADERDGSolver(
+            dim=2, order=2, n_vars=2, grid_shape=(cells, 2),
+            flux_fn=flux, max_eigenvalue_fn=eig, dx=(1.0 / cells, 0.5),
+            ncp_fn=ncp,
+        )
+        limited = LimitedADERDG(
+            solver, admissible=never, fallback="subcell",
+            fallback_order=order_fb, fallback_slope=slope,
+        )
+        x = np.asarray(solver.nodes_meshgrid()[0])
+        q0 = 2.0 + np.sin(2 * np.pi * x)
+        Q0 = jnp.asarray(
+            np.broadcast_to(q0, solver.state_shape[:2] + (1,) + solver.state_shape[3:])
+            * np.ones((1, 1, 2, 1, 1))
+        )
+        n_sub = limited.n_sub
+        steps = cells
+        dt = 0.3 / (cells * n_sub)
+        Q = Q0
+        for _ in range(steps):
+            cand = solver.step(Q, dt)
+            assert np.asarray(limited.troubled_mask(Q, cand)).all()
+            Q = limited.step(Q, dt)
+        t = steps * dt
+        exact = 2.0 + np.sin(2 * np.pi * (x - a * t))
+        err = np.asarray(Q)[:, :, 0] - np.broadcast_to(
+            np.squeeze(exact, axis=2), np.asarray(Q)[:, :, 0].shape
+        )
+        w = np.asarray(solver.ops.weights)
+        return float(np.sqrt(np.mean(err**2)))
+
+    e2_c = run(8, 2, "central")
+    e2_f = run(16, 2, "central")
+    rate2 = np.log2(e2_c / e2_f)
+    assert rate2 > 1.9, f"order-2 fallback rate {rate2:.2f} ({e2_c}, {e2_f})"
+
+    e1_f = run(16, 1, "minmod")
+    assert e2_f < 0.5 * e1_f, (e2_f, e1_f)
+
+    # The TVD default is also clearly better than first order.
+    e2m_c = run(8, 2, "minmod")
+    e2m_f = run(16, 2, "minmod")
+    rate_m = np.log2(e2m_c / e2m_f)
+    assert rate_m > 1.4, f"minmod rate {rate_m:.2f}"
