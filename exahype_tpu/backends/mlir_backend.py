@@ -11,7 +11,22 @@ backends compile) is printed directly in SSA form.
 Type policy matches the reference (``SymPyToMLIR.py:353-400``): f64
 throughout, arrays as memrefs (the reference round-trips ``llvm.ptr``
 through ``UnrealizedConversionCast`` to ``memref``; we print the memref form
-it casts into), indices as ``index``.
+it casts into), indices as ``index``.  External declarations are typed from
+``TypedFunction`` metadata — ``integer`` parameters/returns become ``i64``
+(promote-to-64, ``SymPyToMLIR.py:378-396``), array placeholders the
+shape-erased ``memref<*xf64>`` (the honest memref spelling of the
+reference's opaque ``llvm.ptr``), with ``memref.cast`` at call sites and
+``arith.fptosi``/``arith.sitofp`` casts where scalar types meet.
+
+Every emitted module round-trips through the machine verifier in
+:mod:`exahype_tpu.ir.mlir_text` (SSA dominance + full operand/result type
+checking) — the reference gets this from xDSL op invariants
+(``SymPyToMLIR.py:1282-1299``).
+
+``parallel_patch_loop=True`` emits the outermost (patch) loop of every
+statement nest as ``scf.parallel`` — the reference's dangling
+``for-to-parallel`` pass intent (``exahype/tools/exahype-opt:19-22``)
+completed on the MLIR artifact.
 
 This backend exists for inspection, golden tests, and downstream
 MLIR-toolchain interop; the JAX/Pallas backends are the executable path.
@@ -39,9 +54,12 @@ class MLIRPrinter(CodePrinter):
         kernel: KernelBuilder,
         function_name: str = "time_step",
         policy: Policy = DEFAULT_POLICY,
+        parallel_patch_loop: bool = False,
     ):
         super().__init__(kernel, function_name=function_name)
         self.policy = policy
+        #: Emit the outermost (patch) loop as ``scf.parallel``.
+        self.parallel_patch_loop = parallel_patch_loop
         self._ssa = 0
         self._lines: list[str] = []
         self._indent = 0
@@ -64,14 +82,18 @@ class MLIRPrinter(CodePrinter):
         return f"memref<{dims}xf64>"
 
     def _const(self, value, type_: str) -> str:
+        """Materialize a constant, hoisted to function entry so a cached SSA
+        value dominates every later use (a constant first emitted inside one
+        loop nest must still be visible from a sibling nest)."""
         key = (str(value), type_)
         if key in self._const_cache:
             return self._const_cache[key]
         ssa = self._new("c" if type_ == "index" else "cst")
         if type_ == "index":
-            self._line(f"{ssa} = arith.constant {int(value)} : index")
+            text = f"{ssa} = arith.constant {int(value)} : index"
         else:
-            self._line(f"{ssa} = arith.constant {float(value):.6e} : f64")
+            text = f"{ssa} = arith.constant {float(value):.6e} : f64"
+        self._const_buf.append("  " * self._const_indent + text)
         self._const_cache[key] = ssa
         return ssa
 
@@ -90,6 +112,10 @@ class MLIRPrinter(CodePrinter):
             f"func.func @{self.functionName()}({', '.join(args)}) {{"
         )
         self._indent += 1
+        # Constants buffer spliced in at function entry (dominates all uses).
+        self._const_buf: list[str] = []
+        self._const_indent = self._indent
+        const_insert_at = len(self._lines)
 
         env: dict[str, str] = {name: f"%{name}" for name in kb.inputs}
         # Temp allocations (``memref.alloc``, cf. SymPyToMLIR.py:1102-1126).
@@ -116,6 +142,7 @@ class MLIRPrinter(CodePrinter):
             self._line(decl)
         self._indent -= 1
         self._line("}")
+        self._lines[const_insert_at:const_insert_at] = self._const_buf
         self.code = "\n".join(self._lines) + "\n"
 
     # ----------------------------------------------------------------- loops
@@ -131,26 +158,36 @@ class MLIRPrinter(CodePrinter):
             is_last_lhs=(last_lhs is not None and stmt.lhs == last_lhs),
         )
         loop_env = dict(env)
-        opened = 0
-        for (lo, hi), idx in zip(ranges, cfg.index_names):
+        closers = []
+        for level, ((lo, hi), idx) in enumerate(zip(ranges, cfg.index_names)):
             lo_ssa = self._const(lo, "index")
             hi_ssa = self._const(hi, "index")
             step = self._const(1, "index")
-            self._line(
-                f"scf.for %{idx} = {lo_ssa} to {hi_ssa} step {step} {{"
-            )
+            if level == 0 and self.parallel_patch_loop:
+                # The patch loop is embarrassingly parallel (the reference's
+                # for-to-parallel intent, tools/exahype-opt:19-22).
+                self._line(
+                    f"scf.parallel (%{idx}) = ({lo_ssa}) to ({hi_ssa}) "
+                    f"step ({step}) {{"
+                )
+                closers.append("scf.reduce")
+            else:
+                self._line(
+                    f"scf.for %{idx} = {lo_ssa} to {hi_ssa} step {step} {{"
+                )
+                closers.append(None)
             self._indent += 1
             loop_env[idx] = f"%{idx}"
-            opened += 1
 
-        vb = ranges[-1][1]
         if isinstance(stmt.lhs, AppliedUndef):
-            self._emit_call(stmt.lhs, loop_env, store_to=None)
+            self._emit_call(stmt.lhs, loop_env, as_value=False)
         else:
             value = self._emit_expr(stmt.rhs, loop_env)
             self._emit_store(stmt.lhs, value, loop_env)
 
-        for _ in range(opened):
+        for closer in reversed(closers):
+            if closer:
+                self._line(closer)
             self._indent -= 1
             self._line("}")
 
@@ -194,38 +231,88 @@ class MLIRPrinter(CodePrinter):
 
     # ------------------------------------------------------------------ expr
 
-    def _emit_call(self, call: AppliedUndef, env: dict, store_to) -> Optional[str]:
+    def _param_type(self, t) -> str:
+        """TypedFunction parameter/return type -> MLIR type (the reference's
+        promote-to-64 policy, ``SymPyToMLIR.py:353-400``; array placeholders
+        are shape-erased, the memref spelling of its opaque ``llvm.ptr``)."""
+        if isinstance(t, sympy.IndexedBase):
+            return "memref<*xf64>"
+        s = str(t)
+        if s == "integer":
+            return "i64"
+        if s in ("real", "float", "f64"):
+            return "f64"
+        raise LoweringError(f"cannot map parameter type {t!r} to MLIR")
+
+    def _erase(self, ssa: str, name: str) -> str:
+        """``memref.cast`` a shaped memref to ``memref<*xf64>`` (fresh at
+        each call site — a cached cast inside one loop nest would not
+        dominate uses in a sibling nest)."""
+        out = self._new("u")
+        self._line(
+            f"{out} = memref.cast {ssa} : {self._memref_type(name)} "
+            f"to memref<*xf64>"
+        )
+        return out
+
+    def _emit_call(
+        self, call: AppliedUndef, env: dict, as_value: bool
+    ) -> Optional[str]:
         kb = self._kernel
         fname = type(call).__name__
+        typed = kb.functions.get(fname)
+        ptypes = (
+            list(typed.parameter_types)
+            if typed is not None and typed.parameter_types
+            else None
+        )
         arg_ssas = []
         arg_types = []
-        for a in call.args:
+        for k, a in enumerate(call.args):
+            declared = ptypes[k] if ptypes is not None and k < len(ptypes) else None
             if isinstance(a, sympy.Indexed):
-                # Pointer argument: pass the memref plus the linear position
-                # is implicit in the reference ABI; here we pass the memref
-                # view (reference passes llvm.ptr, SymPyToMLIR.py:357-359).
+                # Pointer argument (reference ABI passes llvm.ptr,
+                # SymPyToMLIR.py:357-359): shape-erased memref view.
                 name = str(a.base.label)
-                arg_ssas.append(env[name])
-                arg_types.append(self._memref_type(name))
+                arg_ssas.append(self._erase(env[name], name))
+                arg_types.append("memref<*xf64>")
             else:
-                arg_ssas.append(self._emit_expr(a, env))
-                arg_types.append("f64")
-        typed = kb.functions.get(fname)
-        has_result = typed is not None and str(typed.return_type) not in ("none",)
-        ret = "f64" if has_result else ""
-        sig = f"({', '.join(arg_types)}) -> {ret if ret else '()'}"
+                ssa = self._emit_expr(a, env)
+                ty = "f64"
+                if declared is not None and str(declared) == "integer":
+                    cast = self._new()
+                    self._line(f"{cast} = arith.fptosi {ssa} : f64 to i64")
+                    ssa, ty = cast, "i64"
+                arg_ssas.append(ssa)
+                arg_types.append(ty)
+        # Declared signature from TypedFunction metadata (integer returns
+        # really declare i64 — the reference maps them at
+        # SymPyToMLIR.py:353-400; round-1 review flagged the f64 hardcode).
+        decl_types = (
+            [self._param_type(t) for t in ptypes] if ptypes is not None else arg_types
+        )
+        ret_s = str(typed.return_type) if typed is not None else "none"
+        if ret_s in ("none", "NoneToken()"):
+            # Void — except when the spec uses the call as a value (the
+            # reference's 'max' is typed none but used inside expressions;
+            # its C++ signature returns double*): coerce to f64 then.
+            ret_ty = "f64" if as_value else None
+        else:
+            ret_ty = "i64" if ret_s == "integer" else "f64"
+        decl_sig = f"({', '.join(decl_types)}) -> {ret_ty if ret_ty else '()'}"
         if fname not in self._extern_decls:
-            self._extern_decls[fname] = (
-                f"func.func private @{fname}{sig.replace(' -> ()', ' -> ()')}"
-            )
-        if has_result:
-            ssa = self._new()
-            self._line(
-                f"{ssa} = func.call @{fname}({', '.join(arg_ssas)}) : {sig}"
-            )
-            return ssa
-        self._line(f"func.call @{fname}({', '.join(arg_ssas)}) : {sig}")
-        return None
+            self._extern_decls[fname] = f"func.func private @{fname}{decl_sig}"
+        sig = f"({', '.join(arg_types)}) -> {ret_ty if ret_ty else '()'}"
+        if ret_ty is None:
+            self._line(f"func.call @{fname}({', '.join(arg_ssas)}) : {sig}")
+            return None
+        ssa = self._new()
+        self._line(f"{ssa} = func.call @{fname}({', '.join(arg_ssas)}) : {sig}")
+        if as_value and ret_ty == "i64":
+            f64 = self._new()
+            self._line(f"{f64} = arith.sitofp {ssa} : i64 to f64")
+            return f64
+        return ssa
 
     def _emit_expr(self, expr, env: dict) -> str:
         if expr is None:
@@ -242,7 +329,7 @@ class MLIRPrinter(CodePrinter):
                 return self._const(float(self._kernel.literal_values[name]), "f64")
             raise LoweringError(f"unbound symbol {name!r}")
         if isinstance(expr, AppliedUndef):
-            out = self._emit_call(expr, env, store_to=None)
+            out = self._emit_call(expr, env, as_value=True)
             if out is None:
                 raise LoweringError(
                     f"void call {expr} used as a value"

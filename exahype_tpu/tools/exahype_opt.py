@@ -86,8 +86,22 @@ def _emit_from_spec(args) -> tuple[str, str]:
         return CPPPrinter(kb).code, "kernel.cpp"
     if args.emit == "mlir":
         from exahype_tpu.backends.mlir_backend import MLIRPrinter
+        from exahype_tpu.ir.mlir_text import parse_and_verify
 
-        return MLIRPrinter(kb).code, "kernel.mlir"
+        # ``-p for-to-parallel`` with the MLIR artifact emits the patch loop
+        # as ``scf.parallel`` (the reference's dangling pass intent,
+        # ``exahype/tools/exahype-opt:19-22``, completed end to end).
+        passes = [p for p in args.passes.split(",") if p]
+        unknown = [p for p in passes if p != "for-to-parallel"]
+        if unknown:
+            raise SemanticError(
+                f"pass(es) {unknown} do not apply to --emit mlir"
+            )
+        code = MLIRPrinter(
+            kb, parallel_patch_loop="for-to-parallel" in passes
+        ).code
+        parse_and_verify(code)  # machine-check the artifact before shipping
+        return code, "kernel.mlir"
     if args.emit == "jaxpr":
         from exahype_tpu.backends.jax_backend import JAXPrinter
 
