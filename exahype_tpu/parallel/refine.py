@@ -456,6 +456,106 @@ class NestedRefinement:
         return c, f
 
 
+@dataclasses.dataclass
+class DynamicRefinement:
+    """Criteria-driven re-gridding: adaptive two-level refinement that
+    tracks a moving feature.
+
+    The standard AMR-under-XLA recipe, promoted from recipe to API
+    (round-1 review item 10): every shape inside a jitted chunk is static,
+    so adaptivity happens BETWEEN chunks — integrate a chunk of the coupled
+    hierarchy, evaluate ``criterion`` on the host, move the refined region
+    to the highest-scoring patch box, rebuild the hierarchy (prolonging the
+    new fine level from the running coarse solution), continue.  Compiled
+    chunk steps are cached per region box, so re-gridding costs one trace
+    the first time each box appears.
+
+    Conservation across a re-grid event is exact: ``restrict`` (run every
+    coupled step) makes the coarse region the mean of the fine solution,
+    and the piecewise-constant ``prolong_initial`` of the NEW region
+    preserves those means — tested to ~1e-13 together with Berger–Colella
+    refluxing during the chunks.
+    """
+
+    solver: GridSolver
+    #: Per-patch score ``criterion(grid, coarse_Q) -> [*grid_shape]``
+    #: (host-side NumPy, :mod:`exahype_tpu.parallel.criteria`); defaults to
+    #: :func:`~exahype_tpu.parallel.criteria.gradient_indicator`.
+    criterion: Optional[callable] = None
+    #: Patch-box half width around the highest-scoring patch.
+    half_width: int = 1
+    factor: int = 3
+    reflux: bool = True
+
+    def __post_init__(self):
+        if self.criterion is None:
+            from exahype_tpu.parallel.criteria import gradient_indicator
+
+            self.criterion = gradient_indicator
+        self._nested_cache: dict[tuple, NestedRefinement] = {}
+        self._chunk_cache: dict[tuple, callable] = {}
+
+    # ------------------------------------------------------------- selection
+
+    def pick_region(self, coarse_Q) -> tuple[tuple[int, ...], tuple[int, ...]]:
+        """Half-open coarse-patch box around the highest-scoring patch."""
+        from exahype_tpu.parallel.criteria import region_around_max
+
+        grid = self.solver.grid
+        scores = np.asarray(self.criterion(grid, coarse_Q))
+        return region_around_max(scores, grid.grid_shape, self.half_width)
+
+    # ------------------------------------------------------------ hierarchy
+
+    def nested_for(self, region) -> NestedRefinement:
+        if region not in self._nested_cache:
+            lo, hi = region
+            self._nested_cache[region] = NestedRefinement(
+                self.solver,
+                region_lo=lo,
+                region_hi=hi,
+                factor=self.factor,
+                reflux=self.reflux,
+            )
+        return self._nested_cache[region]
+
+    def _chunk_fn(self, region, chunk_steps: int):
+        key = (region, chunk_steps)
+        if key not in self._chunk_cache:
+            nested = self.nested_for(region)
+            self._chunk_cache[key] = jax.jit(
+                lambda cq, fq, dt: nested.run(cq, fq, chunk_steps, dt)
+            )
+        return self._chunk_cache[key]
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, coarse_Q, n_chunks: int, chunk_steps: int, dt):
+        """Integrate ``n_chunks`` × ``chunk_steps``, re-gridding between
+        chunks whenever the criterion moves the region.  Returns
+        ``(coarse_Q, fine_Q, info)`` with ``info["regions"]`` the per-chunk
+        region boxes and ``info["nested"]`` the final hierarchy."""
+        regions = []
+        fine_Q = None
+        current = None
+        for _ in range(n_chunks):
+            region = self.pick_region(coarse_Q)
+            if region != current:
+                # Re-grid: the coarse level already holds the restricted
+                # fine solution; prolong the new region from it.
+                current = region
+                fine_Q = self.nested_for(region).prolong_initial(coarse_Q)
+            regions.append(region)
+            coarse_Q, fine_Q = self._chunk_fn(region, chunk_steps)(
+                coarse_Q, fine_Q, dt
+            )
+        return (
+            coarse_Q,
+            fine_Q,
+            {"regions": regions, "nested": self.nested_for(current)},
+        )
+
+
 def _set_row(arr, row, idx, axis):
     sl = [slice(None)] * arr.ndim
     sl[axis] = idx
