@@ -91,6 +91,29 @@ def main():
     steps = n_rounds * chunk
     dof = solver.dofs()
     dof_per_sec = dof * steps / elapsed
+    step_seconds = elapsed / steps
+
+    # Roofline accounting (utils/profiling.py): analytic flops (XLA's
+    # cost_analysis cannot see inside the pallas_call custom call — it
+    # under-counts the fused step ~300x), XLA's byte count when available
+    # (it reflects actual fusion of the epilogue).
+    from exahype_tpu.utils.profiling import V5E_PEAKS, aderdg_step_cost
+
+    cost = aderdg_step_cost(solver, fused=True)
+    bytes_per_step = cost.bytes_total
+    try:
+        ca = run_chunk.lower(Q).compile().cost_analysis() or {}
+        if ca.get("bytes accessed"):
+            bytes_per_step = float(ca["bytes accessed"]) / chunk
+    except Exception:
+        pass
+    achieved_flops = cost.flops / step_seconds
+    achieved_bw = bytes_per_step / step_seconds
+    vpu = V5E_PEAKS["vpu_f32_fma_flops"]
+    hbm = V5E_PEAKS["hbm_bytes_per_s"]
+    # Lower-bound step time: compute on the VPU (no matmuls in this
+    # kernel) overlapped with HBM streaming.
+    roofline_s = max(cost.flops / vpu, bytes_per_step / hbm)
 
     print(
         json.dumps(
@@ -99,6 +122,15 @@ def main():
                 "value": dof_per_sec,
                 "unit": "DOF-updates/s",
                 "vs_baseline": dof_per_sec / BASELINE_DOF_PER_SEC,
+                "roofline": {
+                    "step_seconds": step_seconds,
+                    "model_flops_per_step": cost.flops,
+                    "hbm_bytes_per_step": bytes_per_step,
+                    "achieved_tflops": achieved_flops / 1e12,
+                    "pct_of_vpu_fma_peak": 100.0 * achieved_flops / vpu,
+                    "pct_of_hbm_bw": 100.0 * achieved_bw / hbm,
+                    "pct_of_roofline": 100.0 * roofline_s / step_seconds,
+                },
             }
         )
     )

@@ -143,6 +143,194 @@ def make_sharded_pallas_step(
     return jax.jit(mapped), sharding
 
 
+def _ring_sends(Q, local_grid, d, axis_name, n_dev):
+    """Issue the two edge ppermutes of grid axis ``d`` (both directions).
+
+    Returns ``(from_left, from_right)`` one-row slabs.  Pure sends — no
+    halo writes — so several axes' exchanges can be issued back-to-back and
+    the async collective scheduler overlaps them (the hierarchical
+    ICI-ring/DCN schedule issues the slow DCN axis first)."""
+    cfg = local_grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    nd = Q.ndim
+    spat_ax = d
+    grid_ax = cfg.dim + 1 + d
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    lo_src = Q[_axis_slice(nd, spat_ax, P, P + h)]
+    hi_src = Q[_axis_slice(nd, spat_ax, h, 2 * h)]
+    send_last = jax.lax.index_in_dim(lo_src, -1, grid_ax, keepdims=True)
+    from_left = jax.lax.ppermute(send_last, axis_name, fwd)
+    send_first = jax.lax.index_in_dim(hi_src, 0, grid_ax, keepdims=True)
+    from_right = jax.lax.ppermute(send_first, axis_name, bwd)
+    return from_left, from_right
+
+
+def _apply_axis_halo(Q, local_grid, d, from_left, from_right):
+    """Write grid axis ``d``'s halos: local roll for intra-shard neighbour
+    rows, the received edge slabs for the shard-boundary rows."""
+    cfg = local_grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    nd = Q.ndim
+    spat_ax = d
+    grid_ax = cfg.dim + 1 + d
+    lo_halo = jnp.roll(Q[_axis_slice(nd, spat_ax, P, P + h)], 1, axis=grid_ax)
+    hi_halo = jnp.roll(Q[_axis_slice(nd, spat_ax, h, 2 * h)], -1, axis=grid_ax)
+    g = lo_halo.shape[grid_ax]
+    lo_halo = jax.lax.dynamic_update_slice_in_dim(lo_halo, from_left, 0, grid_ax)
+    hi_halo = jax.lax.dynamic_update_slice_in_dim(hi_halo, from_right, g - 1, grid_ax)
+    Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(lo_halo)
+    Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(hi_halo)
+    return Q
+
+
+def sharded_tpu_halo_fill_2axis(
+    local_grid: TpuPatchGrid,
+    Q,
+    axis_names: tuple[str, str] = ("ici", "dcn"),
+):
+    """Hierarchical halo fill for a grid with axes 0 AND 1 sharded over a
+    2-D device mesh (grid axis 0 over ``axis_names[0]`` — the fast ICI
+    ring; grid axis 1 over ``axis_names[1]`` — the slow DCN axis).
+
+    Schedule (the scaling-book overlap recipe made explicit):
+
+    1. **Bulk round, both axes concurrently**: the one-row interior edge
+       slabs of BOTH sharded axes are ppermuted back-to-back before any
+       halo is written, so the async collective scheduler moves the DCN
+       bytes (issued first) underneath the ICI exchange and the local
+       roll/write work.
+    2. Axis-0 halos are written (roll + received edges).
+    3. Axis-1 halos are written.  The bulk-round axis-1 slabs were sent
+       before axis-0 halos existed, so their corner strips (the axis-0
+       halo range of the edge rows) are stale.
+    4. **Corner round**: only those ``h``-wide strips — O(h²) bytes vs the
+       bulk's O(h·extent) — are re-exchanged along the DCN axis and
+       spliced in, completing the diagonal-neighbour propagation.
+    5. Remaining (unsharded) grid axes fill locally as usual.
+
+    Periodic boundaries only (wall grids shard on one axis via
+    :func:`sharded_tpu_halo_fill`).
+    """
+    cfg = local_grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    if h == 0:
+        return Q
+    if local_grid.boundary != "periodic":
+        raise SemanticError(
+            "2-axis sharded halo exchange supports periodic boundaries"
+        )
+    nd = Q.ndim
+    ici, dcn = axis_names
+    n_ici = jax.lax.axis_size(ici)
+    n_dcn = jax.lax.axis_size(dcn)
+
+    # 1. Bulk round: DCN first, then ICI — both in flight together.
+    dcn_left, dcn_right = _ring_sends(Q, local_grid, 1, dcn, n_dcn)
+    ici_left, ici_right = _ring_sends(Q, local_grid, 0, ici, n_ici)
+
+    # 2./3. Halo writes (axis 0 first so axis 1's local roll carries its
+    # halos into the corners of intra-shard rows).
+    Q = _apply_axis_halo(Q, local_grid, 0, ici_left, ici_right)
+    Q = _apply_axis_halo(Q, local_grid, 1, dcn_left, dcn_right)
+
+    # 4. Corner round along DCN: re-send only the axis-0-halo strips of the
+    # axis-1 edge rows (now that axis-0 halos are final).
+    grid_ax1 = cfg.dim + 2
+
+    def strips(x):
+        lo = x[_axis_slice(nd, 0, 0, h)]
+        hi = x[_axis_slice(nd, 0, P + h, P + 2 * h)]
+        return jnp.concatenate([lo, hi], axis=0)
+
+    fwd = [(i, (i + 1) % n_dcn) for i in range(n_dcn)]
+    bwd = [(i, (i - 1) % n_dcn) for i in range(n_dcn)]
+    lo_src = Q[_axis_slice(nd, 1, P, P + h)]
+    hi_src = Q[_axis_slice(nd, 1, h, 2 * h)]
+    send_last = strips(jax.lax.index_in_dim(lo_src, -1, grid_ax1, keepdims=True))
+    corner_left = jax.lax.ppermute(send_last, dcn, fwd)
+    send_first = strips(jax.lax.index_in_dim(hi_src, 0, grid_ax1, keepdims=True))
+    corner_right = jax.lax.ppermute(send_first, dcn, bwd)
+
+    def splice(Q, spat1_lo, spat1_hi, grid_row, corner):
+        """Overwrite the two spat-0 strips of one axis-1 halo's edge row."""
+        for k, (s0_lo, s0_hi) in enumerate(((0, h), (P + h, P + 2 * h))):
+            piece = corner[_axis_slice(corner.ndim, 0, k * h, (k + 1) * h)]
+            sl = [slice(None)] * nd
+            sl[0] = slice(s0_lo, s0_hi)
+            sl[1] = slice(spat1_lo, spat1_hi)
+            sl[grid_ax1] = slice(grid_row, grid_row + 1)
+            Q = Q.at[tuple(sl)].set(piece)
+        return Q
+
+    g1 = local_grid.grid_shape[1]
+    Q = splice(Q, 0, h, 0, corner_left)
+    Q = splice(Q, P + h, P + 2 * h, g1 - 1, corner_right)
+
+    # 5. Unsharded trailing grid axes.
+    for d in range(2, cfg.dim):
+        spat_ax = d
+        grid_ax = cfg.dim + 1 + d
+        lo_halo = jnp.roll(Q[_axis_slice(nd, spat_ax, P, P + h)], 1, axis=grid_ax)
+        hi_halo = jnp.roll(Q[_axis_slice(nd, spat_ax, h, 2 * h)], -1, axis=grid_ax)
+        Q = Q.at[_axis_slice(nd, spat_ax, 0, h)].set(lo_halo)
+        Q = Q.at[_axis_slice(nd, spat_ax, P + h, P + 2 * h)].set(hi_halo)
+    return Q
+
+
+def make_sharded_pallas_step_2axis(
+    kernel,
+    grid: TpuPatchGrid,
+    mesh: Mesh,
+    axis_names: tuple[str, str] = ("ici", "dcn"),
+    **pallas_kwargs,
+):
+    """Multi-slice solver step: grid axes 0/1 sharded over a 2-D mesh
+    (ICI × DCN), hierarchical halo exchange + per-shard fused kernel.
+
+    Returns ``(step_fn, sharding)`` like :func:`make_sharded_pallas_step`.
+    """
+    from exahype_tpu.backends.pallas_backend import PallasPrinter
+
+    n0 = mesh.shape[axis_names[0]]
+    n1 = mesh.shape[axis_names[1]]
+    g0, g1 = grid.grid_shape[0], grid.grid_shape[1]
+    if g0 % n0 != 0 or g1 % n1 != 0:
+        raise SemanticError(
+            f"grid axes ({g0},{g1}) must divide the mesh ({n0},{n1})"
+        )
+    local_shape = (g0 // n0, g1 // n1) + grid.grid_shape[2:]
+    local_patches = int(jnp.prod(jnp.asarray(local_shape)))
+    local_grid = dataclasses.replace(
+        grid,
+        config=dataclasses.replace(grid.config, n_patches=local_patches),
+        grid_shape=local_shape,
+    )
+    local_kernel = kernel.with_n_patches(local_patches)
+    pallas_kwargs.setdefault("patch_grid_shape", local_shape)
+    local_fn = PallasPrinter(local_kernel, **pallas_kwargs).build()
+
+    ndim = len(grid.state_shape)
+    spec_list = [None] * ndim
+    spec_list[grid.config.dim + 1] = axis_names[0]
+    spec_list[grid.config.dim + 2] = axis_names[1]
+    spec = PartitionSpec(*spec_list)
+    sharding = NamedSharding(mesh, spec)
+
+    def local_step(Q_local, dt):
+        Q_local = sharded_tpu_halo_fill_2axis(local_grid, Q_local, axis_names)
+        return local_fn(Q_local, dt)
+
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, PartitionSpec()),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(mapped), sharding
+
+
 def _edge_shift(x, sh, axis, axis_name, n_shards):
     """Periodic shift by one along a GRID axis that is sharded over
     ``axis_name``: local roll + ``ppermute`` of the one-row edge the

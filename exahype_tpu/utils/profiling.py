@@ -112,6 +112,78 @@ def _expr_reads(expr, itemsize: int, vb: int, kernel: KernelBuilder) -> int:
     return reads
 
 
+#: TPU v5e peaks for roofline fractions.  The ADER-DG kernels are
+#: elementwise/unrolled (no matmuls), so the relevant compute ceiling is the
+#: VPU, not the MXU: ~1.5 GHz × 8×128 lanes × 4 ALUs × 2 (FMA) ≈ 12.3e12
+#: f32 FLOP/s.  MXU bf16 peak (197e12) and HBM bandwidth are the published
+#: chip numbers.
+V5E_PEAKS = {
+    "mxu_bf16_flops": 197e12,
+    "vpu_f32_fma_flops": 12.3e12,
+    "hbm_bytes_per_s": 819e9,
+}
+
+
+def aderdg_step_cost(
+    solver,
+    flux_flops: int = 22,
+    eig_flops: int = 12,
+    itemsize: int = 4,
+    fused: bool = True,
+) -> KernelCost:
+    """Analytical per-step cost of an ADER-DG solver (base or fused-Pallas).
+
+    Counts the dominant terms of the fused step (1 mult + 1 add = 2 flops;
+    the hardware fuses them, hence compare against the FMA peak):
+
+    - Picard predictor, ``K`` iterations: per direction, flux evaluation
+      over all ``S = n^(d+1)`` space-time points plus the ``D`` contraction
+      (``2n`` flops per point-var) plus rhs accumulation; the ``K1inv``
+      solve per iteration.  The iteration-0 dedup (all time slices equal)
+      is credited.
+    - Time averages, volume integral, face extrapolations, Rusanov solves.
+
+    HBM bytes: the fused kernel streams ``u`` in and ``new`` out once plus
+    4 face arrays per epilogue axis; the XLA epilogue re-reads/writes
+    ``new`` and the faces.  (XLA's own ``cost_analysis()`` cannot see
+    inside a ``pallas_call`` — its flops for the fused step are ~300×
+    under-counted — so this model is the flop source for the roofline;
+    prefer XLA's byte count when available, it reflects actual fusion.)
+    """
+    import math as _math
+
+    n = solver.n_nodes
+    V = solver.n_vars
+    d = solver.dim
+    K = solver.picard_iters
+    cells = int(_math.prod(solver.grid_shape))
+    S = n ** (d + 1)
+    C = n**d
+    F = n ** (d - 1)
+
+    per_iter = d * (S * flux_flops + S * V * 2 * n + 2 * S * V) + S * V * (
+        2 * n + 1
+    )
+    # Iteration 0 evaluates one time slice per direction (dedup).
+    iter0_saving = d * ((S - S // n) * flux_flops + (S - S // n) * V * 2 * n)
+    predictor = K * per_iter - iter0_saving
+    averages = S * V * 2 + d * (S * flux_flops + S * V * 2)
+    volume = d * C * V * 2 * n
+    faces = d * (4 * F * V * 2 * n + 2 * F * eig_flops + F * V * 5 + 2 * C * V * 2)
+    flops = cells * (predictor + averages + volume + faces)
+
+    n_epi = 1 if fused else d
+    kernel_bytes = C * V * 2 + n_epi * 4 * F * V
+    epilogue_bytes = n_epi * (2 * C * V + 4 * F * V)
+    bytes_total = cells * itemsize * (kernel_bytes + epilogue_bytes)
+    return KernelCost(
+        flops=int(flops),
+        bytes_read=bytes_total // 2,
+        bytes_written=bytes_total - bytes_total // 2,
+        dof_updates=solver.dofs(),
+    )
+
+
 def estimate_cost(
     kernel: KernelBuilder,
     itemsize: int = 4,

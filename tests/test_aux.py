@@ -410,3 +410,24 @@ def test_resume_uses_checkpointed_dt(tmp_path):
     _, _, step, dt = driver.resume_or_init(Q, 1e-3)
     assert step == 4
     assert dt == pytest.approx(5e-4)
+
+
+def test_aderdg_cost_model():
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.utils.profiling import aderdg_step_cost
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    s1 = ADERDGSolver(dim=3, order=3, n_vars=5, grid_shape=(8, 8, 8),
+                      flux_fn=flux, max_eigenvalue_fn=eig, dx=0.125)
+    s2 = ADERDGSolver(dim=3, order=3, n_vars=5, grid_shape=(16, 8, 8),
+                      flux_fn=flux, max_eigenvalue_fn=eig, dx=0.125)
+    c1, c2 = aderdg_step_cost(s1), aderdg_step_cost(s2)
+    assert c2.flops == 2 * c1.flops  # linear in cells
+    assert c2.bytes_total == 2 * c1.bytes_total
+    # Compute-bound on the VPU: AI above the ridge point
+    # vpu_peak / hbm_bw = 12.3e12 / 819e9 ~ 15 flops/byte.
+    assert c1.arithmetic_intensity > 15
+    assert c1.roofline_seconds() > 0
+    # ~0.3 MFLOP per cell for p3 Euler (sanity window).
+    per_cell = c1.flops / 512
+    assert 0.15e6 < per_cell < 0.6e6, per_cell

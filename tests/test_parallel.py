@@ -490,3 +490,47 @@ def test_sharded_pallas_reflective_matches_single_device():
     Qs = jax.device_put(Q, sharding)
     out = np.asarray(step(Qs, 1e-3))
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-13)
+
+
+def test_two_axis_sharded_pallas_step_hierarchical_halo():
+    """Grid axes 0 AND 1 sharded over a (4,2) ICI x DCN mesh through the
+    hierarchical halo schedule (bulk round both axes concurrently + tiny
+    corner round): matches the single-device step exactly, and the compiled
+    program carries collectives on BOTH mesh axes."""
+    import re
+
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.parallel.shard import make_sharded_pallas_step_2axis
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=32
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(8, 4))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=32
+    )
+    solver = GridSolver(
+        grid, kb, dx=0.1, backend="pallas", interpret=True, tile_patches=4
+    )
+    rng = np.random.default_rng(31)
+    aos = rng.uniform(0.1, 1.0, size=(32, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    Q = grid.from_aos(jnp.asarray(aos))
+    ref = np.asarray(solver.step(Q, 1e-3))
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("ici", "dcn"))
+    step, sharding = make_sharded_pallas_step_2axis(
+        kb, grid, mesh, interpret=True, tile_patches=2
+    )
+    Qs = jax.device_put(Q, sharding)
+    out = np.asarray(step(Qs, 1e-3))
+    np.testing.assert_array_equal(out, ref)
+
+    hlo = step.lower(Qs, 1e-3).compile().as_text()
+    pairs = set(re.findall(r"source_target_pairs=\{[^}]*\}", hlo))
+    # Bulk exchanges on two distinct mesh axes + the corner round: at least
+    # two distinct ring permutations must appear.
+    assert hlo.count("collective-permute") >= 6
+    assert len(pairs) >= 2, pairs
