@@ -216,6 +216,72 @@ def print_kernel(kernel: Kernel) -> str:
     return "\n".join(out) + "\n"
 
 
+def print_mlir_generic(kernel: Kernel) -> str:
+    """Render the kernel in MLIR *generic op* syntax.
+
+    The reference registers its dialect with xDSL so generic MLIR tooling
+    can consume the IR (``dialects/exahype.py:585-604``).  Without xDSL in
+    the stack, the interop equivalent is the generic form — any MLIR parser
+    accepts it under ``--allow-unregistered-dialect`` (generic ops carry
+    quoted names, explicit attribute dictionaries, and ``() -> ()``
+    signatures, no registration needed)::
+
+        "exahype.kernel"() ({
+          "exahype.stencil"() ({ ... }) {stencil = [...], scales = [...]} : () -> ()
+        }) : () -> ()
+    """
+
+    def attr(v):
+        if isinstance(v, str):
+            return f'"{v}"'
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(attr(x) for x in v) + "]"
+        if isinstance(v, float):
+            return f"{v:.6e}"  # parses as a default f64 FloatAttr
+        return str(v)  # default i64 IntegerAttr
+
+    def attrs(d: dict) -> str:
+        return "{" + ", ".join(f"{k} = {attr(v)}" for k, v in d.items()) + "}"
+
+    out = ['"exahype.kernel"() ({']
+    for st in kernel.stencils:
+        out.append('  "exahype.stencil"() ({')
+        p = st.patch
+        out.append(
+            '    "exahype.patch"() '
+            + attrs({"name": p.name, "shape": p.shape, "dtype": p.dtype.value})
+            + " : () -> ()"
+        )
+        for f in st.fluxes:
+            out.append('    "exahype.flux"() ({')
+            out.append(
+                '      "exahype.call_expr"() '
+                + attrs({"func": f.call.func, "intrinsic": f.call.intrinsic})
+                + " : () -> ()"
+            )
+            out.append(
+                "    }) "
+                + attrs(
+                    {
+                        "name": f.name,
+                        "shape": f.shape,
+                        "dtype": f.dtype.value,
+                        "halo": f.halo,
+                    }
+                )
+                + " : () -> ()"
+            )
+        out.append(
+            "  }) "
+            + attrs({"stencil": st.stencil, "scales": st.scales})
+            + " : () -> ()"
+        )
+    out.append("}) : () -> ()")
+    return "\n".join(out) + "\n"
+
+
 # ------------------------------------------------------------------- parsing
 
 

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="lir",
         help="with --spec: which backend artifact to emit (default Loop IR)",
     )
+    p.add_argument(
+        "--mlir-generic",
+        action="store_true",
+        help="print Kernel IR in MLIR generic-op syntax (consumable by any "
+        "MLIR toolchain via --allow-unregistered-dialect)",
+    )
     p.add_argument("-o", "--output", default=None, help="output file (default stdout)")
     p.add_argument(
         "--output-module-files",
@@ -152,8 +158,12 @@ def run(argv=None) -> int:
                 )
 
         if isinstance(module, kernel_ir.Kernel):
-            out_text = kernel_ir.print_kernel(module)
-            out_name = "kernel.eir"
+            if args.mlir_generic:
+                out_text = kernel_ir.print_mlir_generic(module)
+                out_name = "kernel.generic.mlir"
+            else:
+                out_text = kernel_ir.print_kernel(module)
+                out_name = "kernel.eir"
         else:
             out_text = loop_ir.print_function(module)
             out_name = f"{module.name}.lir"

@@ -231,3 +231,28 @@ def test_opt_cli_spec_emit(tmp_path, capsys):
         assert opt_run([str(spec), "--spec", "--emit", emit]) == 0
         out = capsys.readouterr().out
         assert marker in out, emit
+
+
+def test_mlir_generic_export(tmp_path):
+    """Path-B interop: Kernel IR renders in MLIR generic-op syntax (any MLIR
+    toolchain parses it with --allow-unregistered-dialect), covering the
+    reference's registered-dialect interop (dialects/exahype.py:585-604)."""
+    from exahype_tpu.ir.kernel_ir import print_kernel, print_mlir_generic
+    from exahype_tpu.tools.exahype_opt import run
+
+    k = demo_kernel()
+    text = print_mlir_generic(k)
+    assert text.startswith('"exahype.kernel"() ({')
+    assert text.count("(") == text.count(")")
+    assert text.count("{") == text.count("}")
+    assert '"exahype.stencil"() ({' in text
+    assert '"exahype.call_expr"()' in text
+    assert 'func = "Flux_x"' in text
+    assert text.rstrip().endswith(": () -> ()")
+
+    eir = tmp_path / "k.eir"
+    eir.write_text(print_kernel(k))
+    out = tmp_path / "k.generic.mlir"
+    rc = run([str(eir), "--mlir-generic", "-o", str(out)])
+    assert rc == 0
+    assert out.read_text() == text
