@@ -100,3 +100,39 @@ def subcell_reconstruction(order: int, n_sub: int | None = None) -> np.ndarray:
     """R = pseudo-inverse of the projection: R @ P = I on polynomials."""
     P = subcell_projection(order, n_sub)
     return np.linalg.pinv(P)
+
+
+def refine_interpolation(order: int, factor: int) -> np.ndarray:
+    """``P[k, i, j]`` = coarse basis ``ℓ_j`` evaluated at fine node ``i`` of
+    fine subcell ``k`` (``factor`` fine cells per coarse cell).
+
+    Exact polynomial interpolation — prolongation preserves the order of
+    the scheme (piecewise-constant upsampling would clip it to 1).
+    """
+    n = order + 1
+    nodes, _ = gauss_legendre(n)
+    P = np.zeros((factor, n, n))
+    for k in range(factor):
+        for i, xi in enumerate(nodes):
+            P[k, i] = lagrange_eval(nodes, (k + xi) / factor)
+    return P
+
+
+def refine_restriction(order: int, factor: int) -> np.ndarray:
+    """``R[j, k, i]`` = L2-projection weights of the piecewise fine nodal
+    solution onto the coarse basis: ``c_j = Σ_{k,i} R[j,k,i] f_{k,i}``.
+
+    With the diagonal Gauss–Legendre mass matrix this is
+    ``w_i ℓ_j(x_{k,i}) / (factor · w_j)``; it is a true projection —
+    ``R · P = I`` (tested) — and conserves every moment up to the scheme's
+    order, in particular the cell mean (mass).
+    """
+    n = order + 1
+    _, weights = gauss_legendre(n)
+    P = refine_interpolation(order, factor)
+    R = np.zeros((n, factor, n))
+    for j in range(n):
+        for k in range(factor):
+            for i in range(n):
+                R[j, k, i] = weights[i] * P[k, i, j] / (factor * weights[j])
+    return R
