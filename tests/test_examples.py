@@ -81,3 +81,9 @@ def test_swe_bathymetry_example(tmp_path, monkeypatch, capsys):
     run_example("swe_bathymetry.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "bathymetry frozen: True" in out
+
+
+def test_limited_blast_walls(tmp_path, monkeypatch, capsys):
+    run_example("limited_blast_walls.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "admissible + conservative" in out
