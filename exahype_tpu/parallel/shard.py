@@ -356,6 +356,7 @@ def make_sharded_aderdg_step(
     mesh: Mesh,
     axis_name: str = PATCH_AXIS,
     interpret: bool = False,
+    return_face_fluxes: bool = False,
     **pallas_kwargs,
 ):
     """Multi-chip fused-Pallas ADER-DG step: the cell grid's axis 0 is
@@ -372,6 +373,16 @@ def make_sharded_aderdg_step(
     placed on ``sharding``.  GSPMD cannot partition ``pallas_call``, hence
     the ``shard_map`` construction (same pattern as
     :func:`make_sharded_pallas_step` for the FV path).
+
+    ``return_face_fluxes=True`` makes ``step_fn`` return
+    ``(new, [fhat_0..fhat_{d-1}])`` like ``ADERDGSolver.step`` — fused
+    interior axes emit theirs from inside the kernel, the sharded axis from
+    the edge-exchanged face stage.  This is how the LIMITER composes with
+    the multi-chip fused predictor: wrap with
+    :class:`ShardedPallasADERDG` and pass it as
+    ``LimitedADERDG(accelerator=...)`` — the limiter's own detection /
+    fallback / matching stay plain XLA and GSPMD-partition around the
+    ``shard_map`` region.
     """
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
@@ -389,6 +400,10 @@ def make_sharded_aderdg_step(
     fused.build()
     predictor_call = fused._predictor_call_fn
     epilogue_axes = fused._epilogue_axes
+    fused_axes = tuple(
+        d for d in range(solver.dim) if d not in epilogue_axes
+    )
+    n_face_out = 4 * len(epilogue_axes)
 
     shard_axis = solver.grid_axis(0)  # tensor axis of grid axis 0
     ndim = len(solver.state_shape)
@@ -396,22 +411,28 @@ def make_sharded_aderdg_step(
     spec_list[shard_axis] = axis_name
     state_spec = PartitionSpec(*spec_list)
     sharding = NamedSharding(mesh, state_spec)
+    # Face arrays drop node axis d, so grid axis 0 sits one slot earlier.
+    face_spec = PartitionSpec(*(spec_list[:shard_axis - 1] + spec_list[shard_axis:]))
 
     def shift(x, sh, ax):
         return _edge_shift(x, sh, ax, axis_name, n_shards)
 
     def local_step(Q_local, dt):
-        outs = predictor_call(Q_local, dt)
+        outs = predictor_call(
+            Q_local, dt, emit_fused_fhat=return_face_fluxes
+        )
         new = outs[0]
-        faces = outs[1:]
+        faces = outs[1 : 1 + n_face_out]
+        fused_fhats = list(outs[1 + n_face_out :])
         dtv = jnp.asarray(dt, Q_local.dtype)
         idx = jax.lax.axis_index(axis_name)
+        fhat_by_dir = {}
         for i, d in enumerate(epilogue_axes):
             q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
             if d == 0:
                 # Sharded axis: ppermute edge exchange; wall ghosts only on
                 # the first/last shard.
-                new, _ = local_solver.face_update(
+                new, fhat_d = local_solver.face_update(
                     new,
                     q_lo,
                     q_hi,
@@ -426,16 +447,54 @@ def make_sharded_aderdg_step(
             else:
                 # Interior grid axes are whole within the shard: the plain
                 # (boundary-aware) local face stage is exactly right.
-                new, _ = local_solver.face_update(
+                new, fhat_d = local_solver.face_update(
                     new, q_lo, q_hi, f_lo, f_hi, d, dtv
                 )
-        return new
+            fhat_by_dir[d] = fhat_d
+        if not return_face_fluxes:
+            return new
+        for j, d in enumerate(fused_axes):
+            fhat_by_dir[d] = fused_fhats[j]
+        return new, [fhat_by_dir[d] for d in range(solver.dim)]
 
+    out_specs = (
+        (state_spec, [face_spec] * solver.dim)
+        if return_face_fluxes
+        else state_spec
+    )
     step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(state_spec, PartitionSpec()),
-        out_specs=state_spec,
+        out_specs=out_specs,
         check_vma=False,
     )
     return step, sharding
+
+
+class ShardedPallasADERDG:
+    """Accelerator adapter: the multi-chip fused ADER-DG step with the
+    ``PallasADERDG``-compatible interface (``.solver``, ``.step(u, dt,
+    return_face_fluxes)``), for ``LimitedADERDG(accelerator=...)``.
+
+    The candidate step + face fluxes run per shard under ``shard_map``
+    (ppermute edge exchange on grid axis 0); everything else in the limiter
+    is plain XLA over globally-shaped arrays and GSPMD-partitions around
+    this region under the enclosing ``jit``.
+    """
+
+    def __init__(self, solver, mesh: Mesh, axis_name: str = PATCH_AXIS,
+                 interpret: bool = False, **pallas_kwargs):
+        self.solver = solver
+        self._plain, self.sharding = make_sharded_aderdg_step(
+            solver, mesh, axis_name, interpret=interpret, **pallas_kwargs
+        )
+        self._fluxed, _ = make_sharded_aderdg_step(
+            solver, mesh, axis_name, interpret=interpret,
+            return_face_fluxes=True, **pallas_kwargs
+        )
+
+    def step(self, u, dt, return_face_fluxes: bool = False):
+        if return_face_fluxes:
+            return self._fluxed(u, dt)
+        return self._plain(u, dt)

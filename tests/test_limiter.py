@@ -519,3 +519,42 @@ def test_subcell_fallback_second_order_ncp_convergence():
     e2m_f = run(16, 2, "minmod")
     rate_m = np.log2(e2m_c / e2m_f)
     assert rate_m > 1.4, f"minmod rate {rate_m:.2f}"
+
+
+def test_limited_step_sharded_accelerator_matches():
+    """The PRODUCTION multichip config: limited ADER-DG with the fused
+    predictor under shard_map (ShardedPallasADERDG accelerator) while
+    detection/fallback/matching GSPMD-partition around it — matches the
+    single-device accelerated limited step to 1e-12."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.parallel import make_mesh
+    from exahype_tpu.parallel.shard import ShardedPallasADERDG
+
+    solver, _ = make_limited(cells=8, order=2)
+    ref_lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        accelerator=PallasADERDG(solver, interpret=True, tile0=2),
+    )
+    Q0 = sod_like_state(solver)
+    dt = 2e-3
+    ref = np.asarray(jax.jit(ref_lim.step)(Q0, dt))
+
+    mesh = make_mesh(8)
+    accel = ShardedPallasADERDG(solver, mesh, interpret=True, tile0=1)
+    lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), accelerator=accel
+    )
+    ndim = len(solver.state_shape)
+    spec = [None] * ndim
+    spec[solver.grid_axis(0)] = "patches"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec))
+    Qs = jax.device_put(Q0, sharding)
+    stepped = jax.jit(lim.step, in_shardings=(sharding, None), out_shardings=sharding)
+    got = np.asarray(stepped(Qs, dt))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+    hlo = stepped.lower(Qs, dt).compile().as_text()
+    assert "collective-permute" in hlo
