@@ -345,3 +345,98 @@ class ADERDGNestedRefinement:
         """Quadrature mass of the composite solution (coarse outside +
         restricted fine inside; restriction preserves the fine mass)."""
         return self.coarse.total_mass(self.restrict_into(uc, uf))
+
+
+def cell_mean_jump_indicator(solver, u, var: int = 0) -> np.ndarray:
+    """Per-cell score: max absolute neighbour jump of one variable's cell
+    mean (host-side NumPy; criteria run between compiled chunks)."""
+    w = np.asarray(solver.ops.weights)
+    means = np.asarray(u)
+    for d in reversed(range(solver.dim)):
+        means = np.tensordot(w, means, axes=([0], [solver.node_axis(d)]))
+    g = means[var]  # [*grid]
+    score = np.zeros_like(g)
+    for ax in range(g.ndim):
+        jump = np.abs(np.diff(g, axis=ax))
+        pad_lo = [(0, 0)] * g.ndim
+        pad_lo[ax] = (1, 0)
+        pad_hi = [(0, 0)] * g.ndim
+        pad_hi[ax] = (0, 1)
+        score = np.maximum(score, np.pad(jump, pad_lo))
+        score = np.maximum(score, np.pad(jump, pad_hi))
+    return score
+
+
+@dataclasses.dataclass
+class DynamicADERDGRefinement:
+    """Criteria-driven re-gridding for the ADER-DG hierarchy (the
+    :class:`~exahype_tpu.parallel.refine.DynamicRefinement` recipe on the
+    flagship scheme): integrate jitted chunks of the coupled two-level
+    step, score coarse cells on the host between chunks, move the refined
+    box to the maximum, rebuild (prolonging the new region from the
+    running coarse solution — which already holds the restricted fine
+    state, so re-grid events conserve exactly).  Hierarchies and compiled
+    chunks are cached per region box."""
+
+    solver: ADERDGSolver
+    #: ``criterion(solver, u) -> [*grid]`` per-cell score (NumPy);
+    #: defaults to :func:`cell_mean_jump_indicator`.
+    criterion: object = None
+    #: Cell-box half width around the highest-scoring cell.
+    half_width: int = 2
+    factor: int = 3
+    reflux: bool = True
+
+    def __post_init__(self):
+        if self.criterion is None:
+            self.criterion = cell_mean_jump_indicator
+        self._nested: dict[tuple, ADERDGNestedRefinement] = {}
+        self._chunks: dict[tuple, object] = {}
+
+    def pick_region(self, u):
+        """Clamped cell box of ±half_width around the highest-scoring cell
+        (kept strictly smaller than the grid on every axis, as the ghost
+        ring requires)."""
+        scores = np.asarray(self.criterion(self.solver, u))
+        idx = np.unravel_index(int(np.argmax(scores)), scores.shape)
+        lo, hi = [], []
+        for i, g in zip(idx, self.solver.grid_shape):
+            a = max(int(i) - self.half_width, 0)
+            b = min(int(i) + self.half_width + 1, g)
+            if b - a >= g:  # ghost ring needs at least one coarse cell
+                b = a + g - 1
+            lo.append(a)
+            hi.append(b)
+        return tuple(lo), tuple(hi)
+
+    def nested_for(self, region) -> ADERDGNestedRefinement:
+        if region not in self._nested:
+            lo, hi = region
+            self._nested[region] = ADERDGNestedRefinement(
+                self.solver, region_lo=lo, region_hi=hi,
+                factor=self.factor, reflux=self.reflux,
+            )
+        return self._nested[region]
+
+    def _chunk_fn(self, region, chunk_steps: int):
+        key = (region, chunk_steps)
+        if key not in self._chunks:
+            nested = self.nested_for(region)
+            self._chunks[key] = jax.jit(
+                lambda uc, uf, dt: nested.run(uc, uf, chunk_steps, dt)
+            )
+        return self._chunks[key]
+
+    def run(self, uc, n_chunks: int, chunk_steps: int, dt):
+        """Returns ``(uc, uf, info)`` with ``info["regions"]`` per chunk."""
+        regions = []
+        uf = None
+        current = None
+        for _ in range(n_chunks):
+            region = self.pick_region(uc)
+            if region != current:
+                current = region
+                uf = self.nested_for(region).prolong_initial(uc)
+            regions.append(region)
+            uc, uf = self._chunk_fn(region, chunk_steps)(uc, uf, dt)
+        return uc, uf, {"regions": regions, "nested": self.nested_for(current)}

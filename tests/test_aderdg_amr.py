@@ -145,3 +145,39 @@ def test_region_validation():
         ADERDGNestedRefinement(solver, region_lo=(0, 0), region_hi=(6, 6))
     with pytest.raises(SemanticError):
         ADERDGNestedRefinement(solver, region_lo=(2, 2), region_hi=(2, 2))
+
+
+def test_dynamic_aderdg_refinement_tracks_and_conserves():
+    """Dynamic re-gridding on the ADER-DG hierarchy: the refined box follows
+    an advecting density pulse across >= 2 distinct regions while the
+    composite mass/energy stay conserved to rounding across re-grid events
+    (restrict-before / polynomial-prolong-after preserve means; refluxing
+    conserves within chunks)."""
+    from exahype_tpu.models.aderdg_amr import DynamicADERDGRefinement
+
+    solver = euler_density_wave_solver(cells=8, order=2)
+    # A localized density pulse (sharper score peak than the global wave).
+    x, y = solver.nodes_meshgrid()
+    r2 = (np.asarray(x) - 0.25) ** 2 + (np.asarray(y) - 0.5) ** 2
+    bump = 1.0 + 0.4 * np.exp(-r2 / 0.02)
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = np.broadcast_to(np.squeeze(bump, axis=solver.var_axis), no_var)
+    E = 2.0 / 0.4 + 0.5 * rho * (1.0 + 0.0)
+    uc0 = jnp.asarray(
+        np.stack([rho, rho * 1.0, rho * 0.0, E], axis=solver.var_axis)
+    )
+    m0 = np.asarray(solver.total_mass(uc0))
+
+    dyn = DynamicADERDGRefinement(solver, half_width=1)
+    uc, uf, info = dyn.run(uc0, n_chunks=6, chunk_steps=8, dt=2e-3)
+    regions = info["regions"]
+    assert len(set(regions)) > 1, f"region never moved: {regions}"
+    m1 = np.asarray(info["nested"].composite_mass(uc, uf))
+    # uc already holds the restricted fine state after each step.
+    np.testing.assert_allclose(np.asarray(solver.total_mass(uc)), m1, rtol=1e-12)
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-11)
+    np.testing.assert_allclose(m1[3], m0[3], rtol=1e-11)
+    assert bool(jnp.isfinite(uc).all()) and bool(jnp.isfinite(uf).all())
