@@ -43,6 +43,7 @@ class PallasADERDG:
         vmem_limit_bytes: int = 100 * 1024 * 1024,
         interpret: bool = False,
         fuse_interior_riemann: bool = True,
+        boundary_faces_only: bool = False,
         dtype=None,
     ):
         if solver.boundary != "periodic":
@@ -51,6 +52,18 @@ class PallasADERDG:
             fuse_interior_riemann = False
         self.solver = solver
         self.interpret = interpret
+        #: Also solve the INTRA-TILE axis-0 Riemann problems inside the
+        #: kernel: faces between the tile0 rows of a block are block-local,
+        #: so only the tile-BOUNDARY faces (one per tile) leave the kernel —
+        #: the four face arrays shrink by tile0× and the XLA epilogue
+        #: touches only the two boundary-adjacent rows per tile.  Periodic,
+        #: fused-interior, flux-form (no NCP) configurations only.
+        self.boundary_faces_only = bool(
+            boundary_faces_only
+            and fuse_interior_riemann
+            and solver.boundary == "periodic"
+            and solver.ncp_fn is None
+        )
         #: Solve the Riemann problems of grid axes 1..dim-1 INSIDE the
         #: predictor kernel (each block holds those axes in full, so the
         #: neighbour shift is a block-local wrap) — only axis 0, the tiled
@@ -139,6 +152,10 @@ class PallasADERDG:
         else:
             fused_axes = ()
             epilogue_axes = tuple(lam_axes)
+        # Intra-tile axis-0 faces in-kernel: only meaningful when axis 0 is
+        # the single epilogue axis and blocks hold >1 row.
+        bfo = self.boundary_faces_only and epilogue_axes == (0,) and tile0 > 1
+        self.boundary_faces_only = bfo
 
         def _shift(x, sh, axis):
             """Periodic shift by concatenated slices (Mosaic-lowerable; the
@@ -343,6 +360,60 @@ class PallasADERDG:
                     lams[d],
                 )
                 fused_fhats.append(fhat_d)
+            if bfo:
+                # Solve the INTRA-TILE axis-0 faces here (block-local:
+                # rows j | j+1 of this tile); emit only the boundary rows'
+                # face data for the tile-boundary epilogue.
+                na0 = sol.node_axis(0)
+                fgax = sol.grid_axis(0) - 1
+                gax = sol.grid_axis(0)
+                q_lo0 = vec_project(PHI0, qbar, na0)
+                q_hi0 = vec_project(PHI1, qbar, na0)
+                f_lo0 = vec_project(PHI0, fbar[0], na0)
+                f_hi0 = vec_project(PHI1, fbar[0], na0)
+                hi_q = jax.lax.slice_in_dim(q_hi0, 0, tile0 - 1, axis=fgax)
+                lo_q = jax.lax.slice_in_dim(q_lo0, 1, tile0, axis=fgax)
+                hi_f = jax.lax.slice_in_dim(f_hi0, 0, tile0 - 1, axis=fgax)
+                lo_f = jax.lax.slice_in_dim(f_lo0, 1, tile0, axis=fgax)
+                s = jnp.expand_dims(
+                    jnp.maximum(
+                        sol.max_eigenvalue_fn(hi_q, 0, face_va),
+                        sol.max_eigenvalue_fn(lo_q, 0, face_va),
+                    ),
+                    face_va,
+                )
+                dq = lo_q - hi_q
+                if sol.dissipation_mask is not None:
+                    parts = [
+                        float(m)
+                        * jax.lax.index_in_dim(dq, k, face_va, keepdims=False)
+                        for k, m in enumerate(sol.dissipation_mask)
+                    ]
+                    dq = jnp.stack(parts, axis=face_va)
+                fhat = 0.5 * (hi_f + lo_f) - 0.5 * s * dq
+                surf_hi = jnp.stack(
+                    [PHI1W[i] * fhat for i in range(nn)], axis=na0
+                )
+                surf_lo = jnp.stack(
+                    [PHI0W[i] * fhat for i in range(nn)], axis=na0
+                )
+                zero_row = jnp.zeros_like(
+                    jax.lax.slice_in_dim(surf_hi, 0, 1, axis=gax)
+                )
+                lam0 = lams[0]
+                # Face j updates row j (its hi face) and row j+1 (lo face).
+                new = new - lam0 * jnp.concatenate([surf_hi, zero_row], axis=gax)
+                new = new + lam0 * jnp.concatenate([zero_row, surf_lo], axis=gax)
+                out_vol_ref[...] = new
+                face_refs[0][...] = jax.lax.index_in_dim(
+                    q_hi0, tile0 - 1, fgax, keepdims=True
+                )
+                face_refs[1][...] = jax.lax.index_in_dim(q_lo0, 0, fgax, keepdims=True)
+                face_refs[2][...] = jax.lax.index_in_dim(
+                    f_hi0, tile0 - 1, fgax, keepdims=True
+                )
+                face_refs[3][...] = jax.lax.index_in_dim(f_lo0, 0, fgax, keepdims=True)
+                return
             out_vol_ref[...] = new
             # Face outputs for the epilogue axes: q_lo, q_hi, f_lo, f_hi.
             for i, d in enumerate(epilogue_axes):
@@ -359,10 +430,20 @@ class PallasADERDG:
                     face_refs[base + j][...] = fhat_d
 
         state_shape = sol.state_shape
-        face_shape = (nn,) * (dim - 1) + (nv,) + grid
+        if bfo:
+            # One boundary row per tile instead of every row.
+            face_shape = (nn,) * (dim - 1) + (nv, n_tiles) + grid[1:]
+            face_block = (nn,) * (dim - 1) + (nv, 1) + grid[1:]
+        else:
+            face_shape = (nn,) * (dim - 1) + (nv,) + grid
         n_face_out = 4 * len(epilogue_axes)
 
         def predictor_call(u, dt, emit_fused_fhat: bool = False):
+            if emit_fused_fhat and bfo:
+                raise LoweringError(
+                    "return_face_fluxes requires boundary_faces_only=False "
+                    "(the limiter needs every row's face flux)"
+                )
             n_extra = len(fused_axes) if emit_fused_fhat else 0
             out_shapes = [jax.ShapeDtypeStruct(state_shape, u.dtype)] + [
                 jax.ShapeDtypeStruct(face_shape, u.dtype)
@@ -393,6 +474,52 @@ class PallasADERDG:
                 **kwargs,
             )(jnp.asarray(dt, u.dtype).reshape(1), u)
 
+        def boundary_epilogue(new, faces, dtv):
+            """Tile-boundary Riemann solve + surface update of the two
+            boundary-adjacent rows per tile (the intra-tile faces were
+            already applied inside the kernel)."""
+            q_hi_last, q_lo_first, f_hi_last, f_lo_first = faces
+            fgax = sol.grid_axis(0) - 1  # tile axis of the face arrays
+            na0 = sol.node_axis(0)
+            gax = sol.grid_axis(0)
+            lam0 = dtv / sol._dxs[0]
+            q_plus = jnp.roll(q_lo_first, -1, axis=fgax)
+            f_plus = jnp.roll(f_lo_first, -1, axis=fgax)
+            s = jnp.expand_dims(
+                jnp.maximum(
+                    sol.max_eigenvalue_fn(q_hi_last, 0, face_va),
+                    sol.max_eigenvalue_fn(q_plus, 0, face_va),
+                ),
+                face_va,
+            )
+            dq = q_plus - q_hi_last
+            if sol.dissipation_mask is not None:
+                mshape = [1] * dq.ndim
+                mshape[face_va] = len(sol.dissipation_mask)
+                dq = dq * jnp.asarray(sol.dissipation_mask, dq.dtype).reshape(
+                    mshape
+                )
+            fhat_b = 0.5 * (f_hi_last + f_plus) - 0.5 * s * dq
+            fhat_lo_b = jnp.roll(fhat_b, 1, axis=fgax)
+            newr = new.reshape(
+                new.shape[:gax] + (n_tiles, tile0) + new.shape[gax + 1 :]
+            )
+            fb = jnp.expand_dims(fhat_b, na0)
+            flo = jnp.expand_dims(fhat_lo_b, na0)
+            shape_i = [1] * fb.ndim
+            shape_i[na0] = nn
+            phi1w = jnp.asarray(ops.phi1 / ops.weights, new.dtype).reshape(shape_i)
+            phi0w = jnp.asarray(ops.phi0 / ops.weights, new.dtype).reshape(shape_i)
+
+            def row(j):
+                sl = [slice(None)] * newr.ndim
+                sl[gax + 1] = j
+                return tuple(sl)
+
+            newr = newr.at[row(tile0 - 1)].add(-lam0 * phi1w * fb)
+            newr = newr.at[row(0)].add(lam0 * phi0w * flo)
+            return newr.reshape(new.shape)
+
         def step(u, dt, return_face_fluxes: bool = False):
             """One fused step.  ``return_face_fluxes=True`` additionally
             returns the per-direction high-face Rusanov fluxes (matching
@@ -402,6 +529,10 @@ class PallasADERDG:
             new = outs[0]
             if getattr(self, "_profile_predictor_only", False):
                 return new
+            if bfo:
+                return boundary_epilogue(
+                    new, outs[1:5], jnp.asarray(dt, u.dtype)
+                )
             faces = outs[1 : 1 + n_face_out]
             fused_fhats = list(outs[1 + n_face_out :])
             dtv = jnp.asarray(dt, u.dtype)

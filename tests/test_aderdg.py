@@ -625,3 +625,63 @@ def test_pallas_step_face_fluxes_match_base():
                 np.asarray(fluxes[d]), np.asarray(ref_fluxes[d]),
                 rtol=0, atol=1e-12, err_msg=f"direction {d}, fuse={fuse}",
             )
+
+
+def test_pallas_boundary_faces_only_matches_base():
+    """boundary_faces_only: intra-tile axis-0 Riemann solves move into the
+    kernel, only tile-boundary faces reach the XLA epilogue — numerics must
+    match the base solver exactly (periodic, flux-form)."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=8, order=3)
+    Q0 = euler_density_wave_state(solver)
+    ref = np.asarray(solver.step(Q0, 1e-3))
+    for tile0 in (2, 4):
+        fused = PallasADERDG(
+            solver, interpret=True, tile0=tile0, boundary_faces_only=True
+        )
+        assert fused.boundary_faces_only
+        got = np.asarray(fused.step(Q0, 1e-3))
+        np.testing.assert_allclose(
+            got, ref, rtol=0, atol=1e-12, err_msg=f"tile0={tile0}"
+        )
+    # Multi-step through scan as well.
+    fused = PallasADERDG(
+        solver, interpret=True, tile0=2, boundary_faces_only=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.run(Q0, 3, 1e-3)),
+        np.asarray(solver.run(Q0, 3, 1e-3)),
+        rtol=0,
+        atol=1e-11,
+    )
+
+
+def test_pallas_boundary_faces_only_guards():
+    """The flag degrades gracefully: tile0=1 (no intra faces), NCP solvers,
+    and reflective walls all fall back to the standard epilogue."""
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=8, order=2)
+    f1 = PallasADERDG(solver, interpret=True, tile0=1, boundary_faces_only=True)
+    f1.build()
+    assert not f1.boundary_faces_only
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    refl = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="reflective",
+        reflect_fn=euler_reflect(2), reflect_flux_fn=euler_reflect_flux(2),
+    )
+    f2 = PallasADERDG(refl, interpret=True, tile0=2, boundary_faces_only=True)
+    assert not f2.boundary_faces_only
+
+    # return_face_fluxes is incompatible with the shrunken face outputs.
+    import pytest
+
+    from exahype_tpu.utils.errors import LoweringError
+
+    f3 = PallasADERDG(solver, interpret=True, tile0=2, boundary_faces_only=True)
+    with pytest.raises(LoweringError):
+        f3.step(euler_density_wave_state(solver), 1e-3, return_face_fluxes=True)
