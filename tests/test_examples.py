@@ -83,6 +83,19 @@ def test_swe_bathymetry_example(tmp_path, monkeypatch, capsys):
     assert "bathymetry frozen: True" in out
 
 
+def test_raw_sympy_ccode(tmp_path, monkeypatch, capsys):
+    run_example("raw_sympy_ccode.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    # Stage 1: the one-statement ccode demo (reference sympy_test.py).
+    assert "tmp_x[4*i + j + 16*patch] = X_max_eigenvalues(" in out
+    # Stage 2: the full hand-written update (reference full_sympy_test.py)
+    # — linearized AoS indices and fmax dissipation straight from ccode.
+    assert "Flux(Q_copy[" in out
+    assert "fmax(tmp_eig_" in out
+    # Stage 3: the DSL emits actual loop nests for the same statements.
+    assert "for" in out
+
+
 def test_limited_blast_walls(tmp_path, monkeypatch, capsys):
     run_example("limited_blast_walls.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
