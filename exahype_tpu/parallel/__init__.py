@@ -6,6 +6,11 @@ from exahype_tpu.parallel.mesh import (
     shard_state,
     state_sharding,
 )
+from exahype_tpu.parallel.pool import (
+    DynamicPoolRefinement,
+    PatchPoolRefinement,
+    PoolTables,
+)
 from exahype_tpu.parallel.shard import make_sharded_pallas_step, sharded_tpu_halo_fill
 from exahype_tpu.parallel.solver import GridSolver
 
@@ -20,4 +25,7 @@ __all__ = [
     "shard_state",
     "replicated",
     "PATCH_AXIS",
+    "PatchPoolRefinement",
+    "DynamicPoolRefinement",
+    "PoolTables",
 ]

@@ -1,0 +1,563 @@
+"""Tree-structured (non-box) refinement: a static-capacity fine-patch pool.
+
+:class:`~exahype_tpu.parallel.refine.NestedRefinement` refines one
+axis-aligned BOX of coarse patches; real adaptive grids (the Peano trees the
+reference delegates to, SURVEY.md §0/§2) refine arbitrary scattered sets.
+This module supplies that capability in the TPU-shaped form:
+
+- refinement is a per-coarse-patch boolean mask — any set, no box constraint;
+- every refined coarse patch is covered by ``factor**dim`` fine patches of
+  the SAME kernel shape at spacing ``dx/factor``, stored in a **pool** array
+  ``[capacity, *extent, n_vars]`` with static capacity;
+- the refinement pattern lives in :class:`PoolTables` — slot coordinates,
+  activity mask, and a per-face fine-neighbour index table — which are
+  ordinary *array arguments* of the jitted step.  Re-gridding changes table
+  VALUES, never shapes, so ONE compiled executable serves every refinement
+  pattern up to the capacity (the box path re-traces per region;
+  ``tests/test_pool.py`` asserts zero recompiles across re-grids).
+
+Coupling per coarse step (mirrors ``refine.NestedRefinement``):
+
+1. coarse solver step everywhere (refined cells overwritten by restriction);
+2. ``factor`` fine sub-steps at ``dt/factor``; before each, every pool
+   slot's halos fill axis-by-axis — from the fine neighbour's interior edge
+   slab where one exists (gather by the neighbour table), else by
+   piecewise-constant prolongation of the coarse solution;
+3. conservative restriction (fine cell means scatter onto the coarse cells
+   they cover) and Berger–Colella refluxing on every coarse–fine face
+   (``neighbor == -1``), so the composite mass is conserved to rounding for
+   arbitrary refinement sets.
+
+Fine–fine faces are conservative by construction (both sides evaluate the
+same symmetric Rusanov flux from identical left/right states).  Interface
+coupling is first order in time (coarse boundary data frozen within a
+coarse step), as in the box path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.parallel.grid import PatchGrid
+from exahype_tpu.parallel.refine import _assemble_jnp
+from exahype_tpu.parallel.solver import GridSolver
+from exahype_tpu.utils.errors import SemanticError
+from exahype_tpu.utils.output import disassemble_global
+
+
+class PoolTables(NamedTuple):
+    """The refinement pattern as data (a pytree of same-shape arrays).
+
+    - ``coords``: int32 ``[capacity, dim]`` — slot position in the GLOBAL
+      fine-patch index space (coarse patch ``c``, sub-offset ``o`` →
+      ``c*factor + o``); zeros for inactive slots.
+    - ``active``: bool ``[capacity]``.
+    - ``neighbor``: int32 ``[capacity, dim, 2]`` — pool index of the
+      (lo, hi) fine neighbour along each axis, or ``-1`` where the
+      neighbouring cells are unrefined (a coarse–fine face).
+    """
+
+    coords: jnp.ndarray
+    active: jnp.ndarray
+    neighbor: jnp.ndarray
+
+    @property
+    def n_active(self) -> int:
+        return int(np.sum(np.asarray(self.active)))
+
+
+@dataclasses.dataclass
+class PatchPoolRefinement:
+    """Two-level solver over an ARBITRARY set of refined coarse patches.
+
+    ``capacity`` bounds the number of simultaneously refined COARSE patches
+    (the pool holds ``capacity * factor**dim`` fine patches).  The coarse
+    solver must be a periodic AoS :class:`GridSolver` (``backend="jax"``)
+    whose ``patch_size`` is divisible by ``factor``.
+    """
+
+    coarse: GridSolver
+    capacity: int
+    factor: int = 3
+    #: Berger–Colella refluxing on coarse–fine faces (flux-form specs with
+    #: Flux/maxEigenvalue callbacks and ``kernel_dt="lambda"`` only;
+    #: auto-disabled otherwise, like ``refine.NestedRefinement``).
+    reflux: bool = True
+
+    def __post_init__(self):
+        grid = self.coarse.grid
+        cfg = grid.config
+        if not isinstance(grid, PatchGrid):
+            raise SemanticError("PatchPoolRefinement drives AoS PatchGrid solvers")
+        if grid.boundary != "periodic":
+            raise SemanticError(
+                "PatchPoolRefinement supports periodic domains (walls: roadmap)"
+            )
+        if cfg.patch_size % self.factor != 0:
+            raise SemanticError(
+                f"patch_size ({cfg.patch_size}) must be divisible by "
+                f"factor ({self.factor}) for conservative restriction"
+            )
+        if cfg.halo_size > cfg.patch_size:
+            raise SemanticError("halo_size must not exceed patch_size")
+        if self.capacity < 1:
+            raise SemanticError("capacity must be >= 1")
+        self.pool_size = self.capacity * self.factor**cfg.dim
+        self.fine_dx = self.coarse.dx / self.factor
+        #: Fine patches per axis of the global fine-patch index space.
+        self.fine_patch_shape = tuple(g * self.factor for g in grid.grid_shape)
+        # The pool's own kernel lowering: same spec, pool-sized patch batch.
+        from exahype_tpu.backends.jax_backend import JAXPrinter
+
+        self._fine_kernel_fn = JAXPrinter(
+            self.coarse.kernel.with_n_patches(self.pool_size)
+        ).build()
+
+    # ------------------------------------------------------------ tables
+
+    def build_tables(self, refined_mask: np.ndarray) -> PoolTables:
+        """Host-side: tables for a per-coarse-patch boolean mask."""
+        grid = self.coarse.grid
+        mask = np.asarray(refined_mask, dtype=bool)
+        if mask.shape != tuple(grid.grid_shape):
+            raise SemanticError(
+                f"refined_mask shape {mask.shape} != grid {grid.grid_shape}"
+            )
+        refined = [tuple(c) for c in np.argwhere(mask)]
+        if len(refined) > self.capacity:
+            raise SemanticError(
+                f"{len(refined)} refined patches exceed capacity {self.capacity}"
+            )
+        dim, r = grid.config.dim, self.factor
+        M = self.pool_size
+        coords = np.zeros((M, dim), np.int32)
+        active = np.zeros((M,), bool)
+        slot_of: dict[tuple[int, ...], int] = {}
+        m = 0
+        for c in refined:
+            for o in itertools.product(range(r), repeat=dim):
+                coords[m] = [c[d] * r + o[d] for d in range(dim)]
+                active[m] = True
+                slot_of[tuple(coords[m])] = m
+                m += 1
+        neighbor = np.full((M, dim, 2), -1, np.int32)
+        for s in range(m):
+            for d in range(dim):
+                for side, shift in ((0, -1), (1, +1)):
+                    nb = list(coords[s])
+                    nb[d] = (nb[d] + shift) % self.fine_patch_shape[d]
+                    neighbor[s, d, side] = slot_of.get(tuple(nb), -1)
+        return PoolTables(
+            coords=jnp.asarray(coords),
+            active=jnp.asarray(active),
+            neighbor=jnp.asarray(neighbor),
+        )
+
+    # ---------------------------------------------------------- gathers
+
+    def _block_gather_indices(self, coords):
+        """Per-axis coarse-CELL indices of every slot's halo-extended block:
+        a list of ``[capacity*r^dim, extent]`` int arrays (periodic wrap)."""
+        cfg = self.coarse.grid.config
+        P, h, r = cfg.patch_size, cfg.halo_size, self.factor
+        out = []
+        for d in range(cfg.dim):
+            n_cells = self.coarse.grid.grid_shape[d] * P
+            pos = coords[:, d, None] * P + jnp.arange(cfg.extent)[None, :] - h
+            out.append(jnp.mod(jnp.floor_divide(pos, r), n_cells))
+        return out
+
+    @staticmethod
+    def _gather(CG, ix_axes):
+        """``[M, L0, ..., V]`` blocks from a global cell array ``CG``."""
+        dim = len(ix_axes)
+        M = ix_axes[0].shape[0]
+        idx = []
+        for d, ix in enumerate(ix_axes):
+            shape = [M] + [1] * dim
+            shape[1 + d] = ix.shape[1]
+            idx.append(ix.reshape(shape))
+        return CG[tuple(idx)]
+
+    def _prolong_blocks(self, coarse_global, coords):
+        """Piecewise-constant prolongation: every slot's full halo-extended
+        fine block gathered from the containing coarse cells."""
+        return self._gather(coarse_global, self._block_gather_indices(coords))
+
+    # ------------------------------------------------------------- state
+
+    def init_pool(self, coarse_Q, tables: PoolTables):
+        """Fine pool prolonged from the coarse solution (inactive → 0)."""
+        cg = _assemble_jnp(self.coarse.grid, coarse_Q)
+        up = self._prolong_blocks(cg, tables.coords)
+        cfg = self.coarse.grid.config
+        mask = tables.active.reshape((-1,) + (1,) * (cfg.dim + 1))
+        return jnp.where(mask, up, jnp.zeros_like(up))
+
+    # --------------------------------------------------------- halo fill
+
+    def halo_fill(self, fine_Q, up_blocks, tables: PoolTables):
+        """Axis-by-axis halo fill of every pool slot: fine-neighbour interior
+        edge slabs where a neighbour exists, coarse prolongation otherwise.
+        Later axes re-export earlier axes' halos, so corner ghosts propagate
+        exactly as in ``PatchGrid.halo_fill``."""
+        cfg = self.coarse.grid.config
+        P, h = cfg.patch_size, cfg.halo_size
+        if h == 0:
+            return fine_Q
+        nd = fine_Q.ndim  # [M, extent.., V]
+        cur = fine_Q
+        for d in range(cfg.dim):
+            ax = 1 + d
+
+            def sl(lo, hi, _ax=ax):
+                s = [slice(None)] * nd
+                s[_ax] = slice(lo, hi)
+                return tuple(s)
+
+            for side, (halo_rng, src_rng) in enumerate(
+                (((0, h), (P, P + h)), ((P + h, P + 2 * h), (h, 2 * h)))
+            ):
+                nb = tables.neighbor[:, d, side]
+                # Slab-first: slice the h-wide edge slabs, THEN gather by the
+                # neighbour table (traffic h/extent of the pool per exchange).
+                from_fine = cur[sl(*src_rng)][nb]
+                from_coarse = up_blocks[sl(*halo_rng)]
+                mask = (nb >= 0).reshape((-1,) + (1,) * (nd - 1))
+                cur = cur.at[sl(*halo_rng)].set(
+                    jnp.where(mask, from_fine, from_coarse)
+                )
+        return cur
+
+    # -------------------------------------------------------- restriction
+
+    def _coarse_cell_footprint(self, tables: PoolTables):
+        """Per-axis coarse-cell indices covered by each slot's interior:
+        ``[M, P//r]`` arrays (OOB sentinel for inactive slots → dropped)."""
+        cfg = self.coarse.grid.config
+        w = cfg.patch_size // self.factor
+        out = []
+        for d in range(cfg.dim):
+            n_cells = self.coarse.grid.grid_shape[d] * cfg.patch_size
+            base = tables.coords[:, d] * w
+            ix = base[:, None] + jnp.arange(w)[None, :]
+            ix = jnp.where(tables.active[:, None], ix, n_cells)  # OOB → drop
+            out.append(ix)
+        return out
+
+    def restrict(self, coarse_Q, fine_Q, tables: PoolTables):
+        """Scatter fine cell means onto the coarse cells they cover."""
+        cfg = self.coarse.grid.config
+        dim, h, P, r = cfg.dim, cfg.halo_size, cfg.patch_size, self.factor
+        interior = fine_Q
+        for d in range(dim):
+            sl = [slice(None)] * fine_Q.ndim
+            sl[1 + d] = slice(h, h + P)
+            interior = interior[tuple(sl)]
+        pooled = interior
+        for d in range(dim):
+            ax = 1 + d
+            shape = pooled.shape
+            pooled = pooled.reshape(
+                shape[:ax] + (shape[ax] // r, r) + shape[ax + 1 :]
+            ).mean(axis=ax + 1)
+        cg = _assemble_jnp(self.coarse.grid, coarse_Q)
+        ix_axes = self._coarse_cell_footprint(tables)
+        idx = []
+        M = ix_axes[0].shape[0]
+        for d, ix in enumerate(ix_axes):
+            shape = [M] + [1] * dim
+            shape[1 + d] = ix.shape[1]
+            idx.append(ix.reshape(shape))
+        cg = cg.at[tuple(idx)].set(pooled, mode="drop")
+        return disassemble_global(self.coarse.grid, coarse_Q, cg)
+
+    # ---------------------------------------------------------- refluxing
+
+    def _physics(self):
+        fns = self.coarse.kernel.functions
+        if "Flux" not in fns or "maxEigenvalue" not in fns:
+            return None
+        return fns["Flux"].jax_impl, fns["maxEigenvalue"].jax_impl
+
+    def _rusanov_face(self, u_left, u_right, d):
+        flux, eig = self._physics()
+        s = jnp.maximum(eig(u_left, d), eig(u_right, d))[..., None]
+        n_real = self.coarse.grid.config.n_real
+        return 0.5 * (flux(u_left, d) + flux(u_right, d)) - 0.5 * s * (
+            u_right[..., :n_real] - u_left[..., :n_real]
+        )
+
+    def _pool_transverse(self, rows, skip_axis):
+        """Mean-pool every spatial axis but ``skip_axis`` by ``factor``
+        (rows: ``[M, ..., V]`` with dim-1 transverse axes)."""
+        r = self.factor
+        out = rows
+        for ax in range(1, out.ndim - 1):
+            shape = out.shape
+            out = out.reshape(
+                shape[:ax] + (shape[ax] // r, r) + shape[ax + 1 :]
+            ).mean(axis=ax + 1)
+        return out
+
+    def _fine_face_fluxes(self, filled, d):
+        """(lo, hi) face fluxes of every slot along axis ``d`` from the
+        halo-filled pool state, transverse-pooled to coarse faces."""
+        cfg = self.coarse.grid.config
+        P, h = cfg.patch_size, cfg.halo_size
+        nd = filled.ndim
+
+        def row(spat_idx):
+            s = [slice(None)] * nd
+            s[1 + d] = spat_idx
+            for dd in range(cfg.dim):
+                if dd != d:
+                    s[1 + dd] = slice(h, h + P)
+            return filled[tuple(s)]
+
+        F_lo = self._rusanov_face(row(h - 1), row(h), d)
+        F_hi = self._rusanov_face(row(h + P - 1), row(h + P), d)
+        return self._pool_transverse(F_lo, d), self._pool_transverse(F_hi, d)
+
+    def _face_flux_sample(self, filled):
+        """All per-axis (lo, hi) pooled face fluxes of one substep."""
+        return [
+            self._fine_face_fluxes(filled, d)
+            for d in range(self.coarse.grid.config.dim)
+        ]
+
+    def _coarse_face_rows(self, cg_pre, tables, d, side):
+        """(outside, inside) pre-step coarse rows at every slot's ``(d,
+        side)`` face, restricted to the slot's transverse footprint."""
+        cfg = self.coarse.grid.config
+        w = cfg.patch_size // self.factor
+        n_d = cg_pre.shape[d]
+        base = tables.coords[:, d] * w
+        if side == 0:
+            out_i, in_i = base - 1, base
+        else:
+            out_i, in_i = base + w, base + w - 1
+        trans = self._coarse_cell_footprint(tables)
+
+        def rows(cell_idx):
+            ix_axes = []
+            for dd in range(cfg.dim):
+                if dd == d:
+                    ix_axes.append(jnp.mod(cell_idx, n_d)[:, None])
+                else:
+                    # footprint uses the OOB sentinel for inactive slots;
+                    # wrap for the gather (the scatter still drops them).
+                    ix_axes.append(jnp.mod(trans[dd], cg_pre.shape[dd]))
+            g = self._gather(cg_pre, ix_axes)
+            return jnp.squeeze(g, axis=1 + d)
+
+        return rows(out_i), rows(in_i), out_i
+
+    def _apply_reflux(self, new_coarse, cg_pre, flux_acc, tables, dt):
+        """Correct the coarse cells just outside every coarse–fine face:
+        their face flux becomes the substep-averaged fine aggregate."""
+        cfg = self.coarse.grid.config
+        n_real = cfg.n_real
+        lam = dt / self.coarse.dx
+        cg = _assemble_jnp(self.coarse.grid, new_coarse)
+        for d in range(cfg.dim):
+            n_d = cg.shape[d]
+            for side in (0, 1):
+                out_row, in_row, out_i = self._coarse_face_rows(
+                    cg_pre, tables, d, side
+                )
+                if side == 0:
+                    Fc = self._rusanov_face(out_row, in_row, d)
+                    sign = -1.0
+                else:
+                    Fc = self._rusanov_face(in_row, out_row, d)
+                    sign = +1.0
+                Ff = flux_acc[d][side]
+                delta = sign * lam * (Ff - Fc)
+                delta_full = jnp.zeros(delta.shape[:-1] + (cfg.n_vars,), delta.dtype)
+                delta_full = delta_full.at[..., :n_real].set(delta)
+                # The scatter window is 1 cell wide along the face axis.
+                delta_full = jnp.expand_dims(delta_full, axis=1 + d)
+                # Scatter-add at (out_i, transverse footprint); faces with a
+                # fine neighbour (or inactive slots) get an OOB index → drop.
+                is_cf = tables.active & (tables.neighbor[:, d, side] < 0)
+                cell = jnp.where(is_cf, jnp.mod(out_i, n_d), n_d)
+                trans = self._coarse_cell_footprint(tables)
+                ix_axes = []
+                for dd in range(cfg.dim):
+                    ix_axes.append(
+                        cell[:, None] if dd == d else trans[dd]
+                    )
+                idx = []
+                M = ix_axes[0].shape[0]
+                for dd, ix in enumerate(ix_axes):
+                    shape = [M] + [1] * cfg.dim
+                    shape[1 + dd] = ix.shape[1]
+                    idx.append(ix.reshape(shape))
+                cg = cg.at[tuple(idx)].add(delta_full, mode="drop")
+        return disassemble_global(self.coarse.grid, new_coarse, cg)
+
+    # ----------------------------------------------------------------- step
+
+    def step(self, coarse_Q, fine_Q, tables: PoolTables, dt):
+        """One coupled coarse step; jit once, reuse for every pattern."""
+        cfg = self.coarse.grid.config
+        r = self.factor
+        new_coarse = self.coarse.step(coarse_Q, dt)
+        cg_pre = _assemble_jnp(self.coarse.grid, coarse_Q)
+        up_blocks = self._prolong_blocks(cg_pre, tables.coords)
+        dt_f = dt / r
+        kdt = dt_f / self.fine_dx if self.coarse.kernel_dt == "lambda" else dt_f
+        do_reflux = (
+            self.reflux
+            and self._physics() is not None
+            and self.coarse.kernel_dt == "lambda"
+        )
+
+        def substep(carry, _):
+            fq, acc = carry
+            filled = self.halo_fill(fq, up_blocks, tables)
+            if do_reflux:
+                acc = jax.tree.map(
+                    lambda a, b: a + b, acc, self._face_flux_sample(filled)
+                )
+            fq = self._fine_kernel_fn(filled, kdt)
+            return (fq, acc), None
+
+        if do_reflux:
+            acc0 = jax.tree.map(
+                jnp.zeros_like,
+                self._face_flux_sample(self.halo_fill(fine_Q, up_blocks, tables)),
+            )
+        else:
+            acc0 = 0.0
+        (new_fine, acc), _ = jax.lax.scan(substep, (fine_Q, acc0), None, length=r)
+        new_coarse = self.restrict(new_coarse, new_fine, tables)
+        if do_reflux:
+            flux_agg = jax.tree.map(lambda a: a / r, acc)
+            new_coarse = self._apply_reflux(
+                new_coarse, cg_pre, flux_agg, tables, dt
+            )
+        return new_coarse, new_fine
+
+    def run(self, coarse_Q, fine_Q, tables: PoolTables, n_steps: int, dt):
+        def body(carry, _):
+            c, f = carry
+            return self.step(c, f, tables, dt), None
+
+        (c, f), _ = jax.lax.scan(
+            body, (coarse_Q, fine_Q), None, length=n_steps
+        )
+        return c, f
+
+    # ---------------------------------------------------------------- regrid
+
+    def regrid(self, coarse_Q, fine_Q, old: PoolTables, new: PoolTables):
+        """Fine pool for a NEW pattern: slots whose fine patch already
+        existed keep their data (host-side coord matching → device gather);
+        newly refined slots prolong from the coarse solution.  Conservation
+        across the event is exact (restriction ran every step; prolongation
+        preserves coarse means)."""
+        old_coords = np.asarray(old.coords)
+        old_active = np.asarray(old.active)
+        slot_of = {
+            tuple(old_coords[m]): m
+            for m in range(len(old_active))
+            if old_active[m]
+        }
+        new_coords = np.asarray(new.coords)
+        new_active = np.asarray(new.active)
+        match = np.array(
+            [
+                slot_of.get(tuple(new_coords[m]), -1) if new_active[m] else -1
+                for m in range(len(new_active))
+            ],
+            np.int32,
+        )
+        prolonged = self.init_pool(coarse_Q, new)
+        keep = jnp.asarray(match >= 0).reshape(
+            (-1,) + (1,) * (fine_Q.ndim - 1)
+        )
+        return jnp.where(keep, fine_Q[jnp.asarray(match)], prolonged)
+
+
+@dataclasses.dataclass
+class DynamicPoolRefinement:
+    """Criteria-driven tree re-gridding with ONE compiled chunk function.
+
+    Each chunk: score the coarse patches (host), refine the top scorers (any
+    scattered set, capped at ``capacity``), rebuild tables, carry/prolong
+    the pool, run ``chunk_steps`` coupled steps.  Because the pattern is
+    array data, every chunk reuses the same jitted executable — re-gridding
+    costs a table rebuild, not a retrace (contrast
+    ``refine.DynamicRefinement``'s per-box cache)."""
+
+    solver: GridSolver
+    capacity: int
+    #: Per-patch score fn ``criterion(grid, coarse_Q) -> [*grid_shape]``;
+    #: defaults to :func:`~exahype_tpu.parallel.criteria.gradient_indicator`.
+    criterion: Optional[callable] = None
+    #: Refine patches scoring within ``rel_threshold`` of the max (capped
+    #: at ``capacity`` by score rank).
+    rel_threshold: float = 0.5
+    factor: int = 3
+    reflux: bool = True
+
+    def __post_init__(self):
+        if self.criterion is None:
+            from exahype_tpu.parallel.criteria import gradient_indicator
+
+            self.criterion = gradient_indicator
+        self.pool = PatchPoolRefinement(
+            self.solver,
+            capacity=self.capacity,
+            factor=self.factor,
+            reflux=self.reflux,
+        )
+        self._chunk = None
+
+    def pick_mask(self, coarse_Q) -> np.ndarray:
+        """Refine patches within ``rel_threshold`` of the top score, capped
+        at ``capacity`` by score rank (stable argsort tie-break)."""
+        scores = np.asarray(self.criterion(self.solver.grid, coarse_Q))
+        mask = scores >= self.rel_threshold * scores.max()
+        if int(mask.sum()) > self.capacity:
+            top = np.argsort(scores, axis=None, kind="stable")[::-1]
+            mask = np.zeros(scores.size, bool)
+            mask[top[: self.capacity]] = True
+            mask = mask.reshape(scores.shape)
+        return mask
+
+    def _chunk_fn(self, chunk_steps: int):
+        if self._chunk is None:
+            self._chunk = {}
+        if chunk_steps not in self._chunk:
+            self._chunk[chunk_steps] = jax.jit(
+                lambda cq, fq, tables, dt: self.pool.run(
+                    cq, fq, tables, chunk_steps, dt
+                )
+            )
+        return self._chunk[chunk_steps]
+
+    def run(self, coarse_Q, n_chunks: int, chunk_steps: int, dt):
+        """Returns ``(coarse_Q, fine_Q, info)`` with ``info["masks"]`` the
+        per-chunk refinement sets and ``info["tables"]`` the final tables."""
+        masks = []
+        tables = self.pool.build_tables(self.pick_mask(coarse_Q))
+        fine_Q = self.pool.init_pool(coarse_Q, tables)
+        fn = self._chunk_fn(chunk_steps)
+        for _ in range(n_chunks):
+            mask = self.pick_mask(coarse_Q)
+            new_tables = self.pool.build_tables(mask)
+            fine_Q = self.pool.regrid(coarse_Q, fine_Q, tables, new_tables)
+            tables = new_tables
+            masks.append(mask)
+            coarse_Q, fine_Q = fn(coarse_Q, fine_Q, tables, dt)
+        return coarse_Q, fine_Q, {"masks": masks, "tables": tables}

@@ -1,0 +1,294 @@
+"""Tree-structured (pool-based) refinement tests.
+
+The defining checks: a box-shaped refinement set reproduces the box path
+(`refine.NestedRefinement`) to rounding; arbitrary scattered sets conserve
+the composite mass exactly under refluxing; and ONE compiled executable
+serves every refinement pattern (re-gridding never retraces).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models import hyperbolic
+from exahype_tpu.models.fv import build_fv_rusanov_kernel
+from exahype_tpu.parallel import GridSolver, PatchGrid
+from exahype_tpu.parallel.pool import DynamicPoolRefinement, PatchPoolRefinement
+from exahype_tpu.parallel.refine import NestedRefinement
+from exahype_tpu.utils.config import KernelConfig
+from exahype_tpu.utils.errors import SemanticError
+from exahype_tpu.utils.output import assemble_global, disassemble_global
+
+
+def make_solver(gx=4, gy=4, patch=4, velocity=(1.0, 0.0)):
+    cfg = KernelConfig(
+        dim=2, patch_size=patch, halo_size=1, n_real=1, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    flux, eig = hyperbolic.advection(velocity)
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=patch, halo_size=1, n_real=1, n_aux=0,
+        n_patches=gx * gy, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    return GridSolver(grid, kb, dx=1.0 / (gx * patch), kernel_dt="lambda")
+
+
+def gaussian_state(solver, centre=(0.5, 0.5), width=0.08):
+    cfg = solver.grid.config
+    n = solver.grid.grid_shape[0] * cfg.patch_size
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u = np.exp(-(((X - centre[0]) ** 2 + (Y - centre[1]) ** 2) / width**2))
+    return disassemble_global(
+        solver.grid, jnp.zeros(solver.grid.state_shape), jnp.asarray(u[..., None])
+    )
+
+
+def coarse_mass(solver, Q):
+    g = np.asarray(assemble_global(solver.grid, Q))[..., 0]
+    return g.sum() * solver.dx**2
+
+
+def pool_region_global(pool, fine_Q, tables):
+    """Assemble active pool interiors onto the fine-resolution global array
+    (NaN where unrefined)."""
+    cfg = pool.coarse.grid.config
+    P, h, r = cfg.patch_size, cfg.halo_size, pool.factor
+    n_f = pool.coarse.grid.grid_shape[0] * P * r
+    out = np.full((n_f,) * cfg.dim + (cfg.n_vars,), np.nan)
+    coords = np.asarray(tables.coords)
+    active = np.asarray(tables.active)
+    fq = np.asarray(fine_Q)
+    for m in range(len(active)):
+        if not active[m]:
+            continue
+        sl = tuple(
+            slice(coords[m, d] * P, (coords[m, d] + 1) * P)
+            for d in range(cfg.dim)
+        )
+        interior = fq[m]
+        for d in range(cfg.dim):
+            s = [slice(None)] * interior.ndim
+            s[d] = slice(h, h + P)
+            interior = interior[tuple(s)]
+        out[sl] = interior
+    return out
+
+
+def test_constant_state_exact():
+    solver = make_solver()
+    pool = PatchPoolRefinement(solver, capacity=5, factor=2)
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = mask[2, 3] = mask[3, 1] = True  # scattered, non-box
+    tables = pool.build_tables(mask)
+    coarse_Q = jnp.full(solver.grid.state_shape, 2.5)
+    fine_Q = pool.init_pool(coarse_Q, tables)
+    c, f = pool.step(coarse_Q, fine_Q, tables, 1e-3)
+    np.testing.assert_allclose(np.asarray(c), 2.5, atol=1e-13)
+    reg = pool_region_global(pool, f, tables)
+    np.testing.assert_allclose(reg[~np.isnan(reg)], 2.5, atol=1e-13)
+
+
+def test_neighbor_tables():
+    solver = make_solver()
+    pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+    mask = np.zeros((4, 4), bool)
+    mask[1, 1] = mask[1, 2] = True  # two adjacent refined patches
+    t = pool.build_tables(mask)
+    coords = np.asarray(t.coords)
+    nb = np.asarray(t.neighbor)
+    active = np.asarray(t.active)
+    assert active.sum() == 2 * 4
+    slot_of = {tuple(coords[m]): m for m in range(len(active)) if active[m]}
+    for m in range(len(active)):
+        if not active[m]:
+            assert (nb[m] == -1).all()
+            continue
+        for d, side, shift in ((0, 0, -1), (0, 1, +1), (1, 0, -1), (1, 1, +1)):
+            want = list(coords[m])
+            want[d] = (want[d] + shift) % pool.fine_patch_shape[d]
+            assert nb[m, d, side] == slot_of.get(tuple(want), -1)
+
+
+def test_box_mask_matches_nested_refinement():
+    """A box-shaped refinement set must reproduce the box path: same fine
+    solution over the region and same coarse solution, to rounding."""
+    solver = make_solver()
+    nested = NestedRefinement(solver, region_lo=(1, 1), region_hi=(3, 3), factor=2)
+    pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+    mask = np.zeros((4, 4), bool)
+    mask[1:3, 1:3] = True
+    tables = pool.build_tables(mask)
+
+    coarse_Q = gaussian_state(solver)
+    fine_box = nested.prolong_initial(coarse_Q)
+    fine_pool = pool.init_pool(coarse_Q, tables)
+
+    n_steps, dt = 10, 1e-3
+    c_box, f_box = nested.run(coarse_Q, fine_box, n_steps, dt)
+    c_pool, f_pool = pool.run(coarse_Q, fine_pool, tables, n_steps, dt)
+
+    np.testing.assert_allclose(
+        np.asarray(c_pool), np.asarray(c_box), atol=1e-12, rtol=0
+    )
+    reg = pool_region_global(pool, f_pool, tables)
+    box_global = np.asarray(assemble_global(nested.fine_grid, f_box))
+    P, r = solver.grid.config.patch_size, 2
+    sl = tuple(slice(lo * P * r, hi * P * r) for lo, hi in [(1, 3), (1, 3)])
+    np.testing.assert_allclose(reg[sl], box_global, atol=1e-12, rtol=0)
+
+
+def test_scattered_set_conserves_mass():
+    """Arbitrary (L-shaped + detached) refinement: composite mass conserved
+    to rounding with refluxing; measurable drift without."""
+    solver = make_solver(gx=6, gy=6)
+    mask = np.zeros((6, 6), bool)
+    mask[2, 2:5] = True   # L-shape
+    mask[3:5, 2] = True
+    mask[0, 5] = True     # detached patch (periodic-wrap neighbours)
+    pool = PatchPoolRefinement(solver, capacity=8, factor=2)
+    tables = pool.build_tables(mask)
+
+    coarse_Q = gaussian_state(solver, centre=(0.45, 0.45))
+    fine_Q = pool.init_pool(coarse_Q, tables)
+    m0 = coarse_mass(solver, coarse_Q)
+
+    c, f = pool.run(coarse_Q, fine_Q, tables, 20, 1e-3)
+    assert np.isfinite(np.asarray(c)).all()
+    # Restriction makes the coarse field hold the fine means, so the coarse
+    # mass IS the composite mass.
+    drift = coarse_mass(solver, c) - m0
+    assert abs(drift) < 1e-13, f"refluxed drift {drift}"
+
+    pool.reflux = False
+    c2, _ = pool.run(coarse_Q, fine_Q, tables, 20, 1e-3)
+    pool.reflux = True
+    assert abs(coarse_mass(solver, c2) - m0) > 1e-8, (
+        "without reflux a measurable drift is expected"
+    )
+
+
+def test_one_executable_serves_all_patterns():
+    """The refinement pattern is array data: stepping with a different mask
+    reuses the SAME compiled executable (no retrace)."""
+    solver = make_solver()
+    pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+    mask_a = np.zeros((4, 4), bool)
+    mask_a[1, 1] = mask_a[2, 2] = True
+    mask_b = np.zeros((4, 4), bool)
+    mask_b[0, 3] = mask_b[3, 0] = mask_b[1, 2] = True
+
+    coarse_Q = gaussian_state(solver)
+    step = jax.jit(pool.step)
+    for mask in (mask_a, mask_b):
+        tables = pool.build_tables(mask)
+        fine_Q = pool.init_pool(coarse_Q, tables)
+        c, f = step(coarse_Q, fine_Q, tables, 1e-3)
+        assert np.isfinite(np.asarray(c)).all()
+    assert step._cache_size() == 1, "re-gridding must not retrace"
+
+
+def test_regrid_carries_fine_data_and_conserves():
+    solver = make_solver(gx=6, gy=6)
+    pool = PatchPoolRefinement(solver, capacity=6, factor=2)
+    mask_a = np.zeros((6, 6), bool)
+    mask_a[2, 2] = mask_a[2, 3] = True
+    mask_b = np.zeros((6, 6), bool)
+    mask_b[2, 3] = mask_b[2, 4] = mask_b[3, 3] = True  # overlap at (2,3)
+
+    coarse_Q = gaussian_state(solver, centre=(0.45, 0.55))
+    ta = pool.build_tables(mask_a)
+    fq = pool.init_pool(coarse_Q, ta)
+    coarse_Q, fq = pool.run(coarse_Q, fq, ta, 5, 1e-3)
+    m_before = coarse_mass(solver, coarse_Q)
+
+    tb = pool.build_tables(mask_b)
+    fq_b = pool.regrid(coarse_Q, fq, ta, tb)
+    # Slots still refined keep their data bitwise.
+    reg_a = pool_region_global(pool, fq, ta)
+    reg_b = pool_region_global(pool, fq_b, tb)
+    P, r = solver.grid.config.patch_size, 2
+    sl = (slice(2 * P * r, 3 * P * r), slice(3 * P * r, 4 * P * r))
+    np.testing.assert_array_equal(reg_b[sl], reg_a[sl])
+    # Conservation across the event: prolongation preserves coarse means and
+    # the de-refined region's means were already restricted.
+    np.testing.assert_allclose(m_before, coarse_mass(solver, coarse_Q), rtol=0)
+    c2, f2 = pool.run(coarse_Q, fq_b, tb, 5, 1e-3)
+    np.testing.assert_allclose(coarse_mass(solver, c2), m_before, atol=1e-13)
+
+
+def test_dynamic_pool_tracks_and_conserves():
+    """The scattered refinement set follows an advecting bump (masks change
+    across chunks), mass is conserved through every re-grid, and the whole
+    run uses one compiled chunk."""
+    solver = make_solver(gx=6, gy=6)
+    coarse_Q = gaussian_state(solver, centre=(0.2, 0.5))
+    m0 = coarse_mass(solver, coarse_Q)
+
+    dyn = DynamicPoolRefinement(solver, capacity=6, factor=2, rel_threshold=0.6)
+    c, f, info = dyn.run(coarse_Q, n_chunks=8, chunk_steps=8, dt=2.5e-3)
+
+    masks = [tuple(map(tuple, m)) for m in info["masks"]]
+    assert len(set(masks)) > 1, "refinement set never moved"
+    np.testing.assert_allclose(coarse_mass(solver, c), m0, rtol=1e-12)
+    assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(f).all())
+    assert len(dyn._chunk) == 1
+    (fn,) = dyn._chunk.values()
+    assert fn._cache_size() == 1, "re-gridding retraced the chunk"
+
+
+def test_pool_3d_smoke():
+    cfg = KernelConfig(
+        dim=3, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=27
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(3, 3, 3))
+    flux, eig = hyperbolic.advection((1.0, 0.5, 0.25))
+    kb = build_fv_rusanov_kernel(
+        dim=3, patch_size=4, halo_size=1, n_real=1, n_aux=0,
+        n_patches=27, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / 12, kernel_dt="lambda")
+    pool = PatchPoolRefinement(solver, capacity=3, factor=2)
+    mask = np.zeros((3, 3, 3), bool)
+    mask[1, 1, 1] = mask[0, 2, 1] = True
+    tables = pool.build_tables(mask)
+
+    coarse_C = jnp.full(grid.state_shape, 1.5)
+    fine_C = pool.init_pool(coarse_C, tables)
+    c, f = pool.step(coarse_C, fine_C, tables, 1e-3)
+    np.testing.assert_allclose(np.asarray(c), 1.5, atol=1e-13)
+
+    rng = np.random.default_rng(0)
+    coarse_Q = jnp.asarray(1.0 + 0.1 * rng.random(grid.state_shape))
+    fine_Q = pool.init_pool(coarse_Q, tables)
+    m0 = coarse_mass(solver, coarse_Q) * solver.dx  # dim=3 volume factor
+    c2, f2 = pool.run(coarse_Q, fine_Q, tables, 5, 1e-3)
+    assert np.isfinite(np.asarray(c2)).all()
+    m1 = coarse_mass(solver, c2) * solver.dx
+    np.testing.assert_allclose(m1, m0, atol=1e-13)
+
+
+def test_validation():
+    solver = make_solver()
+    with pytest.raises(SemanticError):
+        PatchPoolRefinement(solver, capacity=1, factor=3)  # 4 % 3 != 0
+    pool = PatchPoolRefinement(solver, capacity=1, factor=2)
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = mask[1, 1] = True
+    with pytest.raises(SemanticError):
+        pool.build_tables(mask)  # exceeds capacity
+    with pytest.raises(SemanticError):
+        pool.build_tables(np.zeros((3, 3), bool))  # wrong shape
+    cfg = solver.grid.config
+    wall_grid = PatchGrid(config=cfg, grid_shape=(4, 4), boundary="reflective")
+    flux, eig = hyperbolic.advection((1.0, 0.0))
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0,
+        n_patches=16, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    wall_solver = GridSolver(wall_grid, kb, dx=1.0 / 16, kernel_dt="lambda")
+    with pytest.raises(SemanticError):
+        PatchPoolRefinement(wall_solver, capacity=1, factor=2)
