@@ -23,7 +23,24 @@ from exahype_tpu.parallel.mesh import PATCH_AXIS
 from exahype_tpu.utils.errors import SemanticError
 
 
-def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AXIS):
+def _ppermute_wire(slab, axis_name, perm, wire_dtype):
+    """``ppermute`` with an optional reduced-precision WIRE format: the
+    payload is cast to ``wire_dtype`` (e.g. bf16 — halving the ICI/DCN
+    bytes of every halo exchange) and restored to the compute dtype on
+    receipt.  Only the cross-chip edge slabs are quantized; intra-shard
+    halo data never loses precision."""
+    if wire_dtype is None:
+        return jax.lax.ppermute(slab, axis_name, perm)
+    out = jax.lax.ppermute(slab.astype(wire_dtype), axis_name, perm)
+    return out.astype(slab.dtype)
+
+
+def sharded_tpu_halo_fill(
+    local_grid: TpuPatchGrid,
+    Q,
+    axis_name: str = PATCH_AXIS,
+    wire_dtype=None,
+):
     """Halo fill for a grid whose axis 0 is sharded (call under shard_map).
 
     Inner grid axes use the local exchange (periodic roll, plus the grid's
@@ -31,7 +48,11 @@ def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AX
     the shard); the sharded axis rolls locally and then repairs the
     shard-boundary rows with ``ppermute``d edge slabs.  With reflective
     boundaries the domain-face mirror on the sharded axis is applied only by
-    the shards owning the global first/last grid row.
+    the shards owning the global first/last grid row (full precision — the
+    mirror is local, so ``wire_dtype`` never touches it).
+
+    ``wire_dtype`` (e.g. ``jnp.bfloat16``) quantizes the cross-chip payload
+    only — see :func:`_ppermute_wire`.
     """
     cfg = local_grid.config
     h, P = cfg.halo_size, cfg.patch_size
@@ -56,9 +77,9 @@ def sharded_tpu_halo_fill(local_grid: TpuPatchGrid, Q, axis_name: str = PATCH_AX
             # LEFT shard's last row; my last local row's high halo from the
             # RIGHT shard's first row.
             send_last = jax.lax.index_in_dim(lo_src, -1, grid_ax, keepdims=True)
-            from_left = jax.lax.ppermute(send_last, axis_name, fwd)
+            from_left = _ppermute_wire(send_last, axis_name, fwd, wire_dtype)
             send_first = jax.lax.index_in_dim(hi_src, 0, grid_ax, keepdims=True)
-            from_right = jax.lax.ppermute(send_first, axis_name, bwd)
+            from_right = _ppermute_wire(send_first, axis_name, bwd, wire_dtype)
             if reflective:
                 # Domain walls live on the first/last shard only: their
                 # outer-face halo is the mirror of their own interior edge,
@@ -94,13 +115,16 @@ def make_sharded_pallas_step(
     grid: TpuPatchGrid,
     mesh: Mesh,
     axis_name: str = PATCH_AXIS,
+    wire_dtype=None,
     **pallas_kwargs,
 ):
     """Jitted multi-chip solver step for the fused Pallas kernel.
 
     Returns ``(step_fn, sharding)``: ``step_fn(Q_sharded, dt)`` runs
     halo-exchange (ppermute over ICI on the sharded grid axis) + the
-    per-shard fused kernel under ``shard_map``.
+    per-shard fused kernel under ``shard_map``.  ``wire_dtype`` selects a
+    reduced-precision wire format for the cross-chip edge slabs
+    (:func:`_ppermute_wire`).
     """
     from exahype_tpu.backends.pallas_backend import PallasPrinter
 
@@ -128,7 +152,9 @@ def make_sharded_pallas_step(
     sharding = NamedSharding(mesh, spec)
 
     def local_step(Q_local, dt):
-        Q_local = sharded_tpu_halo_fill(local_grid, Q_local, axis_name)
+        Q_local = sharded_tpu_halo_fill(
+            local_grid, Q_local, axis_name, wire_dtype=wire_dtype
+        )
         return local_fn(Q_local, dt)
 
     mapped = jax.shard_map(
@@ -143,7 +169,7 @@ def make_sharded_pallas_step(
     return jax.jit(mapped), sharding
 
 
-def _ring_sends(Q, local_grid, d, axis_name, n_dev):
+def _ring_sends(Q, local_grid, d, axis_name, n_dev, wire_dtype=None):
     """Issue the two edge ppermutes of grid axis ``d`` (both directions).
 
     Returns ``(from_left, from_right)`` one-row slabs.  Pure sends — no
@@ -160,9 +186,9 @@ def _ring_sends(Q, local_grid, d, axis_name, n_dev):
     lo_src = Q[_axis_slice(nd, spat_ax, P, P + h)]
     hi_src = Q[_axis_slice(nd, spat_ax, h, 2 * h)]
     send_last = jax.lax.index_in_dim(lo_src, -1, grid_ax, keepdims=True)
-    from_left = jax.lax.ppermute(send_last, axis_name, fwd)
+    from_left = _ppermute_wire(send_last, axis_name, fwd, wire_dtype)
     send_first = jax.lax.index_in_dim(hi_src, 0, grid_ax, keepdims=True)
-    from_right = jax.lax.ppermute(send_first, axis_name, bwd)
+    from_right = _ppermute_wire(send_first, axis_name, bwd, wire_dtype)
     return from_left, from_right
 
 
@@ -188,6 +214,7 @@ def sharded_tpu_halo_fill_2axis(
     local_grid: TpuPatchGrid,
     Q,
     axis_names: tuple[str, str] = ("ici", "dcn"),
+    wire_dtype=None,
 ):
     """Hierarchical halo fill for a grid with axes 0 AND 1 sharded over a
     2-D device mesh (grid axis 0 over ``axis_names[0]`` — the fast ICI
@@ -226,8 +253,8 @@ def sharded_tpu_halo_fill_2axis(
     n_dcn = jax.lax.axis_size(dcn)
 
     # 1. Bulk round: DCN first, then ICI — both in flight together.
-    dcn_left, dcn_right = _ring_sends(Q, local_grid, 1, dcn, n_dcn)
-    ici_left, ici_right = _ring_sends(Q, local_grid, 0, ici, n_ici)
+    dcn_left, dcn_right = _ring_sends(Q, local_grid, 1, dcn, n_dcn, wire_dtype)
+    ici_left, ici_right = _ring_sends(Q, local_grid, 0, ici, n_ici, wire_dtype)
 
     # 2./3. Halo writes (axis 0 first so axis 1's local roll carries its
     # halos into the corners of intra-shard rows).
@@ -248,9 +275,9 @@ def sharded_tpu_halo_fill_2axis(
     lo_src = Q[_axis_slice(nd, 1, P, P + h)]
     hi_src = Q[_axis_slice(nd, 1, h, 2 * h)]
     send_last = strips(jax.lax.index_in_dim(lo_src, -1, grid_ax1, keepdims=True))
-    corner_left = jax.lax.ppermute(send_last, dcn, fwd)
+    corner_left = _ppermute_wire(send_last, dcn, fwd, wire_dtype)
     send_first = strips(jax.lax.index_in_dim(hi_src, 0, grid_ax1, keepdims=True))
-    corner_right = jax.lax.ppermute(send_first, dcn, bwd)
+    corner_right = _ppermute_wire(send_first, dcn, bwd, wire_dtype)
 
     def splice(Q, spat1_lo, spat1_hi, grid_row, corner):
         """Overwrite the two spat-0 strips of one axis-1 halo's edge row."""
@@ -283,6 +310,7 @@ def make_sharded_pallas_step_2axis(
     grid: TpuPatchGrid,
     mesh: Mesh,
     axis_names: tuple[str, str] = ("ici", "dcn"),
+    wire_dtype=None,
     **pallas_kwargs,
 ):
     """Multi-slice solver step: grid axes 0/1 sharded over a 2-D mesh
@@ -318,7 +346,9 @@ def make_sharded_pallas_step_2axis(
     sharding = NamedSharding(mesh, spec)
 
     def local_step(Q_local, dt):
-        Q_local = sharded_tpu_halo_fill_2axis(local_grid, Q_local, axis_names)
+        Q_local = sharded_tpu_halo_fill_2axis(
+            local_grid, Q_local, axis_names, wire_dtype=wire_dtype
+        )
         return local_fn(Q_local, dt)
 
     mapped = jax.shard_map(
@@ -331,7 +361,7 @@ def make_sharded_pallas_step_2axis(
     return jax.jit(mapped), sharding
 
 
-def _edge_shift(x, sh, axis, axis_name, n_shards):
+def _edge_shift(x, sh, axis, axis_name, n_shards, wire_dtype=None):
     """Periodic shift by one along a GRID axis that is sharded over
     ``axis_name``: local roll + ``ppermute`` of the one-row edge the
     neighbour shard owns (the roll wraps locally; the edge exchange fixes
@@ -341,12 +371,12 @@ def _edge_shift(x, sh, axis, axis_name, n_shards):
     if sh == -1:
         edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)  # my first row
         perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-        recv = jax.lax.ppermute(edge, axis_name, perm)
+        recv = _ppermute_wire(edge, axis_name, perm, wire_dtype)
         return jax.lax.dynamic_update_slice_in_dim(rolled, recv, n - 1, axis)
     if sh == 1:
         edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)  # my last row
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        recv = jax.lax.ppermute(edge, axis_name, perm)
+        recv = _ppermute_wire(edge, axis_name, perm, wire_dtype)
         return jax.lax.dynamic_update_slice_in_dim(rolled, recv, 0, axis)
     raise SemanticError(f"edge shift supports +-1, got {sh}")
 
@@ -357,6 +387,7 @@ def make_sharded_aderdg_step(
     axis_name: str = PATCH_AXIS,
     interpret: bool = False,
     return_face_fluxes: bool = False,
+    wire_dtype=None,
     **pallas_kwargs,
 ):
     """Multi-chip fused-Pallas ADER-DG step: the cell grid's axis 0 is
@@ -415,7 +446,7 @@ def make_sharded_aderdg_step(
     face_spec = PartitionSpec(*(spec_list[:shard_axis - 1] + spec_list[shard_axis:]))
 
     def shift(x, sh, ax):
-        return _edge_shift(x, sh, ax, axis_name, n_shards)
+        return _edge_shift(x, sh, ax, axis_name, n_shards, wire_dtype)
 
     def local_step(Q_local, dt):
         outs = predictor_call(

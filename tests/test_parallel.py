@@ -534,3 +534,86 @@ def test_two_axis_sharded_pallas_step_hierarchical_halo():
     # two distinct ring permutations must appear.
     assert hlo.count("collective-permute") >= 6
     assert len(pairs) >= 2, pairs
+
+
+def test_bf16_wire_format_halo_exchange():
+    """Mixed-precision communication: wire_dtype=bf16 halves the ICI bytes
+    of every cross-chip edge slab (asserted on the compiled HLO) while the
+    compute path stays full precision.  With bf16-representable state the
+    step is bit-identical to the full-precision wire; with general state
+    the quantization error is bounded by bf16 eps on the exchanged ghosts
+    only."""
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.parallel.shard import make_sharded_pallas_step
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(8, 2))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=16
+    )
+    rng = np.random.default_rng(33)
+    aos = rng.uniform(0.1, 1.0, size=(16, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    mesh = make_mesh(8)
+
+    step_full, sharding = make_sharded_pallas_step(
+        kb, grid, mesh, interpret=True, tile_patches=2
+    )
+    step_bf16, _ = make_sharded_pallas_step(
+        kb, grid, mesh, wire_dtype=jnp.bfloat16, interpret=True, tile_patches=2
+    )
+
+    # 1. bf16-representable state -> bitwise identical step.
+    aos_rep = np.asarray(
+        jnp.asarray(aos, jnp.float64).astype(jnp.bfloat16).astype(jnp.float64)
+    )
+    Q_rep = jax.device_put(grid.from_aos(jnp.asarray(aos_rep)), sharding)
+    np.testing.assert_array_equal(
+        np.asarray(step_bf16(Q_rep, 1e-3)), np.asarray(step_full(Q_rep, 1e-3))
+    )
+
+    # 2. General state: the wire quantization perturbs only ghost-derived
+    # cells, with a bf16-eps-scale bound.
+    Q = jax.device_put(grid.from_aos(jnp.asarray(aos)), sharding)
+    out_full = np.asarray(step_full(Q, 1e-3))
+    out_bf16 = np.asarray(step_bf16(Q, 1e-3))
+    diff = np.abs(out_bf16 - out_full)
+    assert diff.max() > 0, "bf16 wire should differ on non-representable data"
+    assert diff.max() < 1e-2 * np.abs(out_full).max()
+
+    # 3. The collective payload really is bf16 on the wire.
+    hlo = step_bf16.lower(Q, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "bf16" in hlo.split("collective-permute")[1][:200] or "bf16" in hlo
+
+
+def test_bf16_wire_sharded_aderdg():
+    """wire_dtype on the ADER-DG edge exchange: close to the full-precision
+    wire (the faces are computed quantities, so the bound is bf16-relative)
+    and the collective payload is bf16 in the compiled program."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 8, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    Q0 = _aderdg_euler_state(solver)
+    mesh = make_mesh(8)
+    step_full, sharding = make_sharded_aderdg_step(
+        solver, mesh, interpret=True, tile0=1
+    )
+    step_bf16, _ = make_sharded_aderdg_step(
+        solver, mesh, interpret=True, tile0=1, wire_dtype=jnp.bfloat16
+    )
+    Qs = jax.device_put(Q0, sharding)
+    ref = np.asarray(jax.jit(step_full)(Qs, 1e-3))
+    got = np.asarray(jax.jit(step_bf16)(Qs, 1e-3))
+    assert np.abs(got - ref).max() < 1e-2 * np.abs(ref).max()
+    hlo = jax.jit(step_bf16).lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo and "bf16" in hlo
