@@ -83,6 +83,15 @@ def test_swe_bathymetry_example(tmp_path, monkeypatch, capsys):
     assert "bathymetry frozen: True" in out
 
 
+def test_tree_refinement(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["tree_refinement.py"])
+    run_example("tree_refinement.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "tracked + conserved with one compile" in out
+
+
 def test_raw_sympy_ccode(tmp_path, monkeypatch, capsys):
     run_example("raw_sympy_ccode.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
