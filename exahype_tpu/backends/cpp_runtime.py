@@ -62,6 +62,7 @@ def compile_kernel(
     extra_sources: Sequence[pathlib.Path] = (),
     defines: Optional[dict] = None,
     workdir: Optional[pathlib.Path] = None,
+    extra_flags: Sequence[str] = (),
 ) -> NativeKernel:
     """g++-compile generated code (+ physics sources) into a loadable kernel."""
     tmp = pathlib.Path(workdir) if workdir else pathlib.Path(tempfile.mkdtemp(prefix="exahype_tpu_"))
@@ -75,6 +76,7 @@ def compile_kernel(
         "g++", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
         f"-I{NATIVE_DIR}", "-o", str(lib), str(src),
     ]
+    cmd += list(extra_flags)
     cmd += [str(s) for s in extra_sources]
     for key, val in (defines or {}).items():
         cmd.append(f"-D{key}={val}")
@@ -88,3 +90,98 @@ def compile_kernel(
 
 def euler_sources() -> list[pathlib.Path]:
     return [NATIVE_DIR / "euler.cpp"]
+
+
+GRID_RUNTIME_SOURCE = NATIVE_DIR / "grid_runtime.cpp"
+
+
+class NativeGridDriver:
+    """Standalone native solver runtime: the generated kernel linked with
+    ``native/grid_runtime.cpp`` (periodic patch-grid halo exchange +
+    chunked time loop, OpenMP over patches).
+
+    The reference delegates this runtime layer to the Peano/ExaHyPE2 C++
+    framework (SURVEY.md §0; the includes at
+    ``exahype/printers/CPPPrinter.py:321-354`` are its only trace); here it
+    is built in.  One FFI call runs a whole chunk of steps —
+    ``run(Q, dt, n_steps)`` mirrors ``GridSolver.run`` (fixed dt), with the
+    same ``kernel_dt`` λ-conversion.
+
+    Differential guarantee (tested): the native halo exchange is
+    element-identical to ``PatchGrid.halo_fill``, and a chunked native run
+    is bitwise-equal to stepping the same compiled kernel from Python with
+    the JAX-side exchange.
+    """
+
+    def __init__(
+        self,
+        grid,
+        kernel: KernelBuilder,
+        code: Optional[str] = None,
+        dx: float = 1.0,
+        kernel_dt: str = "physical",
+        extra_sources: Sequence[pathlib.Path] = (),
+        defines: Optional[dict] = None,
+        workdir: Optional[pathlib.Path] = None,
+    ):
+        from exahype_tpu.backends.cpp_backend import CPPPrinter
+        from exahype_tpu.utils.errors import SemanticError
+
+        cfg = grid.config
+        if getattr(grid, "boundary", "periodic") != "periodic":
+            raise SemanticError("NativeGridDriver supports periodic grids")
+        if code is None:
+            code = CPPPrinter(kernel, header="euler.h").code
+        self.grid = grid
+        self.kernel = kernel
+        self.dx = dx
+        self.kernel_dt = kernel_dt
+        self._native = compile_kernel(
+            kernel,
+            code,
+            extra_sources=[GRID_RUNTIME_SOURCE, *extra_sources],
+            defines=defines,
+            workdir=workdir,
+            extra_flags=["-fopenmp"],
+        )
+        lib = self._native._lib
+        c_dp = ctypes.POINTER(ctypes.c_double)
+        c_ip = ctypes.POINTER(ctypes.c_int)
+        self._run = lib.exa_run_grid
+        self._run.restype = None
+        self._run.argtypes = [
+            c_dp, ctypes.c_double, ctypes.c_int, c_ip,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        self._fill = lib.exa_halo_fill
+        self._fill.restype = None
+        self._fill.argtypes = [c_dp, c_ip, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_int]
+        self._g = np.asarray(grid.grid_shape, dtype=np.int32)
+
+    def _args(self, out):
+        cfg = self.grid.config
+        return (
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self._g.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_int(cfg.dim),
+            ctypes.c_int(cfg.patch_size),
+            ctypes.c_int(cfg.halo_size),
+            ctypes.c_int(cfg.n_vars),
+        )
+
+    def halo_fill(self, Q: np.ndarray) -> np.ndarray:
+        """Native periodic halo exchange on grid-shaped AoS state."""
+        out = np.array(Q, dtype=np.float64, copy=True, order="C")
+        ptr, g, dim, P, h, V = self._args(out)
+        self._fill(ptr, g, dim, P, h, V)
+        return out
+
+    def run(self, Q: np.ndarray, dt: float, n_steps: int) -> np.ndarray:
+        """``n_steps`` × (halo exchange + kernel), one native call."""
+        kdt = dt / self.dx if self.kernel_dt == "lambda" else dt
+        out = np.array(Q, dtype=np.float64, copy=True, order="C")
+        ptr, g, dim, P, h, V = self._args(out)
+        self._run(ptr, ctypes.c_double(kdt), ctypes.c_int(n_steps),
+                  g, dim, P, h, V)
+        return out
