@@ -1,0 +1,278 @@
+"""ADER-DG tree-structured (pool) refinement tests.
+
+Defining checks: a box-shaped refinement set reproduces the box path
+(`ADERDGNestedRefinement`) to rounding; arbitrary scattered sets conserve
+the refluxed composite mass; one compiled executable serves all patterns.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+from exahype_tpu.models.aderdg_amr import ADERDGNestedRefinement
+from exahype_tpu.models.aderdg_pool import ADERDGPoolRefinement, DynamicADERDGPool
+from exahype_tpu.models import hyperbolic
+from exahype_tpu.utils.errors import SemanticError
+
+
+def make_solver(g=6, order=2, velocity=(1.0, 0.4)):
+    flux, eig = hyperbolic.advection(velocity)
+    return ADERDGSolver(
+        dim=2,
+        order=order,
+        n_vars=1,
+        grid_shape=(g, g),
+        flux_fn=wrap_var_last(flux),
+        max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / g,
+    )
+
+
+def gaussian_state(solver, centre=(0.5, 0.5), width=0.15):
+    X, Y = solver.nodes_meshgrid()
+    u = jnp.exp(-(((X - centre[0]) ** 2 + (Y - centre[1]) ** 2) / width**2))
+    return jnp.broadcast_to(u, solver.state_shape).astype(jnp.float64)
+
+
+def mass(solver, u):
+    return float(solver.total_mass(u)[0])
+
+
+def test_constant_state_exact():
+    solver = make_solver()
+    pool = ADERDGPoolRefinement(solver, capacity=4, factor=3)
+    mask = np.zeros((6, 6), bool)
+    mask[1, 1] = mask[3, 4] = mask[5, 0] = True  # scattered
+    tables = pool.build_tables(mask)
+    uc = jnp.full(solver.state_shape, 2.5)
+    fs = pool.init_pool(uc, tables)
+    c, f = pool.step(uc, fs, tables, 1e-3)
+    np.testing.assert_allclose(np.asarray(c), 2.5, atol=1e-12)
+    # Active block interiors stay constant.
+    x = np.asarray(pool.unstack(f))
+    r = pool.factor
+    act = np.asarray(tables.active)
+    interior = x[:, :, :, act, 1 : 1 + r, 1 : 1 + r]
+    np.testing.assert_allclose(interior, 2.5, atol=1e-12)
+
+
+def test_box_mask_matches_nested_refinement():
+    """A 2x2 cell box refined via the pool must reproduce the box path."""
+    solver = make_solver()
+    lo, hi = (2, 2), (4, 4)
+    nested = ADERDGNestedRefinement(solver, region_lo=lo, region_hi=hi, factor=3)
+    pool = ADERDGPoolRefinement(solver, capacity=4, factor=3)
+    mask = np.zeros((6, 6), bool)
+    mask[2:4, 2:4] = True
+    tables = pool.build_tables(mask)
+
+    uc = gaussian_state(solver)
+    uf_box = nested.prolong_initial(uc)
+    fs = pool.init_pool(uc, tables)
+
+    n_steps, dt = 4, 2e-3
+    c_box, f_box = nested.run(uc, uf_box, n_steps, dt)
+    c_pool, f_pool = pool.run(uc, fs, tables, n_steps, dt)
+
+    np.testing.assert_allclose(
+        np.asarray(c_pool), np.asarray(c_box), atol=1e-11, rtol=0
+    )
+    # Fine interiors agree cell by cell: pool block of coarse cell (i,j)
+    # vs the box ext grid (offset by the ghost ring and region origin).
+    xp = np.asarray(pool.unstack(f_pool))
+    xb = np.asarray(f_box)
+    r = pool.factor
+    coords = np.asarray(tables.coords)
+    for m in range(tables.n_active):
+        ci, cj = coords[m]
+        bi, bj = (ci - lo[0]) * r, (cj - lo[1]) * r
+        blk = xp[:, :, :, m, 1 : 1 + r, 1 : 1 + r]
+        box = xb[:, :, :, 1 + bi : 1 + bi + r, 1 + bj : 1 + bj + r]
+        np.testing.assert_allclose(blk, box, atol=1e-11, rtol=0)
+
+
+def test_scattered_set_conserves_mass():
+    solver = make_solver()
+    mask = np.zeros((6, 6), bool)
+    mask[1, 1:4] = True  # L-shape
+    mask[2:4, 1] = True
+    mask[5, 5] = True    # detached, periodic-wrap neighbours
+    pool = ADERDGPoolRefinement(solver, capacity=8, factor=3)
+    tables = pool.build_tables(mask)
+
+    uc = gaussian_state(solver, centre=(0.3, 0.35))
+    fs = pool.init_pool(uc, tables)
+    m0 = mass(solver, uc)
+
+    c, f = pool.run(uc, fs, tables, 8, 2e-3)
+    assert np.isfinite(np.asarray(c)).all()
+    drift = mass(solver, c) - m0
+    assert abs(drift) < 1e-12, f"refluxed drift {drift}"
+
+    pool.reflux = False
+    c2, _ = pool.run(uc, fs, tables, 8, 2e-3)
+    pool.reflux = True
+    assert abs(mass(solver, c2) - m0) > 1e-9, (
+        "without reflux a measurable drift is expected"
+    )
+
+
+def test_refinement_improves_core_accuracy():
+    """With exact fine initial data, blocks whose face neighbours are all
+    refined (the cluster core — their rims see fine data, the standard AMR
+    caveat applies only to the cluster boundary) beat the coarse-only
+    solution evaluated at the same fine nodes."""
+    velocity = (1.0, 0.4)
+    solver = make_solver(order=1, velocity=velocity)
+    dt, n_steps = 2e-3, 10
+    t_end = dt * n_steps
+    w = 0.15
+
+    def exact_at(coords_list, t):
+        X, Y = coords_list
+        return jnp.exp(
+            -(((X - 0.5 - velocity[0] * t) ** 2 + (Y - 0.5 - velocity[1] * t) ** 2)
+              / w**2)
+        )
+
+    uc0 = gaussian_state(solver, width=w)
+    mask = np.zeros((6, 6), bool)
+    mask[1:5, 1:5] = True
+    mask[1:3, 5] = True  # non-box appendage
+    pool = ADERDGPoolRefinement(solver, capacity=18, factor=3)
+    tables = pool.build_tables(mask)
+
+    coords_list = pool.block_nodes_meshgrid(tables)
+    fs0 = pool.stack(
+        jnp.broadcast_to(
+            exact_at(coords_list, 0.0),
+            pool.unstack(jnp.zeros(pool.fine.state_shape)).shape,
+        ).astype(jnp.float64)
+    )
+
+    c_only = jax.jit(lambda u: solver.run(u, n_steps, dt))(uc0)
+    _, f_pool = jax.jit(lambda a, b: pool.run(a, b, tables, n_steps, dt))(uc0, fs0)
+
+    fine_exact = np.asarray(exact_at(coords_list, t_end))
+    coarse_at_fine = np.asarray(pool.prolong_blocks(c_only, tables.coords))
+    xp = np.asarray(pool.unstack(f_pool))
+
+    nb = np.asarray(tables.neighbor)
+    act = np.asarray(tables.active)
+    core = [
+        m for m in range(len(act))
+        if act[m] and (nb[m] >= 0).all()
+    ]
+    assert core, "test needs at least one interior cluster block"
+    r = pool.factor
+    interior = (slice(None), slice(None), slice(None))  # nodes + V
+    e_fine = e_coarse = 0.0
+    for m in core:
+        sl = interior + (m, slice(1, 1 + r), slice(1, 1 + r))
+        ex = np.broadcast_to(fine_exact, xp.shape)[sl]
+        e_fine += float(((xp[sl] - ex) ** 2).mean())
+        cx = np.broadcast_to(coarse_at_fine, xp.shape)[sl]
+        e_coarse += float(((cx - ex) ** 2).mean())
+    assert e_fine < 0.5 * e_coarse, (e_fine, e_coarse)
+
+
+def test_one_executable_serves_all_patterns():
+    solver = make_solver()
+    pool = ADERDGPoolRefinement(solver, capacity=4, factor=3)
+    mask_a = np.zeros((6, 6), bool)
+    mask_a[1, 1] = mask_a[2, 2] = True
+    mask_b = np.zeros((6, 6), bool)
+    mask_b[4, 4] = mask_b[4, 5] = mask_b[0, 3] = True
+
+    uc = gaussian_state(solver)
+    step = jax.jit(pool.step)
+    for mask in (mask_a, mask_b):
+        tables = pool.build_tables(mask)
+        fs = pool.init_pool(uc, tables)
+        c, f = step(uc, fs, tables, 1e-3)
+        assert np.isfinite(np.asarray(c)).all()
+    assert step._cache_size() == 1, "re-gridding must not retrace"
+
+
+def test_regrid_carries_and_conserves():
+    solver = make_solver()
+    pool = ADERDGPoolRefinement(solver, capacity=4, factor=3)
+    mask_a = np.zeros((6, 6), bool)
+    mask_a[2, 2] = mask_a[2, 3] = True
+    mask_b = np.zeros((6, 6), bool)
+    mask_b[2, 3] = mask_b[2, 4] = mask_b[3, 3] = True
+
+    uc = gaussian_state(solver, centre=(0.45, 0.55))
+    ta = pool.build_tables(mask_a)
+    fs = pool.init_pool(uc, ta)
+    uc, fs = pool.run(uc, fs, ta, 3, 2e-3)
+    m_before = mass(solver, uc)
+
+    tb = pool.build_tables(mask_b)
+    fs_b = pool.regrid(uc, fs, ta, tb)
+    # The surviving cell (2,3) keeps its block bitwise.
+    xa = np.asarray(pool.unstack(fs))
+    xb = np.asarray(pool.unstack(fs_b))
+    slot_a = [tuple(c) for c in np.asarray(ta.coords)].index((2, 3))
+    slot_b = [tuple(c) for c in np.asarray(tb.coords)].index((2, 3))
+    np.testing.assert_array_equal(
+        xb[:, :, :, slot_b, 1:-1, 1:-1], xa[:, :, :, slot_a, 1:-1, 1:-1]
+    )
+    uc2, _ = pool.run(uc, fs_b, tb, 3, 2e-3)
+    np.testing.assert_allclose(mass(solver, uc2), m_before, atol=1e-12)
+
+
+def test_dynamic_pool_tracks_and_conserves():
+    solver = make_solver(order=1, velocity=(1.0, 0.0))
+    uc = gaussian_state(solver, centre=(0.3, 0.5), width=0.1)
+    m0 = mass(solver, uc)
+
+    dyn = DynamicADERDGPool(
+        solver, capacity=6, factor=3, rel_threshold=0.7
+    )
+    c, f, info = dyn.run(uc, n_chunks=6, chunk_steps=5, dt=2e-3)
+    masks = [tuple(map(tuple, m)) for m in info["masks"]]
+    assert len(set(masks)) > 1, "refinement set never moved"
+    np.testing.assert_allclose(mass(solver, c), m0, atol=1e-11)
+    assert len(dyn._chunk) == 1
+    (fn,) = dyn._chunk.values()
+    assert fn._cache_size() == 1
+
+
+def test_3d_smoke():
+    flux, eig = hyperbolic.advection((1.0, 0.5, 0.25))
+    solver = ADERDGSolver(
+        dim=3, order=1, n_vars=1, grid_shape=(4, 4, 4),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=0.25,
+    )
+    pool = ADERDGPoolRefinement(solver, capacity=2, factor=2)
+    mask = np.zeros((4, 4, 4), bool)
+    mask[1, 1, 1] = mask[2, 3, 0] = True
+    tables = pool.build_tables(mask)
+
+    uc = jnp.full(solver.state_shape, 1.5)
+    fs = pool.init_pool(uc, tables)
+    c, f = pool.step(uc, fs, tables, 1e-3)
+    np.testing.assert_allclose(np.asarray(c), 1.5, atol=1e-12)
+
+    rng = np.random.default_rng(0)
+    uc2 = jnp.asarray(1.0 + 0.1 * rng.random(solver.state_shape))
+    fs2 = pool.init_pool(uc2, tables)
+    m0 = mass(solver, uc2)
+    c2, _ = pool.run(uc2, fs2, tables, 3, 1e-3)
+    assert np.isfinite(np.asarray(c2)).all()
+    np.testing.assert_allclose(mass(solver, c2), m0, atol=1e-12)
+
+
+def test_validation():
+    solver = make_solver()
+    pool = ADERDGPoolRefinement(solver, capacity=1, factor=3)
+    mask = np.zeros((6, 6), bool)
+    mask[0, 0] = mask[1, 1] = True
+    with pytest.raises(SemanticError):
+        pool.build_tables(mask)
+    with pytest.raises(SemanticError):
+        pool.build_tables(np.zeros((3, 3), bool))
