@@ -276,3 +276,31 @@ def test_validation():
         pool.build_tables(mask)
     with pytest.raises(SemanticError):
         pool.build_tables(np.zeros((3, 3), bool))
+
+
+def test_aderdg_pool_sharded_matches_single_device():
+    """GSPMD partitions the coupled pool step (coarse state sharded on grid
+    axis 0) bitwise-identically to single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel.mesh import PATCH_AXIS, make_mesh
+
+    solver = make_solver(g=8, order=1)
+    pool = ADERDGPoolRefinement(solver, capacity=3, factor=3)
+    mask = np.zeros((8, 8), bool)
+    mask[2, 2] = mask[5, 6] = True
+    tables = pool.build_tables(mask)
+    uc = gaussian_state(solver)
+    fs = pool.init_pool(uc, tables)
+    ref_c, ref_f = jax.jit(pool.step)(uc, fs, tables, 1e-3)
+
+    mesh = make_mesh(4)
+    spec_list = [None] * len(solver.state_shape)
+    spec_list[solver.grid_axis(0)] = PATCH_AXIS
+    sh = NamedSharding(mesh, PartitionSpec(*spec_list))
+    Qs = jax.device_put(uc, sh)
+    c, f = jax.jit(pool.step, in_shardings=(sh, None, None, None))(
+        Qs, fs, tables, 1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(ref_f))

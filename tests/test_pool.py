@@ -292,3 +292,27 @@ def test_validation():
     wall_solver = GridSolver(wall_grid, kb, dx=1.0 / 16, kernel_dt="lambda")
     with pytest.raises(SemanticError):
         PatchPoolRefinement(wall_solver, capacity=1, factor=2)
+
+
+def test_pool_sharded_matches_single_device():
+    """The pool step is plain array ops (gathers/scatters/rolls), so GSPMD
+    partitions it over a device mesh bitwise-identically."""
+    from exahype_tpu.parallel.mesh import make_mesh, state_sharding
+
+    solver = make_solver(gx=4, gy=4)
+    pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+    mask = np.zeros((4, 4), bool)
+    mask[1, 1] = mask[2, 3] = mask[0, 0] = True
+    tables = pool.build_tables(mask)
+    coarse_Q = gaussian_state(solver)
+    fine_Q = pool.init_pool(coarse_Q, tables)
+    ref_c, ref_f = jax.jit(pool.step)(coarse_Q, fine_Q, tables, 1e-3)
+
+    mesh = make_mesh(4)
+    sh = state_sharding(mesh, solver.grid)
+    Qs = jax.device_put(coarse_Q, sh)
+    c, f = jax.jit(pool.step, in_shardings=(sh, None, None, None))(
+        Qs, fine_Q, tables, 1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(ref_f))
