@@ -120,3 +120,31 @@ def write_vtk(
     out = pathlib.Path(path)
     out.write_text("\n".join(lines) + "\n")
     return out
+
+
+def assemble_pool(pool, fine_Q, tables, fill=np.nan) -> np.ndarray:
+    """Assemble a tree-pool fine state (``parallel/pool.py``) onto the
+    fine-resolution global cell array ``[*fine_cells, n_vars]`` — ``fill``
+    where unrefined.  For plotting / NPZ / VTK of scattered refinement."""
+    cfg = pool.coarse.grid.config
+    P, h = cfg.patch_size, cfg.halo_size
+    r = pool.factor
+    n_f = tuple(g * P * r for g in pool.coarse.grid.grid_shape)
+    out = np.full(n_f + (cfg.n_vars,), fill)
+    coords = np.asarray(tables.coords)
+    active = np.asarray(tables.active)
+    fq = np.asarray(fine_Q)
+    for m in range(len(active)):
+        if not active[m]:
+            continue
+        sl = tuple(
+            slice(coords[m, d] * P, (coords[m, d] + 1) * P)
+            for d in range(cfg.dim)
+        )
+        interior = fq[m]
+        for d in range(cfg.dim):
+            s = [slice(None)] * interior.ndim
+            s[d] = slice(h, h + P)
+            interior = interior[tuple(s)]
+        out[sl] = interior
+    return out

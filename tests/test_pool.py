@@ -54,28 +54,10 @@ def coarse_mass(solver, Q):
 
 def pool_region_global(pool, fine_Q, tables):
     """Assemble active pool interiors onto the fine-resolution global array
-    (NaN where unrefined)."""
-    cfg = pool.coarse.grid.config
-    P, h, r = cfg.patch_size, cfg.halo_size, pool.factor
-    n_f = pool.coarse.grid.grid_shape[0] * P * r
-    out = np.full((n_f,) * cfg.dim + (cfg.n_vars,), np.nan)
-    coords = np.asarray(tables.coords)
-    active = np.asarray(tables.active)
-    fq = np.asarray(fine_Q)
-    for m in range(len(active)):
-        if not active[m]:
-            continue
-        sl = tuple(
-            slice(coords[m, d] * P, (coords[m, d] + 1) * P)
-            for d in range(cfg.dim)
-        )
-        interior = fq[m]
-        for d in range(cfg.dim):
-            s = [slice(None)] * interior.ndim
-            s[d] = slice(h, h + P)
-            interior = interior[tuple(s)]
-        out[sl] = interior
-    return out
+    (NaN where unrefined) — the library API under test."""
+    from exahype_tpu.utils.output import assemble_pool
+
+    return assemble_pool(pool, fine_Q, tables)
 
 
 def test_constant_state_exact():
