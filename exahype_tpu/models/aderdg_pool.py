@@ -191,12 +191,11 @@ class ADERDGPoolRefinement:
         return x
 
     def init_pool(self, uc, tables: CellPoolTables):
-        """Stacked fine state prolonged from the coarse solution."""
-        up = self.prolong_blocks(uc, tables.coords)
-        mask_shape = [1] * up.ndim
-        mask_shape[self._m_axis] = self.capacity
-        mask = tables.active.reshape(mask_shape)
-        return self.stack(jnp.where(mask, up, jnp.zeros_like(up)))
+        """Stacked fine state prolonged from the coarse solution.
+
+        Inactive slots also hold prolonged data (coords 0): isolated from
+        the coupling, but well-posed for positivity-constrained physics."""
+        return self.stack(self.prolong_blocks(uc, tables.coords))
 
     def block_nodes_meshgrid(self, tables: CellPoolTables):
         """Physical node coordinates of every block (ghost-extended), one

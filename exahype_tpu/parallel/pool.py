@@ -62,11 +62,14 @@ class PoolTables(NamedTuple):
     - ``neighbor``: int32 ``[capacity, dim, 2]`` — pool index of the
       (lo, hi) fine neighbour along each axis, or ``-1`` where the
       neighbouring cells are unrefined (a coarse–fine face).
+    - ``wall``: bool ``[capacity, dim, 2]`` — the face lies on a
+      reflective domain wall (all-False on periodic domains).
     """
 
     coords: jnp.ndarray
     active: jnp.ndarray
     neighbor: jnp.ndarray
+    wall: jnp.ndarray
 
     @property
     def n_active(self) -> int:
@@ -96,10 +99,9 @@ class PatchPoolRefinement:
         cfg = grid.config
         if not isinstance(grid, PatchGrid):
             raise SemanticError("PatchPoolRefinement drives AoS PatchGrid solvers")
-        if grid.boundary != "periodic":
-            raise SemanticError(
-                "PatchPoolRefinement supports periodic domains (walls: roadmap)"
-            )
+        # Periodic domains and reflective walls are both supported; the
+        # wall mirror uses the grid's ``reflect_fn`` hook (symmetry
+        # boundary without it), exactly like ``PatchGrid.halo_fill``.
         if cfg.patch_size % self.factor != 0:
             raise SemanticError(
                 f"patch_size ({cfg.patch_size}) must be divisible by "
@@ -148,16 +150,25 @@ class PatchPoolRefinement:
                 slot_of[tuple(coords[m])] = m
                 m += 1
         neighbor = np.full((M, dim, 2), -1, np.int32)
+        wall = np.zeros((M, dim, 2), bool)
+        reflective = grid.boundary == "reflective"
         for s in range(m):
             for d in range(dim):
                 for side, shift in ((0, -1), (1, +1)):
                     nb = list(coords[s])
-                    nb[d] = (nb[d] + shift) % self.fine_patch_shape[d]
+                    nb[d] += shift
+                    if reflective and not (
+                        0 <= nb[d] < self.fine_patch_shape[d]
+                    ):
+                        wall[s, d, side] = True
+                        continue
+                    nb[d] %= self.fine_patch_shape[d]
                     neighbor[s, d, side] = slot_of.get(tuple(nb), -1)
         return PoolTables(
             coords=jnp.asarray(coords),
             active=jnp.asarray(active),
             neighbor=jnp.asarray(neighbor),
+            wall=jnp.asarray(wall),
         )
 
     # ---------------------------------------------------------- gathers
@@ -194,12 +205,14 @@ class PatchPoolRefinement:
     # ------------------------------------------------------------- state
 
     def init_pool(self, coarse_Q, tables: PoolTables):
-        """Fine pool prolonged from the coarse solution (inactive → 0)."""
+        """Fine pool prolonged from the coarse solution.
+
+        Inactive slots also hold prolonged data (coords 0): they never
+        contribute (the neighbour table only targets active slots and the
+        scatters drop them), but stepping them stays well-posed for
+        physics with positivity requirements (no 1/0 from zero density)."""
         cg = _assemble_jnp(self.coarse.grid, coarse_Q)
-        up = self._prolong_blocks(cg, tables.coords)
-        cfg = self.coarse.grid.config
-        mask = tables.active.reshape((-1,) + (1,) * (cfg.dim + 1))
-        return jnp.where(mask, up, jnp.zeros_like(up))
+        return self._prolong_blocks(cg, tables.coords)
 
     # --------------------------------------------------------- halo fill
 
@@ -234,6 +247,32 @@ class PatchPoolRefinement:
                 cur = cur.at[sl(*halo_rng)].set(
                     jnp.where(mask, from_fine, from_coarse)
                 )
+        # Wall mirror pass AFTER all fine/coarse fills, ascending axes: each
+        # mirror's source slab spans the full transverse extent, so corners
+        # compose exactly as in PatchGrid.halo_fill (later axes re-export
+        # earlier mirrors).
+        grid = self.coarse.grid
+        if grid.boundary == "reflective":
+            for d in range(cfg.dim):
+                ax = 1 + d
+
+                def msl(lo, hi, _ax=ax):
+                    s = [slice(None)] * nd
+                    s[_ax] = slice(lo, hi)
+                    return tuple(s)
+
+                for side, (halo_rng, src_rng) in enumerate(
+                    (((0, h), (h, 2 * h)), ((P + h, P + 2 * h), (P, P + h)))
+                ):
+                    mirror = jnp.flip(cur[msl(*src_rng)], axis=ax)
+                    if grid.reflect_fn is not None:
+                        mirror = grid.reflect_fn(mirror, d, nd - 1)
+                    w = tables.wall[:, d, side].reshape(
+                        (-1,) + (1,) * (nd - 1)
+                    )
+                    cur = cur.at[msl(*halo_rng)].set(
+                        jnp.where(w, mirror, cur[msl(*halo_rng)])
+                    )
         return cur
 
     # -------------------------------------------------------- restriction
@@ -387,7 +426,11 @@ class PatchPoolRefinement:
                 delta_full = jnp.expand_dims(delta_full, axis=1 + d)
                 # Scatter-add at (out_i, transverse footprint); faces with a
                 # fine neighbour (or inactive slots) get an OOB index → drop.
-                is_cf = tables.active & (tables.neighbor[:, d, side] < 0)
+                is_cf = (
+                    tables.active
+                    & (tables.neighbor[:, d, side] < 0)
+                    & ~tables.wall[:, d, side]
+                )
                 cell = jnp.where(is_cf, jnp.mod(out_i, n_d), n_d)
                 trans = self._coarse_cell_footprint(tables)
                 ix_axes = []

@@ -272,8 +272,12 @@ def test_validation():
         n_patches=16, flux_impl=flux, eigenvalue_impl=eig,
     )
     wall_solver = GridSolver(wall_grid, kb, dx=1.0 / 16, kernel_dt="lambda")
-    with pytest.raises(SemanticError):
-        PatchPoolRefinement(wall_solver, capacity=1, factor=2)
+    # Reflective domains are supported (wall faces flagged in the tables).
+    wall_pool = PatchPoolRefinement(wall_solver, capacity=1, factor=2)
+    m = np.zeros((4, 4), bool)
+    m[0, 0] = True
+    t = wall_pool.build_tables(m)
+    assert bool(np.asarray(t.wall)[np.asarray(t.active)].any())
 
 
 def test_pool_sharded_matches_single_device():
@@ -298,3 +302,49 @@ def test_pool_sharded_matches_single_device():
     )
     np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(f), np.asarray(ref_f))
+
+
+def test_wall_pool_conserves_mass_and_energy():
+    """Reflective walls in the pool: refined patches on the domain wall use
+    the mirror ghost (with the Euler reflect hook → zero wall mass/energy
+    flux); interior coarse–fine faces reflux.  Mass and energy of the
+    composite are conserved to rounding; momentum is not (wall pressure)."""
+    from exahype_tpu.models.aderdg import euler_reflect
+
+    gx = gy = 4
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=gx * gy
+    )
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(
+        config=cfg, grid_shape=(gx, gy), boundary="reflective",
+        reflect_fn=euler_reflect(2),
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / (gx * 4), kernel_dt="lambda")
+    pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+    mask = np.zeros((gx, gy), bool)
+    mask[0, 0] = mask[0, 1] = mask[2, 2] = True  # two wall-corner, one interior
+    tables = pool.build_tables(mask)
+    assert bool(np.asarray(tables.wall).any())
+
+    rng = np.random.default_rng(7)
+    Q0 = rng.uniform(0.1, 1.0, size=grid.state_shape)
+    Q0[..., 0] += 1.0
+    Q0[..., 1] += 0.5  # directed x-velocity exercises the wall flux
+    Q0[..., 3] += 5.0
+    Q0 = jnp.asarray(Q0)
+    fine_Q = pool.init_pool(Q0, tables)
+
+    def totals(Q):
+        g = np.asarray(assemble_global(grid, Q))
+        return g.sum(axis=tuple(range(g.ndim - 1)))
+
+    before = totals(Q0)
+    c, f = pool.run(Q0, fine_Q, tables, 10, 1e-3)
+    assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(f).all())
+    after = totals(c)
+    np.testing.assert_allclose(after[0], before[0], rtol=1e-12)  # mass
+    np.testing.assert_allclose(after[3], before[3], rtol=1e-12)  # energy
+    assert abs(after[1] - before[1]) > 1e-8  # wall pressure torques momentum
