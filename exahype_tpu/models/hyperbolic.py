@@ -153,6 +153,12 @@ def _mhd(**kw):
     return mhd(**kw)
 
 
+def _srhd(**kw):
+    from exahype_tpu.models.srhd import srhd
+
+    return srhd(**kw)
+
+
 #: name -> factory returning (flux, max_eigenvalue) batch-native callbacks.
 REGISTRY: dict[str, Callable] = {
     "advection": advection,
@@ -161,4 +167,5 @@ REGISTRY: dict[str, Callable] = {
     "acoustic": acoustic,
     "elastic": _elastic,
     "mhd": _mhd,
+    "srhd": _srhd,
 }

@@ -328,3 +328,99 @@ class TestSWEBathymetry:
             PallasADERDG(solver, interpret=True, tile0=2).step(Q0, 1e-4)
         )
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+
+def test_srhd_con2prim_roundtrip():
+    """prim -> cons -> con2prim identity at relativistic Lorentz factors."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import srhd
+
+    rng = np.random.default_rng(11)
+    rho = jnp.asarray(0.5 + rng.random((64,)))
+    p = jnp.asarray(0.2 + rng.random((64,)))
+    # |v| up to ~0.94  ->  W up to ~3.
+    vmag = 0.94 * rng.random((64,))
+    ang = 2 * np.pi * rng.random((64,))
+    v = jnp.asarray(np.stack([vmag * np.cos(ang), vmag * np.sin(ang)], -1))
+
+    Q = srhd.prim_to_cons(rho, v, p)
+    r2, v2, p2, W = srhd.con2prim(Q)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(rho), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-12)
+    assert float(jnp.max(W)) > 2.0  # the test really is relativistic
+
+
+def test_srhd_flux_at_rest_and_causality():
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import srhd
+
+    flux, eig = srhd.srhd(dim=2)
+    rho = jnp.asarray([1.0, 2.0])
+    p = jnp.asarray([0.5, 1.5])
+    v0 = jnp.zeros((2, 2))
+    Q = srhd.prim_to_cons(rho, v0, p)
+    F = np.asarray(flux(Q, 0))
+    np.testing.assert_allclose(F[:, 0], 0.0, atol=1e-13)   # no mass flux
+    np.testing.assert_allclose(F[:, 1], np.asarray(p), rtol=1e-12)  # pressure
+    np.testing.assert_allclose(F[:, 2], 0.0, atol=1e-13)
+    np.testing.assert_allclose(F[:, 3], 0.0, atol=1e-13)
+    # At rest the signal speed is the relativistic sound speed < 1.
+    s0 = np.asarray(eig(Q, 0))
+    gamma = 5.0 / 3.0
+    h = 1.0 + gamma / (gamma - 1.0) * np.asarray(p) / np.asarray(rho)
+    cs = np.sqrt(gamma * np.asarray(p) / (np.asarray(rho) * h))
+    np.testing.assert_allclose(s0, cs, rtol=1e-12)
+
+    # Causality: |lambda| <= 1 even at W ~ 7.
+    rng = np.random.default_rng(3)
+    vmag = 0.99 * rng.random((128,))
+    ang = 2 * np.pi * rng.random((128,))
+    v = jnp.asarray(np.stack([vmag * np.cos(ang), vmag * np.sin(ang)], -1))
+    Qr = srhd.prim_to_cons(jnp.asarray(0.5 + rng.random(128)), v,
+                           jnp.asarray(0.1 + rng.random(128)))
+    for d in (0, 1):
+        s = np.asarray(eig(Qr, d))
+        assert (s <= 1.0 + 1e-12).all() and (s >= 0).all()
+
+
+def test_srhd_aderdg_runs_and_conserves():
+    """SRHD on the flagship ADER-DG solver: smooth relativistic shear flow,
+    D and tau conserved to rounding, state stays physical."""
+    import jax
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import srhd
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    flux, eig = srhd.srhd(dim=2)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / 8,
+    )
+    Xb, Yb = solver.nodes_meshgrid()
+    shape = (3, 3) + tuple(solver.grid_shape)  # [nodes, grid], no var axis
+    X = jnp.broadcast_to(jnp.squeeze(Xb, axis=2), shape)
+    Y = jnp.broadcast_to(jnp.squeeze(Yb, axis=2), shape)
+    rho = 1.0 + 0.2 * jnp.sin(2 * np.pi * X) * jnp.cos(2 * np.pi * Y)
+    v = jnp.stack(
+        [0.5 * jnp.ones_like(rho), 0.2 * jnp.cos(2 * np.pi * X)], axis=-1
+    )
+    p = jnp.ones_like(rho)
+    # prim_to_cons is var-last; the solver wants [nodes, V, grid].
+    u0 = jnp.moveaxis(srhd.prim_to_cons(rho, v, p), -1, 2)
+    assert u0.shape == solver.state_shape
+
+    m0 = np.asarray(solver.total_mass(u0))
+    u = jax.jit(lambda q: solver.run(q, 10, 1e-3))(u0)
+    assert bool(jnp.isfinite(u).all())
+    m1 = np.asarray(solver.total_mass(u))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)   # D
+    np.testing.assert_allclose(m1[-1], m0[-1], rtol=1e-12)  # tau
+    # Recovered primitives stay physical everywhere.
+    r, vv, pp, W = srhd.con2prim(jnp.moveaxis(u, 2, -1))
+    assert float(jnp.min(r)) > 0 and float(jnp.min(pp)) > 0
+    assert float(jnp.max(jnp.sum(vv * vv, axis=-1))) < 1.0
