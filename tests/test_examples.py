@@ -83,6 +83,15 @@ def test_swe_bathymetry_example(tmp_path, monkeypatch, capsys):
     assert "bathymetry frozen: True" in out
 
 
+def test_orszag_tang(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["orszag_tang.py"])
+    run_example("orszag_tang.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "orszag-tang: finite + conservative" in out
+
+
 def test_tree_refinement(tmp_path, monkeypatch, capsys):
     import sys
 
