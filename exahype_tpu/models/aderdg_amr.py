@@ -56,6 +56,13 @@ class ADERDGNestedRefinement:
     #: Replace the coarse boundary-face flux with the fine aggregate
     #: (restores exact conservation at the interface).
     reflux: bool = True
+    #: Optional wrapper for the fine-level stepper, e.g.
+    #: ``lambda s: LimitedADERDG(s)`` — shock capturing exactly where the
+    #: resolution is (the production AMR configuration).  Must expose
+    #: ``step(u, dt, return_face_fluxes=...)`` over the fine solver.
+    fine_factory: object = None
+    #: Same for the coarse level.
+    coarse_factory: object = None
 
     def __post_init__(self):
         c = self.coarse
@@ -89,6 +96,12 @@ class ADERDGNestedRefinement:
             dissipation_mask=c.dissipation_mask,
             source_fn=c.source_fn,
             ncp_fn=c.ncp_fn,
+        )
+        self.fine_stepper = (
+            self.fine_factory(self.fine) if self.fine_factory else self.fine
+        )
+        self.coarse_stepper = (
+            self.coarse_factory(c) if self.coarse_factory else c
         )
         self._P = refine_interpolation(c.order, r)  # [r, n_fine, n_coarse]
         self._R = refine_restriction(c.order, r)  # [n_coarse, r, n_fine]
@@ -292,9 +305,11 @@ class ADERDGNestedRefinement:
         c = self.coarse
         r = self.factor
         if self.reflux:
-            new_c, c_fluxes = c.step(uc, dt, return_face_fluxes=True)
+            new_c, c_fluxes = self.coarse_stepper.step(
+                uc, dt, return_face_fluxes=True
+            )
         else:
-            new_c = c.step(uc, dt)
+            new_c = self.coarse_stepper.step(uc, dt)
         ghost_src = self.prolong_ext(uc)
         dt_f = dt / r
 
@@ -302,11 +317,13 @@ class ADERDGNestedRefinement:
             f, acc = carry
             f = self.set_ghosts(f, ghost_src)
             if self.reflux:
-                f2, f_fluxes = self.fine.step(f, dt_f, return_face_fluxes=True)
+                f2, f_fluxes = self.fine_stepper.step(
+                    f, dt_f, return_face_fluxes=True
+                )
                 sample = self._fine_boundary_fluxes(f_fluxes)
                 acc = jax.tree.map(lambda a, b: a + b, acc, sample)
             else:
-                f2 = self.fine.step(f, dt_f)
+                f2 = self.fine_stepper.step(f, dt_f)
             return (f2, acc), None
 
         if self.reflux:

@@ -74,6 +74,14 @@ class ADERDGPoolRefinement:
     capacity: int
     factor: int = 3
     reflux: bool = True
+    #: Optional wrapper for the fine-pool stepper, e.g.
+    #: ``lambda s: LimitedADERDG(s)`` — subcell shock capturing on the
+    #: refined blocks.  Must expose ``step(u, dt, return_face_fluxes=...)``.
+    fine_factory: object = None
+    #: Same for the coarse level (the production configuration limits
+    #: BOTH levels; the limiter's effective face fluxes keep the reflux
+    #: accounting exact on either side).
+    coarse_factory: object = None
 
     def __post_init__(self):
         c = self.coarse
@@ -96,6 +104,12 @@ class ADERDGPoolRefinement:
             dissipation_mask=c.dissipation_mask,
             source_fn=c.source_fn,
             ncp_fn=c.ncp_fn,
+        )
+        self.fine_stepper = (
+            self.fine_factory(self.fine) if self.fine_factory else self.fine
+        )
+        self.coarse_stepper = (
+            self.coarse_factory(c) if self.coarse_factory else c
         )
         self._P = refine_interpolation(c.order, r)  # [r, n_fine, n_coarse]
         self._R = refine_restriction(c.order, r)  # [n_coarse, r, n_fine]
@@ -251,6 +265,27 @@ class ADERDGPoolRefinement:
                 )
         return self.stack(x)
 
+    def _sync_troubled(self, troubled, tables: CellPoolTables):
+        """Ghost-row troubled flags ← the owning neighbour block's interior
+        edge flags (False at coarse-fine faces and for inactive slots)."""
+        B, M = self.block, self.capacity
+        r = self.factor
+        dim = self.coarse.dim
+        x = troubled.reshape((M, B) + troubled.shape[1:])
+        nd = x.ndim
+        for d in range(dim):
+            bax = 1 + d
+            for side, (gpos, src) in enumerate(((0, r), (B - 1, 1))):
+                sl_g = [slice(None)] * nd
+                sl_g[bax] = slice(gpos, gpos + 1)
+                sl_s = [slice(None)] * nd
+                sl_s[bax] = slice(src, src + 1)
+                nb = tables.neighbor[:, d, side]
+                from_fine = x[tuple(sl_s)][nb]
+                mask = (nb >= 0).reshape((-1,) + (1,) * (nd - 1))
+                x = x.at[tuple(sl_g)].set(mask & from_fine)
+        return x.reshape(troubled.shape)
+
     # ------------------------------------------------------- restriction
 
     def _restrict_pair(self, x, node_ax, block_ax):
@@ -398,24 +433,38 @@ class ADERDGPoolRefinement:
         c = self.coarse
         r = self.factor
         if self.reflux:
-            new_c, c_fluxes = c.step(uc, dt, return_face_fluxes=True)
+            new_c, c_fluxes = self.coarse_stepper.step(
+                uc, dt, return_face_fluxes=True
+            )
         else:
-            new_c = c.step(uc, dt)
+            new_c = self.coarse_stepper.step(uc, dt)
         up = self.prolong_blocks(uc, tables.coords)
         dt_f = dt / r
 
         def substep(carry, _):
             f, acc = carry
             f = self.ghost_fill(f, up, tables)
+            kw = {}
+            if hasattr(self.fine_stepper, "troubled_mask"):
+                # Limited fine level: ghost-row troubled flags must mirror
+                # the owning neighbour block's interior flags (the stacked
+                # wrap makes the candidate's ghost rows meaningless), else
+                # the two sides of a fine-fine face can disagree on the
+                # limiting decision and the face flux loses single-valuedness.
+                kw["troubled_transform"] = lambda t: self._sync_troubled(
+                    t, tables
+                )
             if self.reflux:
-                f2, f_fluxes = self.fine.step(f, dt_f, return_face_fluxes=True)
+                f2, f_fluxes = self.fine_stepper.step(
+                    f, dt_f, return_face_fluxes=True, **kw
+                )
                 acc = jax.tree.map(
                     lambda a, b: a + b,
                     acc,
                     self._boundary_flux_sample(f_fluxes),
                 )
             else:
-                f2 = self.fine.step(f, dt_f)
+                f2 = self.fine_stepper.step(f, dt_f, **kw)
             return (f2, acc), None
 
         if self.reflux:

@@ -556,19 +556,58 @@ class LimitedADERDG:
 
     # -------------------------------------------------------------- step
 
-    def step(self, u, dt):
+    def step(self, u, dt, return_face_fluxes: bool = False,
+             troubled_transform=None):
+        """One limited step.
+
+        ``return_face_fluxes=True`` additionally returns the per-direction
+        EFFECTIVE high-face fluxes of the limited update: the (constant
+        transverse-mean) subcell FV aggregate on every face touching a
+        troubled cell — exactly what the interface matching made both
+        sides use — and the nodal DG Rusanov flux elsewhere.  This is the
+        contract the AMR refluxing consumes, letting a ``LimitedADERDG``
+        serve as the fine solver of ``aderdg_amr`` / ``aderdg_pool``
+        (``fine_factory=...``) with exact composite conservation.
+        Requires the ``"subcell"`` fallback (the ``"means"`` fallback has
+        no per-face flux accounting)."""
         stepper = self.accelerator if self.accelerator is not None else self.solver
         candidate, dg_fluxes = stepper.step(u, dt, return_face_fluxes=True)
         troubled = self.troubled_mask(u, candidate)  # [*grid]
+        if troubled_transform is not None:
+            # Host-structure hook (e.g. the AMR pool synchronising ghost-row
+            # flags with the owning neighbour block so both sides of a
+            # fine-fine face agree on the limiting decision).
+            troubled = troubled_transform(troubled)
         if self.fallback == "subcell":
             fb, fv_fluxes = self.subcell_fv_step(u, dt, return_face_fluxes=True)
             candidate = self._match_interface_fluxes(
                 candidate, dg_fluxes, fv_fluxes, troubled, dt
             )
         else:
+            if return_face_fluxes:
+                raise ValueError(
+                    "return_face_fluxes requires the 'subcell' fallback"
+                )
             fb = self.fv_fallback(u, dt)
         mask = troubled.reshape((1,) * (self.solver.dim + 1) + troubled.shape)
-        return jnp.where(mask, fb, candidate)
+        out = jnp.where(mask, fb, candidate)
+        if not return_face_fluxes:
+            return out
+        sol = self.solver
+        eff = []
+        for d in range(sol.dim):
+            fhat_dg = dg_fluxes[d]
+            G = jnp.expand_dims(fv_fluxes[d], tuple(range(sol.dim - 1)))
+            either = troubled | jnp.roll(troubled, shift=-1, axis=d)
+            shape = (1,) * (fhat_dg.ndim - either.ndim) + either.shape
+            eff.append(
+                jnp.where(
+                    either.reshape(shape),
+                    jnp.broadcast_to(G, fhat_dg.shape),
+                    fhat_dg,
+                )
+            )
+        return out, eff
 
     def run(self, u, n_steps: int, dt):
         def body(carry, _):

@@ -181,3 +181,42 @@ def test_dynamic_aderdg_refinement_tracks_and_conserves():
     np.testing.assert_allclose(m1[0], m0[0], rtol=1e-11)
     np.testing.assert_allclose(m1[3], m0[3], rtol=1e-11)
     assert bool(jnp.isfinite(uc).all()) and bool(jnp.isfinite(uf).all())
+
+
+def test_limited_fine_level_box_conserves():
+    """fine_factory / coarse_factory on the box hierarchy: a LimitedADERDG
+    at both levels keeps the refluxed composite mass exact and engages the
+    limiter (differs from the unlimited hierarchy)."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    solver = euler_density_wave_solver(cells=6, order=2)
+    # A pressure bump steep enough to fire the subcell limiter.
+    X, Y = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    Xb = jnp.broadcast_to(jnp.squeeze(X, axis=2), no_var)
+    Yb = jnp.broadcast_to(jnp.squeeze(Y, axis=2), no_var)
+    rho = jnp.ones(no_var)
+    p = 0.1 + 10.0 * jnp.exp(-(((Xb - 0.5) ** 2 + (Yb - 0.5) ** 2) / 0.09**2))
+    uc0 = jnp.stack(
+        [rho, jnp.zeros_like(rho), jnp.zeros_like(rho), p / 0.4], axis=2
+    )
+    adm = euler_admissible(dim=solver.dim)
+
+    def run(factory):
+        amr = ADERDGNestedRefinement(
+            solver, region_lo=(2, 2), region_hi=(4, 4),
+            fine_factory=factory, coarse_factory=factory,
+        )
+        uf0 = amr.prolong_initial(uc0)
+        return amr.run(uc0, uf0, 6, 1e-3)
+
+    m0 = np.asarray(solver.total_mass(uc0))
+    c_lim, f_lim = run(lambda s: LimitedADERDG(s, admissible=adm))
+    assert bool(jnp.isfinite(c_lim).all()) and bool(jnp.isfinite(f_lim).all())
+    m1 = np.asarray(solver.total_mass(c_lim))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)
+
+    c_unl, _ = run(None)
+    assert float(jnp.max(jnp.abs(c_lim - c_unl))) > 1e-10

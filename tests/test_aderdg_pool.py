@@ -304,3 +304,102 @@ def test_aderdg_pool_sharded_matches_single_device():
     )
     np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(f), np.asarray(ref_f))
+
+
+def _euler_blast_solver(g=6, order=2):
+    from exahype_tpu.models.aderdg import euler_physics
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+
+    # 2-D Euler with 4 vars: [rho, mx, my, E].
+    def flux2(Q, axis, var_axis):
+        import exahype_tpu.models.euler as euler
+
+        return euler.flux_tpu(Q, axis, dim=2, n_real=4, var_axis=var_axis)
+
+    def eig2(Q, axis, var_axis):
+        import exahype_tpu.models.euler as euler
+
+        return euler.max_eigenvalue_tpu(Q, axis, dim=2, var_axis=var_axis)
+
+    return ADERDGSolver(
+        dim=2, order=order, n_vars=4, grid_shape=(g, g),
+        flux_fn=flux2, max_eigenvalue_fn=eig2, dx=1.0 / g,
+    )
+
+
+def test_limited_fine_level_conserves_and_stays_admissible():
+    """The production AMR configuration: a LimitedADERDG fine level inside
+    the tree pool (fine_factory).  A strong pressure blast in the refined
+    cells triggers the subcell limiter on the fine grid; the composite
+    mass/energy stay conserved to rounding (the limiter's EFFECTIVE face
+    fluxes feed the refluxing) and density/pressure stay positive."""
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    solver = _euler_blast_solver()
+    X, Y = solver.nodes_meshgrid()
+    rho = jnp.ones(solver.state_shape[:2] + solver.state_shape[3:])
+    shape = rho.shape
+    Xb = jnp.broadcast_to(jnp.squeeze(X, axis=2), shape)
+    Yb = jnp.broadcast_to(jnp.squeeze(Y, axis=2), shape)
+    p = 0.1 + 10.0 * jnp.exp(
+        -(((Xb - 0.5) ** 2 + (Yb - 0.5) ** 2) / 0.09**2)
+    )
+    gamma = 1.4
+    u0 = jnp.stack(
+        [rho, jnp.zeros_like(rho), jnp.zeros_like(rho), p / (gamma - 1.0)],
+        axis=2,
+    )
+    assert u0.shape == solver.state_shape
+
+    mask = np.zeros((6, 6), bool)
+    mask[2:4, 2:4] = True
+    mask[2, 4] = True  # non-box
+
+    def run_pool(factory):
+        pool = ADERDGPoolRefinement(
+            solver, capacity=6, factor=3,
+            fine_factory=factory, coarse_factory=factory,
+        )
+        tables = pool.build_tables(mask)
+        fs = pool.init_pool(u0, tables)
+        return pool.run(u0, fs, tables, 6, 4e-4)
+
+    m0 = np.asarray(solver.total_mass(u0))
+    adm = euler_admissible(dim=2)
+    c_lim, f_lim = run_pool(lambda s: LimitedADERDG(s, admissible=adm))
+    assert bool(jnp.isfinite(c_lim).all()) and bool(jnp.isfinite(f_lim).all())
+    m1 = np.asarray(solver.total_mass(c_lim))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)   # mass
+    np.testing.assert_allclose(m1[3], m0[3], rtol=1e-12)   # energy
+
+    # The limiter really engaged: the limited run differs from unlimited.
+    c_unl, _ = run_pool(None)
+    assert float(jnp.max(jnp.abs(c_lim - c_unl))) > 1e-8
+
+    # Admissibility: the limited FINE solution is nodally admissible in
+    # every active block interior; the coarse composite is admissible in
+    # the cell-MEAN sense (restriction is an L2 projection, so nodal
+    # values may transiently overshoot — the family's standard guarantee
+    # is on the means the MOOD detector controls).
+    pool = ADERDGPoolRefinement(
+        solver, capacity=6, factor=3,
+        fine_factory=lambda s: LimitedADERDG(s, admissible=adm),
+        coarse_factory=lambda s: LimitedADERDG(s, admissible=adm),
+    )
+    tables = pool.build_tables(mask)
+    xf = pool.unstack(f_lim)
+    act = np.asarray(tables.active)
+    r = pool.factor
+    fine_interior = np.asarray(xf)[:, :, :, act, 1 : 1 + r, 1 : 1 + r]
+    ok = np.asarray(adm(jnp.asarray(fine_interior), 2))
+    assert ok.all(), "limited fine blocks must stay nodally admissible"
+
+    w = np.asarray(solver.ops.weights)
+    means = np.asarray(c_lim)
+    for d in reversed(range(2)):
+        means = np.tensordot(w, means, axes=([0], [d]))
+    rho_m, mx_m, my_m, E_m = (means[k] for k in range(4))
+    assert rho_m.min() > 0.0
+    p_mean = (gamma - 1.0) * (E_m - 0.5 * (mx_m**2 + my_m**2) / rho_m)
+    assert p_mean.min() > 0.0
