@@ -138,3 +138,29 @@ def srhd(dim: int = 2, gamma: float = 5.0 / 3.0, iters: int = 25):
 
 def n_vars(dim: int) -> int:
     return dim + 2
+
+
+def srhd_admissible(gamma: float = 5.0 / 3.0, iters: int = 25):
+    """Admissibility hook for :class:`~exahype_tpu.models.limiter.LimitedADERDG`:
+    finite state, D > 0, τ > 0, subluminal momentum (|S| < τ + D — the
+    necessary condition for a physical root), and a positive recovered
+    pressure.  ``(Q, var_axis) -> bool mask`` with the var axis reduced."""
+
+    def ok(Q, var_axis):
+        Qv = jnp.moveaxis(Q, var_axis, -1)
+        D = Qv[..., 0]
+        S2 = jnp.sum(Qv[..., 1:-1] ** 2, axis=-1)
+        tau = Qv[..., -1]
+        finite = jnp.isfinite(Qv).all(axis=-1)
+        sublum = S2 < (tau + D) ** 2
+        rho, v, p, W = con2prim(Qv, gamma=gamma, iters=iters)
+        # The fixed-point recovery floors p; a state is admissible only if
+        # the recovered primitives reproduce the conserved state.
+        back = prim_to_cons(rho, v, p, gamma=gamma)
+        consistent = (
+            jnp.abs(back - Qv).max(axis=-1)
+            <= 1e-6 * (1.0 + jnp.abs(Qv).max(axis=-1))
+        )
+        return finite & (D > 0) & (tau > 0) & sublum & (p > 0) & consistent
+
+    return ok

@@ -424,3 +424,48 @@ def test_srhd_aderdg_runs_and_conserves():
     r, vv, pp, W = srhd.con2prim(jnp.moveaxis(u, 2, -1))
     assert float(jnp.min(r)) > 0 and float(jnp.min(pp)) > 0
     assert float(jnp.max(jnp.sum(vv * vv, axis=-1))) < 1.0
+
+
+def test_srhd_limited_shock_tube():
+    """Mildly relativistic shock tube on limited ADER-DG: the subcell
+    limiter keeps the recovered primitives physical through the shock, and
+    D / tau are conserved to rounding (periodic double-jump setup)."""
+    import jax
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import srhd
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.limiter import LimitedADERDG
+
+    flux, eig = srhd.srhd(dim=2)
+    g = 16
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(g, 2),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / g,
+    )
+    lim = LimitedADERDG(solver, admissible=srhd.srhd_admissible())
+
+    Xb, _ = solver.nodes_meshgrid()
+    shape = (3, 3) + tuple(solver.grid_shape)
+    X = jnp.broadcast_to(jnp.squeeze(Xb, axis=2), shape)
+    # Periodic double jump: [0.25, 0.75) is the high-pressure region.
+    left = (X >= 0.25) & (X < 0.75)
+    rho = jnp.where(left, 10.0, 1.0)
+    p = jnp.where(left, 13.3, 0.1)
+    v = jnp.zeros(shape + (2,))
+    u0 = jnp.moveaxis(srhd.prim_to_cons(rho, v, p), -1, 2)
+
+    m0 = np.asarray(solver.total_mass(u0))
+    u = jax.jit(lambda q: lim.run(q, 10, 5e-4))(u0)
+    assert bool(jnp.isfinite(u).all())
+    m1 = np.asarray(solver.total_mass(u))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)
+    np.testing.assert_allclose(m1[-1], m0[-1], rtol=1e-12)
+
+    r, vv, pp, W = srhd.con2prim(jnp.moveaxis(u, 2, -1))
+    assert float(jnp.min(r)) > 0 and float(jnp.min(pp)) > 0
+    assert float(jnp.max(jnp.sum(vv * vv, axis=-1))) < 1.0
+    # The wave really moved and the limiter really fired.
+    unlimited = jax.jit(lambda q: solver.run(q, 10, 5e-4))(u0)
+    assert float(jnp.max(jnp.abs(u - unlimited))) > 1e-6
