@@ -52,13 +52,15 @@ from exahype_tpu.utils.errors import SemanticError
 
 class CellPoolTables(NamedTuple):
     """Refinement pattern as data: coarse-CELL coords ``[capacity, dim]``,
-    ``active [capacity]``, and ``neighbor [capacity, dim, 2]`` (pool slot of
+    ``active [capacity]``, ``neighbor [capacity, dim, 2]`` (pool slot of
     the refined (lo, hi) face-neighbour cell, or ``-1`` when that cell is
-    unrefined)."""
+    unrefined), and ``wall [capacity, dim, 2]`` (the face lies on a
+    reflective domain wall; all-False on periodic domains)."""
 
     coords: jnp.ndarray
     active: jnp.ndarray
     neighbor: jnp.ndarray
+    wall: jnp.ndarray
 
     @property
     def n_active(self) -> int:
@@ -85,8 +87,15 @@ class ADERDGPoolRefinement:
 
     def __post_init__(self):
         c = self.coarse
-        if c.boundary != "periodic":
-            raise SemanticError("ADER-DG pool refinement requires periodic boundaries")
+        # Periodic domains and reflective walls are both supported.  Wall
+        # faces of refined cells are imposed through MIRROR GHOST CELLS:
+        # the interior edge cell's nodal state flipped along the face-normal
+        # node axis and passed through ``reflect_fn``.  Because the
+        # physics' reflection symmetry commutes with the dynamics (that is
+        # precisely what reflect_fn/reflect_flux_fn encode), the mirror
+        # ghost's predictor output is the mirror of the interior's, so the
+        # periodic fine step reproduces the wall-aware face stage exactly.
+        # (The box path, aderdg_amr, remains periodic-only.)
         if self.capacity < 1:
             raise SemanticError("capacity must be >= 1")
         r = self.factor
@@ -143,16 +152,23 @@ class ADERDGPoolRefinement:
             active[m] = True
             slot_of[cell] = m
         neighbor = np.full((M, dim, 2), -1, np.int32)
+        wall = np.zeros((M, dim, 2), bool)
+        reflective = c.boundary == "reflective"
         for m in range(len(refined)):
             for d in range(dim):
                 for side, shift in ((0, -1), (1, +1)):
                     nb = list(coords[m])
-                    nb[d] = (nb[d] + shift) % c.grid_shape[d]
+                    nb[d] += shift
+                    if reflective and not (0 <= nb[d] < c.grid_shape[d]):
+                        wall[m, d, side] = True
+                        continue
+                    nb[d] %= c.grid_shape[d]
                     neighbor[m, d, side] = slot_of.get(tuple(nb), -1)
         return CellPoolTables(
             coords=jnp.asarray(coords),
             active=jnp.asarray(active),
             neighbor=jnp.asarray(neighbor),
+            wall=jnp.asarray(wall),
         )
 
     # ----------------------------------------------------- (un)stacking
@@ -263,6 +279,29 @@ class ADERDGPoolRefinement:
                 x = x.at[tuple(sl_g)].set(
                     jnp.where(mask, from_fine, from_coarse)
                 )
+        # Wall mirror pass AFTER the fine/coarse fills, ascending axes (the
+        # mirror source spans the full transverse extent, so corner ghosts
+        # compose like the FV pool's wall pass).  Own interior edge cell,
+        # flipped along the face-normal NODE axis, reflect_fn-transformed.
+        if c.boundary == "reflective":
+            for d in range(c.dim):
+                bax = self._block_axis(d)
+                node_ax = c.node_axis(d)
+                for side, (gpos, src) in enumerate(
+                    ((0, 1), (self.block - 1, r))
+                ):
+                    sl_g = [slice(None)] * nd
+                    sl_g[bax] = slice(gpos, gpos + 1)
+                    sl_s = [slice(None)] * nd
+                    sl_s[bax] = slice(src, src + 1)
+                    mirror = jnp.flip(x[tuple(sl_s)], axis=node_ax)
+                    mirror = c.reflect_fn(mirror, d, c.var_axis)
+                    mask_shape = [1] * nd
+                    mask_shape[m_ax] = self.capacity
+                    w = tables.wall[:, d, side].reshape(mask_shape)
+                    x = x.at[tuple(sl_g)].set(
+                        jnp.where(w, mirror, x[tuple(sl_g)])
+                    )
         return self.stack(x)
 
     def _sync_troubled(self, troubled, tables: CellPoolTables):
@@ -283,7 +322,13 @@ class ADERDGPoolRefinement:
                 nb = tables.neighbor[:, d, side]
                 from_fine = x[tuple(sl_s)][nb]
                 mask = (nb >= 0).reshape((-1,) + (1,) * (nd - 1))
-                x = x.at[tuple(sl_g)].set(mask & from_fine)
+                # Wall ghosts mirror the interior edge cell, so their flag
+                # is the interior's own flag.
+                w = tables.wall[:, d, side].reshape((-1,) + (1,) * (nd - 1))
+                own = x[tuple(sl_s)]
+                x = x.at[tuple(sl_g)].set(
+                    jnp.where(w, own, mask & from_fine)
+                )
         return x.reshape(troubled.shape)
 
     # ------------------------------------------------------- restriction
@@ -410,7 +455,11 @@ class ADERDGPoolRefinement:
                 Fc = self._coarse_face(c_fluxes, tables, d, face_idx)
                 delta = jnp.expand_dims(Ff - Fc, node_ax)  # [n^dim, V, M]
                 vals = sign * lam * phi_w * delta
-                is_cf = tables.active & (tables.neighbor[:, d, side] < 0)
+                is_cf = (
+                    tables.active
+                    & (tables.neighbor[:, d, side] < 0)
+                    & ~tables.wall[:, d, side]
+                )
                 override = [None] * c.dim
                 override[d] = jnp.where(
                     is_cf, jnp.mod(cell_idx, c.grid_shape[d]), c.grid_shape[d]

@@ -403,3 +403,55 @@ def test_limited_fine_level_conserves_and_stays_admissible():
     assert rho_m.min() > 0.0
     p_mean = (gamma - 1.0) * (E_m - 0.5 * (mx_m**2 + my_m**2) / rho_m)
     assert p_mean.min() > 0.0
+
+
+def test_wall_pool_conserves_mass_and_energy():
+    """Reflective walls on the ADER-DG pool (the box path is periodic-only
+    — the pool EXCEEDS it here): refined cells on the domain wall get
+    mirror ghost cells (nodal flip + reflect_fn), which reproduce the
+    wall-aware face stage exactly for reflection-symmetric physics.  Euler
+    in a closed box conserves mass and energy to rounding; wall pressure
+    changes momentum."""
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+    from exahype_tpu.models import euler
+
+    def flux2(Q, axis, var_axis):
+        return euler.flux_tpu(Q, axis, dim=2, n_real=4, var_axis=var_axis)
+
+    def eig2(Q, axis, var_axis):
+        return euler.max_eigenvalue_tpu(Q, axis, dim=2, var_axis=var_axis)
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(6, 6),
+        flux_fn=flux2, max_eigenvalue_fn=eig2, dx=1.0 / 6,
+        boundary="reflective",
+        reflect_fn=euler_reflect(2), reflect_flux_fn=euler_reflect_flux(2),
+    )
+    pool = ADERDGPoolRefinement(solver, capacity=5, factor=3)
+    mask = np.zeros((6, 6), bool)
+    mask[0, 0] = mask[0, 1] = True  # wall corner + wall edge
+    mask[3, 3] = True               # interior
+    tables = pool.build_tables(mask)
+    assert bool(np.asarray(tables.wall).any())
+
+    X, Y = solver.nodes_meshgrid()
+    shape = (3, 3) + tuple(solver.grid_shape)
+    Xb = jnp.broadcast_to(jnp.squeeze(X, axis=2), shape)
+    Yb = jnp.broadcast_to(jnp.squeeze(Y, axis=2), shape)
+    gamma = 1.4
+    rho = jnp.ones(shape)
+    p = 1.0 + 2.0 * jnp.exp(-(((Xb - 0.25) ** 2 + (Yb - 0.3) ** 2) / 0.15**2))
+    mx = 0.3 * jnp.ones(shape)  # directed flow exercises the wall flux
+    u0 = jnp.stack(
+        [rho, mx, jnp.zeros(shape), p / (gamma - 1.0) + 0.5 * mx**2 / rho],
+        axis=2,
+    )
+
+    m0 = np.asarray(solver.total_mass(u0))
+    fs = pool.init_pool(u0, tables)
+    c, f = pool.run(u0, fs, tables, 8, 1e-3)
+    assert bool(jnp.isfinite(c).all())
+    m1 = np.asarray(solver.total_mass(c))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)  # mass
+    np.testing.assert_allclose(m1[3], m0[3], rtol=1e-12)  # energy
+    assert abs(m1[1] - m0[1]) > 1e-8  # wall pressure
