@@ -182,3 +182,141 @@ class TimeLoopDriver:
             "wall_seconds": time.perf_counter() - wall0,
         }
         return Q, t, stats
+
+
+class AdaptiveTimeLoopDriver:
+    """The driver subsystems around a criteria-driven tree-AMR run
+    (:class:`~exahype_tpu.parallel.pool.DynamicPoolRefinement` or
+    :class:`~exahype_tpu.models.aderdg_pool.DynamicADERDGPool` — both share
+    the ``pick_mask`` / ``pool`` / ``_chunk_fn`` surface):
+
+    - chunked integration with re-gridding between chunks (the standard
+      adaptivity-between-compiled-chunks recipe),
+    - checkpoint/resume of the COMPOSITE state including the refinement
+      mask (tables are rebuilt from the mask on restore; the compiled
+      chunk is pattern-independent, so resuming never retraces),
+    - non-finite detection with rollback to the last checkpoint and
+      reduced dt,
+    - JSON-line metrics per chunk.
+    """
+
+    def __init__(self, dyn, config: DriverConfig = DriverConfig()):
+        self.dyn = dyn
+        self.config = config
+        self.ckpt = (
+            CheckpointManager(config.checkpoint_dir)
+            if config.checkpoint_every and config.checkpoint_dir
+            else None
+        )
+
+    def _metrics(self, chunk_idx, t, chunk_steps, n_refined, wall0, chunks_done):
+        if not self.config.log_metrics:
+            return
+        elapsed = time.perf_counter() - wall0
+        logger.info(
+            "%s",
+            json.dumps(
+                {
+                    "chunk": chunk_idx,
+                    "t": t,
+                    "n_refined": n_refined,
+                    "steps_per_sec": (
+                        chunks_done * chunk_steps / elapsed if elapsed else None
+                    ),
+                }
+            ),
+        )
+
+    def run(self, Q0, n_chunks: int, chunk_steps: int, dt: float):
+        """Returns ``(coarse_Q, fine_Q, info)``; ``info`` carries the
+        per-chunk masks, recovery count, and final tables."""
+        import numpy as np
+
+        cfg = self.config
+        dyn = self.dyn
+        coarse = jnp.asarray(Q0)
+        chunk_idx, t = 0, 0.0
+        tables = None
+        fine = None
+        recoveries = 0
+        masks = []
+
+        if self.ckpt is not None:
+            state = self.ckpt.restore()
+            if state is not None:
+                coarse = jnp.asarray(state["coarse"])
+                fine = jnp.asarray(state["fine"])
+                mask = np.asarray(state["mask"], bool)
+                tables = dyn.pool.build_tables(mask)
+                chunk_idx = int(state["chunk"])
+                t = float(state["t"])
+                dt = float(state.get("dt", dt))
+                logger.info("resuming from chunk %d", chunk_idx)
+
+        fn = dyn._chunk_fn(chunk_steps)
+        wall0 = time.perf_counter()
+        chunks_done = 0
+        while chunk_idx < n_chunks:
+            mask = dyn.pick_mask(coarse)
+            new_tables = dyn.pool.build_tables(mask)
+            if tables is None:
+                fine = dyn.pool.init_pool(coarse, new_tables)
+            else:
+                fine = dyn.pool.regrid(coarse, fine, tables, new_tables)
+            tables = new_tables
+
+            new_coarse, new_fine = fn(coarse, fine, tables, dt)
+            new_coarse.block_until_ready()
+            if not bool(jnp.isfinite(new_coarse).all()):
+                recoveries += 1
+                if recoveries > cfg.max_recoveries or self.ckpt is None:
+                    raise FloatingPointError(
+                        f"non-finite state in chunk {chunk_idx}; no recovery"
+                    )
+                state = self.ckpt.restore()
+                if state is None:
+                    raise FloatingPointError(
+                        f"non-finite state in chunk {chunk_idx}; "
+                        "no checkpoint to roll back to"
+                    )
+                coarse = jnp.asarray(state["coarse"])
+                fine = jnp.asarray(state["fine"])
+                tables = dyn.pool.build_tables(np.asarray(state["mask"], bool))
+                chunk_idx = int(state["chunk"])
+                t = float(state["t"])
+                dt = dt * cfg.recovery_dt_factor
+                logger.warning(
+                    "non-finite state: rolled back to chunk %d, dt -> %g",
+                    chunk_idx, dt,
+                )
+                continue
+
+            coarse, fine = new_coarse, new_fine
+            masks.append(mask)
+            t += chunk_steps * dt
+            chunk_idx += 1
+            chunks_done += 1
+
+            if self.ckpt is not None and chunk_idx % cfg.checkpoint_every == 0:
+                self.ckpt.save(
+                    chunk_idx,
+                    {
+                        "chunk": chunk_idx,
+                        "t": t,
+                        "dt": dt,
+                        "coarse": coarse,
+                        "fine": fine,
+                        "mask": np.asarray(mask),
+                    },
+                )
+            self._metrics(
+                chunk_idx, t, chunk_steps, int(np.asarray(mask).sum()),
+                wall0, chunks_done,
+            )
+
+        return coarse, fine, {
+            "masks": masks,
+            "tables": tables,
+            "recoveries": recoveries,
+            "t": t,
+        }

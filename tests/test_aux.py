@@ -431,3 +431,67 @@ def test_aderdg_cost_model():
     # ~0.3 MFLOP per cell for p3 Euler (sanity window).
     per_cell = c1.flops / 512
     assert 0.15e6 < per_cell < 0.6e6, per_cell
+
+
+def test_adaptive_driver_checkpoint_resume(tmp_path, caplog):
+    """AdaptiveTimeLoopDriver: an interrupted adaptive tree-AMR run resumes
+    from the checkpointed composite state (coarse + fine + mask) and ends
+    bitwise-identical to the uninterrupted run; metrics emitted."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import hyperbolic
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+    from exahype_tpu.parallel import GridSolver, PatchGrid
+    from exahype_tpu.parallel.driver import AdaptiveTimeLoopDriver, DriverConfig
+    from exahype_tpu.parallel.pool import DynamicPoolRefinement
+    from exahype_tpu.utils.config import KernelConfig
+    from exahype_tpu.utils.output import disassemble_global
+
+    gx = gy = 6
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    flux, eig = hyperbolic.advection((1.0, 0.3))
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0,
+        n_patches=gx * gy, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / (gx * 4), kernel_dt="lambda")
+
+    n = gx * 4
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u0 = np.exp(-(((X - 0.25) ** 2 + (Y - 0.4) ** 2) / 0.08**2))
+    Q0 = disassemble_global(
+        grid, jnp.zeros(grid.state_shape), jnp.asarray(u0[..., None])
+    )
+
+    def make_driver(ckpt_dir):
+        dyn = DynamicPoolRefinement(solver, capacity=6, factor=2)
+        return AdaptiveTimeLoopDriver(
+            dyn,
+            DriverConfig(
+                checkpoint_every=1, checkpoint_dir=str(ckpt_dir),
+                log_metrics=True,
+            ),
+        )
+
+    # Uninterrupted reference (no checkpointing needed for the reference).
+    ref_driver = make_driver(tmp_path / "ref")
+    with caplog.at_level(logging.INFO, logger="exahype_tpu.driver"):
+        c_ref, f_ref, info_ref = ref_driver.run(
+            Q0, n_chunks=6, chunk_steps=5, dt=2e-3
+        )
+    assert any("n_refined" in r.message for r in caplog.records)
+    assert len({tuple(map(tuple, m)) for m in info_ref["masks"]}) > 1
+
+    # Interrupted run: 3 chunks, then a NEW driver resumes to 6.
+    part = make_driver(tmp_path / "ck")
+    part.run(Q0, n_chunks=3, chunk_steps=5, dt=2e-3)
+    resumed = make_driver(tmp_path / "ck")
+    c2, f2, info2 = resumed.run(Q0, n_chunks=6, chunk_steps=5, dt=2e-3)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c_ref))
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f_ref))
