@@ -9,6 +9,7 @@ from exahype_tpu.parallel.mesh import (
 from exahype_tpu.parallel.pool import (
     DynamicPoolRefinement,
     PatchPoolRefinement,
+    PoolInner,
     PoolTables,
 )
 from exahype_tpu.parallel.shard import make_sharded_pallas_step, sharded_tpu_halo_fill
@@ -28,4 +29,5 @@ __all__ = [
     "PatchPoolRefinement",
     "DynamicPoolRefinement",
     "PoolTables",
+    "PoolInner",
 ]

@@ -449,11 +449,28 @@ class PatchPoolRefinement:
 
     # ----------------------------------------------------------------- step
 
-    def step(self, coarse_Q, fine_Q, tables: PoolTables, dt):
+    def _coarse_advance(self, coarse_Q, dt, parent_fill):
+        """Coarse step, optionally with a PARENT's halo overwrite — this is
+        what lets the pool refine the fine level of a box
+        :class:`~exahype_tpu.parallel.refine.NestedRefinement` (see
+        :class:`PoolInner`)."""
+        if parent_fill is None:
+            return self.coarse.step(coarse_Q, dt)
+        q = parent_fill(self.coarse.grid.halo_fill(coarse_Q))
+        kdt = (
+            dt / self.coarse.dx
+            if self.coarse.kernel_dt == "lambda"
+            else dt
+        )
+        qb = self.coarse.grid.to_batched(q)
+        qb = self.coarse._kernel_fn(qb, kdt)
+        return self.coarse.grid.from_batched(qb)
+
+    def step(self, coarse_Q, fine_Q, tables: PoolTables, dt, parent_fill=None):
         """One coupled coarse step; jit once, reuse for every pattern."""
         cfg = self.coarse.grid.config
         r = self.factor
-        new_coarse = self.coarse.step(coarse_Q, dt)
+        new_coarse = self._coarse_advance(coarse_Q, dt, parent_fill)
         cg_pre = _assemble_jnp(self.coarse.grid, coarse_Q)
         up_blocks = self._prolong_blocks(cg_pre, tables.coords)
         dt_f = dt / r
@@ -529,6 +546,32 @@ class PatchPoolRefinement:
             (-1,) + (1,) * (fine_Q.ndim - 1)
         )
         return jnp.where(keep, fine_Q[jnp.asarray(match)], prolonged)
+
+
+@dataclasses.dataclass
+class PoolInner:
+    """Adapter: a :class:`PatchPoolRefinement` as the ``inner`` level of a
+    box :class:`~exahype_tpu.parallel.refine.NestedRefinement` — MIXED
+    box/tree hierarchies (coarse grid → rectangular fine region → arbitrary
+    scattered sub-patches), closing the multi-level-pool roadmap item.
+
+    Build the pool over ``nested.fine`` (a proper :class:`GridSolver`),
+    then ``nested.inner = PoolInner(pool, tables)``.  Proper nesting:
+    keep the pool's refined patches OFF the box region's boundary ring, so
+    the box-level refluxing (which samples the fine level's boundary
+    fluxes) stays exact — composite conservation to rounding (tested).
+    """
+
+    pool: PatchPoolRefinement
+    tables: PoolTables
+
+    def init_state(self, fine_Q):
+        return self.pool.init_pool(fine_Q, self.tables)
+
+    def step(self, fq, state, dt, parent_fill=None):
+        return self.pool.step(
+            fq, state, self.tables, dt, parent_fill=parent_fill
+        )
 
 
 @dataclasses.dataclass

@@ -348,3 +348,47 @@ def test_wall_pool_conserves_mass_and_energy():
     np.testing.assert_allclose(after[0], before[0], rtol=1e-12)  # mass
     np.testing.assert_allclose(after[3], before[3], rtol=1e-12)  # energy
     assert abs(after[1] - before[1]) > 1e-8  # wall pressure torques momentum
+
+
+def test_mixed_box_tree_hierarchy_conserves():
+    """Three levels, mixed box/tree: coarse grid -> rectangular fine region
+    (NestedRefinement) -> scattered sub-patches of the fine level
+    (PatchPoolRefinement via PoolInner).  Constant states are exact through
+    the whole hierarchy; a Gaussian run conserves the composite mass to
+    rounding (pool patches properly nested off the region boundary)."""
+    from exahype_tpu.parallel.pool import PoolInner
+
+    solver = make_solver(gx=4, gy=4)
+    nested = NestedRefinement(solver, region_lo=(0, 0), region_hi=(3, 3), factor=2)
+    # Fine level: 6x6 patches; refine a scattered interior subset.
+    pool = PatchPoolRefinement(nested.fine, capacity=4, factor=2)
+    fmask = np.zeros((6, 6), bool)
+    fmask[2, 2] = fmask[3, 3] = fmask[2, 4] = True  # interior, non-box
+    tables = pool.build_tables(fmask)
+    nested.inner = PoolInner(pool, tables)
+
+    # Constant state exact through all three levels.
+    coarse_C = jnp.full(solver.grid.state_shape, 1.75)
+    state_C = nested.init_state(coarse_C)
+    c, (f, p2) = nested.step(coarse_C, state_C, 1e-3)
+    np.testing.assert_allclose(np.asarray(c), 1.75, atol=1e-13)
+    h = solver.grid.config.halo_size
+    np.testing.assert_allclose(
+        np.asarray(f)[:, :, h:-h, h:-h, :], 1.75, atol=1e-13
+    )
+    reg = pool_region_global(pool, p2, tables)
+    np.testing.assert_allclose(reg[~np.isnan(reg)], 1.75, atol=1e-13)
+
+    # Gaussian run: composite mass conserved through BOTH interfaces.
+    coarse_Q = gaussian_state(solver, centre=(0.35, 0.35))
+    state = nested.init_state(coarse_Q)
+    from tests.test_refine import hierarchy_mass
+
+    m0 = hierarchy_mass(nested, solver, coarse_Q, state[0])
+    c2, (f2, p22) = nested.run(coarse_Q, state, 10, 1e-3)
+    for arr in (c2, f2, p22):
+        assert np.isfinite(np.asarray(arr)).all()
+    # The box-level restrict makes the fine level hold the pool means, so
+    # the two-level composite mass IS the three-level mass.
+    drift = hierarchy_mass(nested, solver, c2, f2) - m0
+    assert abs(drift) < 1e-13, f"mixed-hierarchy drift {drift}"
