@@ -47,6 +47,7 @@ import numpy as np
 
 from exahype_tpu.models.aderdg import ADERDGSolver
 from exahype_tpu.models.dg import refine_interpolation, refine_restriction
+from exahype_tpu.parallel.pool import DynamicRunBase
 from exahype_tpu.utils.errors import SemanticError
 
 
@@ -322,12 +323,16 @@ class ADERDGPoolRefinement:
                 nb = tables.neighbor[:, d, side]
                 from_fine = x[tuple(sl_s)][nb]
                 mask = (nb >= 0).reshape((-1,) + (1,) * (nd - 1))
-                # Wall ghosts mirror the interior edge cell, so their flag
-                # is the interior's own flag.
+                # Wall ghosts mirror the ADJACENT interior edge cell (row 1
+                # at the low wall, row r at the high wall — the rows the
+                # wall mirror in ghost_fill copies), so their flag is that
+                # cell's own flag.
+                wall_src = 1 if side == 0 else r
+                sl_w = [slice(None)] * nd
+                sl_w[bax] = slice(wall_src, wall_src + 1)
                 w = tables.wall[:, d, side].reshape((-1,) + (1,) * (nd - 1))
-                own = x[tuple(sl_s)]
                 x = x.at[tuple(sl_g)].set(
-                    jnp.where(w, own, mask & from_fine)
+                    jnp.where(w, x[tuple(sl_w)], mask & from_fine)
                 )
         return x.reshape(troubled.shape)
 
@@ -573,11 +578,10 @@ class ADERDGPoolRefinement:
 
 
 @dataclasses.dataclass
-class DynamicADERDGPool:
+class DynamicADERDGPool(DynamicRunBase):
     """Criteria-driven tree re-gridding on the flagship scheme with ONE
-    compiled chunk: score coarse cells (host), refine the top scorers (any
-    scattered set up to ``capacity``), rebuild tables, carry/prolong the
-    pool, integrate — the same executable serves every pattern."""
+    compiled chunk (the :class:`~exahype_tpu.parallel.pool.DynamicRunBase`
+    loop over :class:`ADERDGPoolRefinement`)."""
 
     solver: ADERDGSolver
     capacity: int
@@ -595,37 +599,5 @@ class DynamicADERDGPool:
             self.solver, capacity=self.capacity,
             factor=self.factor, reflux=self.reflux,
         )
+        self._criterion_subject = self.solver
         self._chunk = {}
-
-    def pick_mask(self, uc) -> np.ndarray:
-        scores = np.asarray(self.criterion(self.solver, uc))
-        mask = scores >= self.rel_threshold * scores.max()
-        if int(mask.sum()) > self.capacity:
-            top = np.argsort(scores, axis=None, kind="stable")[::-1]
-            mask = np.zeros(scores.size, bool)
-            mask[top[: self.capacity]] = True
-            mask = mask.reshape(scores.shape)
-        return mask
-
-    def _chunk_fn(self, chunk_steps: int):
-        if chunk_steps not in self._chunk:
-            self._chunk[chunk_steps] = jax.jit(
-                lambda uc, fs, tables, dt: self.pool.run(
-                    uc, fs, tables, chunk_steps, dt
-                )
-            )
-        return self._chunk[chunk_steps]
-
-    def run(self, uc, n_chunks: int, chunk_steps: int, dt):
-        masks = []
-        tables = self.pool.build_tables(self.pick_mask(uc))
-        fs = self.pool.init_pool(uc, tables)
-        fn = self._chunk_fn(chunk_steps)
-        for _ in range(n_chunks):
-            mask = self.pick_mask(uc)
-            new_tables = self.pool.build_tables(mask)
-            fs = self.pool.regrid(uc, fs, tables, new_tables)
-            tables = new_tables
-            masks.append(mask)
-            uc, fs = fn(uc, fs, tables, dt)
-        return uc, fs, {"masks": masks, "tables": tables}

@@ -570,6 +570,13 @@ class LimitedADERDG:
         (``fine_factory=...``) with exact composite conservation.
         Requires the ``"subcell"`` fallback (the ``"means"`` fallback has
         no per-face flux accounting)."""
+        if return_face_fluxes and self._wall:
+            raise ValueError(
+                "return_face_fluxes is defined for periodic solvers only "
+                "(the wrap face holds the wall flux, which has no "
+                "single-valued effective-flux contract); the AMR consumers "
+                "are periodic-only as well"
+            )
         stepper = self.accelerator if self.accelerator is not None else self.solver
         candidate, dg_fluxes = stepper.step(u, dt, return_face_fluxes=True)
         troubled = self.troubled_mask(u, candidate)  # [*grid]

@@ -256,6 +256,7 @@ class AdaptiveTimeLoopDriver:
         fn = dyn._chunk_fn(chunk_steps)
         wall0 = time.perf_counter()
         chunks_done = 0
+        base_chunk = chunk_idx  # masks[i] belongs to chunk base_chunk + i
         while chunk_idx < n_chunks:
             mask = dyn.pick_mask(coarse)
             new_tables = dyn.pool.build_tables(mask)
@@ -285,6 +286,9 @@ class AdaptiveTimeLoopDriver:
                 chunk_idx = int(state["chunk"])
                 t = float(state["t"])
                 dt = dt * cfg.recovery_dt_factor
+                # Drop the rolled-back trajectory's masks so masks[i] keeps
+                # meaning "the refinement set of chunk base_chunk + i".
+                del masks[max(chunk_idx - base_chunk, 0):]
                 logger.warning(
                     "non-finite state: rolled back to chunk %d, dt -> %g",
                     chunk_idx, dt,

@@ -46,7 +46,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from exahype_tpu.parallel.grid import PatchGrid
-from exahype_tpu.parallel.refine import _assemble_jnp
+from exahype_tpu.parallel.refine import (
+    _assemble_jnp,
+    advance_with_fill,
+    reflux_physics,
+    rusanov_face,
+)
 from exahype_tpu.parallel.solver import GridSolver
 from exahype_tpu.utils.errors import SemanticError
 from exahype_tpu.utils.output import disassemble_global
@@ -321,22 +326,15 @@ class PatchPoolRefinement:
     # ---------------------------------------------------------- refluxing
 
     def _physics(self):
-        fns = self.coarse.kernel.functions
-        if "Flux" not in fns or "maxEigenvalue" not in fns:
-            return None
-        return fns["Flux"].jax_impl, fns["maxEigenvalue"].jax_impl
+        return reflux_physics(self.coarse.kernel)
 
     def _rusanov_face(self, u_left, u_right, d):
-        flux, eig = self._physics()
-        s = jnp.maximum(eig(u_left, d), eig(u_right, d))[..., None]
-        n_real = self.coarse.grid.config.n_real
-        return 0.5 * (flux(u_left, d) + flux(u_right, d)) - 0.5 * s * (
-            u_right[..., :n_real] - u_left[..., :n_real]
-        )
+        return rusanov_face(self.coarse.kernel, u_left, u_right, d)
 
-    def _pool_transverse(self, rows, skip_axis):
-        """Mean-pool every spatial axis but ``skip_axis`` by ``factor``
-        (rows: ``[M, ..., V]`` with dim-1 transverse axes)."""
+    def _pool_transverse(self, rows):
+        """Mean-pool every transverse spatial axis by ``factor``
+        (rows: ``[M, ..., V]`` with dim-1 transverse axes; the face axis
+        was already removed by the row slice)."""
         r = self.factor
         out = rows
         for ax in range(1, out.ndim - 1):
@@ -363,7 +361,7 @@ class PatchPoolRefinement:
 
         F_lo = self._rusanov_face(row(h - 1), row(h), d)
         F_hi = self._rusanov_face(row(h + P - 1), row(h + P), d)
-        return self._pool_transverse(F_lo, d), self._pool_transverse(F_hi, d)
+        return self._pool_transverse(F_lo), self._pool_transverse(F_hi)
 
     def _face_flux_sample(self, filled):
         """All per-axis (lo, hi) pooled face fluxes of one substep."""
@@ -454,17 +452,7 @@ class PatchPoolRefinement:
         what lets the pool refine the fine level of a box
         :class:`~exahype_tpu.parallel.refine.NestedRefinement` (see
         :class:`PoolInner`)."""
-        if parent_fill is None:
-            return self.coarse.step(coarse_Q, dt)
-        q = parent_fill(self.coarse.grid.halo_fill(coarse_Q))
-        kdt = (
-            dt / self.coarse.dx
-            if self.coarse.kernel_dt == "lambda"
-            else dt
-        )
-        qb = self.coarse.grid.to_batched(q)
-        qb = self.coarse._kernel_fn(qb, kdt)
-        return self.coarse.grid.from_batched(qb)
+        return advance_with_fill(self.coarse, coarse_Q, dt, parent_fill)
 
     def step(self, coarse_Q, fine_Q, tables: PoolTables, dt, parent_fill=None):
         """One coupled coarse step; jit once, reuse for every pattern."""
@@ -492,10 +480,13 @@ class PatchPoolRefinement:
             return (fq, acc), None
 
         if do_reflux:
-            acc0 = jax.tree.map(
-                jnp.zeros_like,
-                self._face_flux_sample(self.halo_fill(fine_Q, up_blocks, tables)),
+            # Explicit zeros from known shapes (no throwaway halo fill).
+            w = cfg.patch_size // r
+            zero = jnp.zeros(
+                (self.pool_size,) + (w,) * (cfg.dim - 1) + (cfg.n_real,),
+                fine_Q.dtype,
             )
+            acc0 = [(zero, zero) for _ in range(cfg.dim)]
         else:
             acc0 = 0.0
         (new_fine, acc), _ = jax.lax.scan(substep, (fine_Q, acc0), None, length=r)
@@ -548,6 +539,53 @@ class PatchPoolRefinement:
         return jnp.where(keep, fine_Q[jnp.asarray(match)], prolonged)
 
 
+class DynamicRunBase:
+    """Shared criteria-driven re-gridding loop for the tree pools (FV and
+    ADER-DG): score → top-scorer mask (capped at capacity by stable rank)
+    → table rebuild → pool carry/prolong → one PATTERN-INDEPENDENT compiled
+    chunk.  Subclasses set ``self.pool``, ``self.criterion``,
+    ``self._criterion_subject``, and ``self._chunk = {}``."""
+
+    def pick_mask(self, state):
+        scores = np.asarray(self.criterion(self._criterion_subject, state))
+        mask = scores >= self.rel_threshold * scores.max()
+        if int(mask.sum()) > self.capacity:
+            top = np.argsort(scores, axis=None, kind="stable")[::-1]
+            mask = np.zeros(scores.size, bool)
+            mask[top[: self.capacity]] = True
+            mask = mask.reshape(scores.shape)
+        return mask
+
+    def _chunk_fn(self, chunk_steps: int):
+        if chunk_steps not in self._chunk:
+            self._chunk[chunk_steps] = jax.jit(
+                lambda cq, fq, tables, dt: self.pool.run(
+                    cq, fq, tables, chunk_steps, dt
+                )
+            )
+        return self._chunk[chunk_steps]
+
+    def run(self, Q0, n_chunks: int, chunk_steps: int, dt):
+        """Returns ``(coarse, fine, info)`` with ``info["masks"]`` the
+        per-chunk refinement sets and ``info["tables"]`` the final tables."""
+        masks = []
+        tables = None
+        fine = None
+        coarse = Q0
+        fn = self._chunk_fn(chunk_steps)
+        for _ in range(n_chunks):
+            mask = self.pick_mask(coarse)
+            new_tables = self.pool.build_tables(mask)
+            if tables is None:
+                fine = self.pool.init_pool(coarse, new_tables)
+            else:
+                fine = self.pool.regrid(coarse, fine, tables, new_tables)
+            tables = new_tables
+            masks.append(mask)
+            coarse, fine = fn(coarse, fine, tables, dt)
+        return coarse, fine, {"masks": masks, "tables": tables}
+
+
 @dataclasses.dataclass
 class PoolInner:
     """Adapter: a :class:`PatchPoolRefinement` as the ``inner`` level of a
@@ -565,6 +603,23 @@ class PoolInner:
     pool: PatchPoolRefinement
     tables: PoolTables
 
+    def __post_init__(self):
+        # Proper nesting is a CORRECTNESS precondition, not a preference:
+        # a refined patch on the box's boundary ring would exchange data
+        # across the region's fictitious periodic wrap.  Fail loudly.
+        r = self.pool.factor
+        coords = np.asarray(self.tables.coords)
+        active = np.asarray(self.tables.active)
+        grid = self.pool.coarse.grid.grid_shape
+        for m in np.flatnonzero(active):
+            cp = coords[m] // r
+            if any(cp[d] == 0 or cp[d] == grid[d] - 1 for d in range(len(grid))):
+                raise SemanticError(
+                    f"PoolInner patch {tuple(cp)} touches the box region's "
+                    "boundary ring; proper nesting requires refined patches "
+                    "strictly inside the region"
+                )
+
     def init_state(self, fine_Q):
         return self.pool.init_pool(fine_Q, self.tables)
 
@@ -575,7 +630,7 @@ class PoolInner:
 
 
 @dataclasses.dataclass
-class DynamicPoolRefinement:
+class DynamicPoolRefinement(DynamicRunBase):
     """Criteria-driven tree re-gridding with ONE compiled chunk function.
 
     Each chunk: score the coarse patches (host), refine the top scorers (any
@@ -607,43 +662,7 @@ class DynamicPoolRefinement:
             factor=self.factor,
             reflux=self.reflux,
         )
-        self._chunk = None
+        self._criterion_subject = self.solver.grid
+        self._chunk = {}
 
-    def pick_mask(self, coarse_Q) -> np.ndarray:
-        """Refine patches within ``rel_threshold`` of the top score, capped
-        at ``capacity`` by score rank (stable argsort tie-break)."""
-        scores = np.asarray(self.criterion(self.solver.grid, coarse_Q))
-        mask = scores >= self.rel_threshold * scores.max()
-        if int(mask.sum()) > self.capacity:
-            top = np.argsort(scores, axis=None, kind="stable")[::-1]
-            mask = np.zeros(scores.size, bool)
-            mask[top[: self.capacity]] = True
-            mask = mask.reshape(scores.shape)
-        return mask
-
-    def _chunk_fn(self, chunk_steps: int):
-        if self._chunk is None:
-            self._chunk = {}
-        if chunk_steps not in self._chunk:
-            self._chunk[chunk_steps] = jax.jit(
-                lambda cq, fq, tables, dt: self.pool.run(
-                    cq, fq, tables, chunk_steps, dt
-                )
-            )
-        return self._chunk[chunk_steps]
-
-    def run(self, coarse_Q, n_chunks: int, chunk_steps: int, dt):
-        """Returns ``(coarse_Q, fine_Q, info)`` with ``info["masks"]`` the
-        per-chunk refinement sets and ``info["tables"]`` the final tables."""
-        masks = []
-        tables = self.pool.build_tables(self.pick_mask(coarse_Q))
-        fine_Q = self.pool.init_pool(coarse_Q, tables)
-        fn = self._chunk_fn(chunk_steps)
-        for _ in range(n_chunks):
-            mask = self.pick_mask(coarse_Q)
-            new_tables = self.pool.build_tables(mask)
-            fine_Q = self.pool.regrid(coarse_Q, fine_Q, tables, new_tables)
-            tables = new_tables
-            masks.append(mask)
-            coarse_Q, fine_Q = fn(coarse_Q, fine_Q, tables, dt)
-        return coarse_Q, fine_Q, {"masks": masks, "tables": tables}
+    # pick_mask / _chunk_fn / run come from DynamicRunBase.

@@ -43,6 +43,38 @@ from exahype_tpu.utils.errors import SemanticError
 from exahype_tpu.utils.output import assemble_global, disassemble_global
 
 
+def reflux_physics(kernel):
+    """(Flux, maxEigenvalue) jax impls of a flux-form spec, else None —
+    the refluxing-eligibility probe shared by the box and pool paths."""
+    fns = kernel.functions
+    if "Flux" not in fns or "maxEigenvalue" not in fns:
+        return None
+    return fns["Flux"].jax_impl, fns["maxEigenvalue"].jax_impl
+
+
+def rusanov_face(kernel, u_left, u_right, d):
+    """Standard Rusanov face flux on var-axis-last rows (n_real comps)."""
+    flux, eig = reflux_physics(kernel)
+    s = jnp.maximum(eig(u_left, d), eig(u_right, d))[..., None]
+    n_real = kernel.config.n_real
+    return 0.5 * (flux(u_left, d) + flux(u_right, d)) - 0.5 * s * (
+        u_right[..., :n_real] - u_left[..., :n_real]
+    )
+
+
+def advance_with_fill(solver, Q, dt, parent_fill):
+    """One GridSolver step with an optional PARENT halo overwrite between
+    the exchange and the kernel (the inner-level coupling both hierarchy
+    kinds use)."""
+    if parent_fill is None:
+        return solver.step(Q, dt)
+    q = parent_fill(solver.grid.halo_fill(Q))
+    kdt = dt / solver.dx if solver.kernel_dt == "lambda" else dt
+    qb = solver.grid.to_batched(q)
+    qb = solver._kernel_fn(qb, kdt)
+    return solver.grid.from_batched(qb)
+
+
 @dataclasses.dataclass
 class NestedRefinement:
     """Two-level solver: coarse everywhere + fine sub-region at factor ``r``.
@@ -233,19 +265,10 @@ class NestedRefinement:
     # ------------------------------------------------------------ refluxing
 
     def _physics(self):
-        fns = self.coarse.kernel.functions
-        if "Flux" not in fns or "maxEigenvalue" not in fns:
-            return None
-        return fns["Flux"].jax_impl, fns["maxEigenvalue"].jax_impl
+        return reflux_physics(self.coarse.kernel)
 
     def _rusanov_face(self, u_left, u_right, d):
-        """Standard Rusanov face flux on var-axis-last rows (n_real comps)."""
-        flux, eig = self._physics()
-        s = jnp.maximum(eig(u_left, d), eig(u_right, d))[..., None]
-        n_real = self.coarse.grid.config.n_real
-        return 0.5 * (flux(u_left, d) + flux(u_right, d)) - 0.5 * s * (
-            u_right[..., :n_real] - u_left[..., :n_real]
-        )
+        return rusanov_face(self.coarse.kernel, u_left, u_right, d)
 
     def _boundary_rows(self, coarse_global, d):
         """Pre-step coarse rows adjacent to the region boundary along axis d,
@@ -365,13 +388,7 @@ class NestedRefinement:
     def _coarse_advance(self, coarse_Q, dt, parent_fill):
         """Advance this refinement's coarse level by dt, with the region
         boundary imposed by ``parent_fill`` when this level is itself nested."""
-        if parent_fill is None:
-            return self.coarse.step(coarse_Q, dt)
-        q = parent_fill(self.coarse.grid.halo_fill(coarse_Q))
-        kdt = dt / self.coarse.dx if self.coarse.kernel_dt == "lambda" else dt
-        qb = self.coarse.grid.to_batched(q)
-        qb = self.coarse._kernel_fn(qb, kdt)
-        return self.coarse.grid.from_batched(qb)
+        return advance_with_fill(self.coarse, coarse_Q, dt, parent_fill)
 
     def step(self, coarse_Q, fine_state, dt, parent_fill=None):
         """One coupled step of the (sub-)hierarchy rooted here.

@@ -392,3 +392,17 @@ def test_mixed_box_tree_hierarchy_conserves():
     # the two-level composite mass IS the three-level mass.
     drift = hierarchy_mass(nested, solver, c2, f2) - m0
     assert abs(drift) < 1e-13, f"mixed-hierarchy drift {drift}"
+
+
+def test_pool_inner_rejects_boundary_patches():
+    """Proper nesting is enforced: a pool patch on the box region's
+    boundary ring raises instead of silently wrapping."""
+    from exahype_tpu.parallel.pool import PoolInner
+
+    solver = make_solver(gx=4, gy=4)
+    nested = NestedRefinement(solver, region_lo=(0, 0), region_hi=(3, 3), factor=2)
+    pool = PatchPoolRefinement(nested.fine, capacity=2, factor=2)
+    bad = np.zeros((6, 6), bool)
+    bad[0, 2] = True  # on the region's boundary ring
+    with pytest.raises(SemanticError):
+        PoolInner(pool, pool.build_tables(bad))
