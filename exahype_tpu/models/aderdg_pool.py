@@ -589,6 +589,10 @@ class DynamicADERDGPool(DynamicRunBase):
     rel_threshold: float = 0.5
     factor: int = 3
     reflux: bool = True
+    #: Forwarded to :class:`ADERDGPoolRefinement` — e.g.
+    #: ``lambda s: LimitedADERDG(s)`` for shock capturing per level.
+    fine_factory: object = None
+    coarse_factory: object = None
 
     def __post_init__(self):
         if self.criterion is None:
@@ -598,6 +602,8 @@ class DynamicADERDGPool(DynamicRunBase):
         self.pool = ADERDGPoolRefinement(
             self.solver, capacity=self.capacity,
             factor=self.factor, reflux=self.reflux,
+            fine_factory=self.fine_factory,
+            coarse_factory=self.coarse_factory,
         )
         self._criterion_subject = self.solver
         self._chunk = {}

@@ -83,6 +83,15 @@ def test_swe_bathymetry_example(tmp_path, monkeypatch, capsys):
     assert "bathymetry frozen: True" in out
 
 
+def test_limited_amr_blast(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["limited_amr_blast.py"])
+    run_example("limited_amr_blast.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "limited AMR blast: conservative + admissible" in out
+
+
 def test_orszag_tang(tmp_path, monkeypatch, capsys):
     import sys
 
