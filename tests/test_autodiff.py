@@ -185,3 +185,45 @@ def test_grad_through_source_and_ncp_terms():
     g2 = jax.grad(lambda u: jnp.sum(ncp_solver.step(u, 1e-3) ** 2))(u0)
     assert np.isfinite(np.asarray(g2)).all()
     assert float(jnp.max(jnp.abs(g2))) > 0.0
+
+
+def test_grad_through_tree_amr_step():
+    """Differentiable AMR: gradients flow through the whole coupled
+    pool step (coarse kernel, halo gathers, restriction scatter,
+    refluxing) and match finite differences on a probe direction."""
+    from exahype_tpu.models import hyperbolic
+    from exahype_tpu.parallel import GridSolver, PatchGrid
+    from exahype_tpu.parallel.pool import PatchPoolRefinement
+    from exahype_tpu.utils.config import KernelConfig
+
+    gx = gy = 4
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    flux, eig = hyperbolic.advection((1.0, 0.4))
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0,
+        n_patches=gx * gy, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / 16, kernel_dt="lambda")
+    pool = PatchPoolRefinement(solver, capacity=3, factor=2)
+    mask = np.zeros((4, 4), bool)
+    mask[1, 1] = mask[2, 2] = True
+    tables = pool.build_tables(mask)
+
+    rng = np.random.default_rng(0)
+    Q0 = jnp.asarray(rng.normal(size=grid.state_shape))
+    probe = jnp.asarray(rng.normal(size=grid.state_shape))
+
+    def loss(q):
+        fs = pool.init_pool(q, tables)
+        c, f = pool.step(q, fs, tables, 1e-3)
+        return jnp.sum(c**2) + jnp.sum(jnp.where(jnp.isfinite(f), f, 0.0) ** 2) * 0.0
+
+    g = jax.grad(loss)(Q0)
+    assert bool(jnp.isfinite(g).all())
+    directional = float(jnp.vdot(g, probe))
+    eps = 1e-6
+    fd = (float(loss(Q0 + eps * probe)) - float(loss(Q0 - eps * probe))) / (2 * eps)
+    np.testing.assert_allclose(directional, fd, rtol=1e-5)
