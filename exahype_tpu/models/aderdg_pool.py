@@ -102,11 +102,15 @@ class ADERDGPoolRefinement:
         r = self.factor
         self.block = r + 2  # fine cells per axis incl. the ghost ring
         B, M = self.block, self.capacity
+        # Blocks stack along the LAST grid axis: TPU lanes want the
+        # trailing dim wide, and M*B is the only large extent (stacking on
+        # axis 0 measured 0.43x the uniform-fine grid on a v5e chip purely
+        # from B-wide lanes; last-axis stacking restores full utilization).
         self.fine = ADERDGSolver(
             dim=c.dim,
             order=c.order,
             n_vars=c.n_vars,
-            grid_shape=(M * B,) + (B,) * (c.dim - 1),
+            grid_shape=(B,) * (c.dim - 1) + (M * B,),
             flux_fn=c.flux_fn,
             max_eigenvalue_fn=c.max_eigenvalue_fn,
             dx=tuple(d / r for d in c._dxs),
@@ -182,16 +186,16 @@ class ADERDGPoolRefinement:
         return self.coarse.dim + 2 + d
 
     def unstack(self, fs):
-        """Stacked fine state → ``[n^dim, V, M, B, ...]`` block view."""
-        c = self.coarse
+        """Stacked fine state → the canonical ``[n^dim, V, M, b0, ...]``
+        block view (an un-merge of the trailing axis plus one transpose —
+        every indexing helper works on this canonical layout)."""
         B, M = self.block, self.capacity
-        shape = fs.shape[: self._m_axis] + (M, B) + fs.shape[self._m_axis + 1 :]
-        return fs.reshape(shape)
+        shape = fs.shape[:-1] + (M, B)
+        return jnp.moveaxis(fs.reshape(shape), -2, self._m_axis)
 
     def stack(self, x):
-        c = self.coarse
-        B, M = self.block, self.capacity
-        shape = x.shape[: self._m_axis] + (M * B,) + x.shape[self._m_axis + 2 :]
+        x = jnp.moveaxis(x, self._m_axis, -2)
+        shape = x.shape[:-2] + (self.capacity * self.block,)
         return x.reshape(shape)
 
     # ------------------------------------------------------ prolongation
@@ -254,87 +258,124 @@ class ADERDGPoolRefinement:
 
     # -------------------------------------------------------- ghost fill
 
-    def ghost_fill(self, fs, up_blocks, tables: CellPoolTables):
+    def ghost_fill(self, fs, up_stacked, tables: CellPoolTables):
         """Re-impose every block's ghost ring: the prolonged coarse field,
         overwritten by the neighbour block's interior face row where the
         face neighbour is refined.  Axis-by-axis, so ghost corners between
-        refined neighbours propagate (as in the FV pool's halo fill)."""
+        refined neighbours propagate (as in the FV pool's halo fill).
+
+        Operates entirely in the STACKED layout: the (M, B) structure of
+        the trailing axis is addressed with free reshapes and strided
+        slices, so this per-substep path does no transposes (the canonical
+        unstack/stack pair measured 3.5 ms/call on a v5e chip — ~6× the
+        fine solver's own substep — purely from full-pool layout churn).
+        ``up_stacked`` is the stacked prolongation (one transpose per
+        COARSE step, in :meth:`step`)."""
         c = self.coarse
-        r = self.factor
-        x = self.unstack(fs)
+        r, B, M = self.factor, self.block, self.capacity
+        dim = c.dim
+        x = fs
         nd = x.ndim
-        m_ax = self._m_axis
-        for d in range(c.dim):
-            bax = self._block_axis(d)
-            for side, (gpos, src) in enumerate(((0, r), (self.block - 1, 1))):
-                sl_g = [slice(None)] * nd
-                sl_g[bax] = slice(gpos, gpos + 1)
-                sl_s = [slice(None)] * nd
-                sl_s[bax] = slice(src, src + 1)
-                nb = tables.neighbor[:, d, side]
-                from_fine = jnp.take(x[tuple(sl_s)], nb, axis=m_ax)
-                from_coarse = up_blocks[tuple(sl_g)]
-                mask_shape = [1] * nd
-                mask_shape[m_ax] = self.capacity
-                mask = (nb >= 0).reshape(mask_shape)
-                x = x.at[tuple(sl_g)].set(
-                    jnp.where(mask, from_fine, from_coarse)
+
+        def m_gather(slab, nb):
+            # Gather over the M grouping of the trailing (M*B) axis.
+            v = slab.reshape(slab.shape[:-1] + (M, B))
+            v = jnp.take(v, nb, axis=-2)
+            return v.reshape(slab.shape)
+
+        def axis_slices(d, gpos, src):
+            if d == dim - 1:  # the stacked axis: strided block slices
+                return (
+                    (Ellipsis, slice(gpos, None, B)),
+                    (Ellipsis, slice(src, None, B)),
                 )
+            sax = dim + 1 + d
+            sl_g = [slice(None)] * nd
+            sl_g[sax] = slice(gpos, gpos + 1)
+            sl_s = [slice(None)] * nd
+            sl_s[sax] = slice(src, src + 1)
+            return tuple(sl_g), tuple(sl_s)
+
+        for d in range(dim):
+            stacked = d == dim - 1
+            for side, (gpos, src) in enumerate(((0, r), (B - 1, 1))):
+                nb = tables.neighbor[:, d, side]
+                ok = nb >= 0
+                sl_g, sl_s = axis_slices(d, gpos, src)
+                if stacked:
+                    from_fine = jnp.take(x[sl_s], nb, axis=-1)
+                    vals = jnp.where(ok, from_fine, up_stacked[sl_g])
+                else:
+                    from_fine = m_gather(x[sl_s], nb)
+                    vals = jnp.where(
+                        jnp.repeat(ok, B), from_fine, up_stacked[sl_g]
+                    )
+                x = x.at[sl_g].set(vals)
         # Wall mirror pass AFTER the fine/coarse fills, ascending axes (the
         # mirror source spans the full transverse extent, so corner ghosts
         # compose like the FV pool's wall pass).  Own interior edge cell,
         # flipped along the face-normal NODE axis, reflect_fn-transformed.
         if c.boundary == "reflective":
-            for d in range(c.dim):
-                bax = self._block_axis(d)
+            for d in range(dim):
+                stacked = d == dim - 1
                 node_ax = c.node_axis(d)
-                for side, (gpos, src) in enumerate(
-                    ((0, 1), (self.block - 1, r))
-                ):
-                    sl_g = [slice(None)] * nd
-                    sl_g[bax] = slice(gpos, gpos + 1)
-                    sl_s = [slice(None)] * nd
-                    sl_s[bax] = slice(src, src + 1)
-                    mirror = jnp.flip(x[tuple(sl_s)], axis=node_ax)
+                for side, (gpos, src) in enumerate(((0, 1), (B - 1, r))):
+                    w = tables.wall[:, d, side]
+                    sl_g, sl_s = axis_slices(d, gpos, src)
+                    mirror = jnp.flip(x[sl_s], axis=node_ax)
                     mirror = c.reflect_fn(mirror, d, c.var_axis)
-                    mask_shape = [1] * nd
-                    mask_shape[m_ax] = self.capacity
-                    w = tables.wall[:, d, side].reshape(mask_shape)
-                    x = x.at[tuple(sl_g)].set(
-                        jnp.where(w, mirror, x[tuple(sl_g)])
-                    )
-        return self.stack(x)
+                    wmask = w if stacked else jnp.repeat(w, B)
+                    x = x.at[sl_g].set(jnp.where(wmask, mirror, x[sl_g]))
+        return x
 
     def _sync_troubled(self, troubled, tables: CellPoolTables):
         """Ghost-row troubled flags ← the owning neighbour block's interior
-        edge flags (False at coarse-fine faces and for inactive slots)."""
+        edge flags (False at coarse-fine faces and for inactive slots;
+        wall ghosts take the ADJACENT interior edge cell's flag — row 1 at
+        the low wall, row r at the high wall, the rows the wall mirror in
+        ghost_fill copies).  Stacked-layout strided addressing, like
+        :meth:`ghost_fill`."""
         B, M = self.block, self.capacity
         r = self.factor
         dim = self.coarse.dim
-        x = troubled.reshape((M, B) + troubled.shape[1:])
+        x = troubled
         nd = x.ndim
-        for d in range(dim):
-            bax = 1 + d
-            for side, (gpos, src) in enumerate(((0, r), (B - 1, 1))):
-                sl_g = [slice(None)] * nd
-                sl_g[bax] = slice(gpos, gpos + 1)
-                sl_s = [slice(None)] * nd
-                sl_s[bax] = slice(src, src + 1)
-                nb = tables.neighbor[:, d, side]
-                from_fine = x[tuple(sl_s)][nb]
-                mask = (nb >= 0).reshape((-1,) + (1,) * (nd - 1))
-                # Wall ghosts mirror the ADJACENT interior edge cell (row 1
-                # at the low wall, row r at the high wall — the rows the
-                # wall mirror in ghost_fill copies), so their flag is that
-                # cell's own flag.
-                wall_src = 1 if side == 0 else r
-                sl_w = [slice(None)] * nd
-                sl_w[bax] = slice(wall_src, wall_src + 1)
-                w = tables.wall[:, d, side].reshape((-1,) + (1,) * (nd - 1))
-                x = x.at[tuple(sl_g)].set(
-                    jnp.where(w, x[tuple(sl_w)], mask & from_fine)
+
+        def m_gather(slab, nb):
+            v = slab.reshape(slab.shape[:-1] + (M, B))
+            v = jnp.take(v, nb, axis=-2)
+            return v.reshape(slab.shape)
+
+        def axis_slices(d, gpos, src):
+            if d == dim - 1:
+                return (
+                    (Ellipsis, slice(gpos, None, B)),
+                    (Ellipsis, slice(src, None, B)),
                 )
-        return x.reshape(troubled.shape)
+            sl_g = [slice(None)] * nd
+            sl_g[d] = slice(gpos, gpos + 1)
+            sl_s = [slice(None)] * nd
+            sl_s[d] = slice(src, src + 1)
+            return tuple(sl_g), tuple(sl_s)
+
+        for d in range(dim):
+            stacked = d == dim - 1
+            for side, (gpos, src) in enumerate(((0, r), (B - 1, 1))):
+                nb = tables.neighbor[:, d, side]
+                w = tables.wall[:, d, side]
+                wall_src = 1 if side == 0 else r
+                sl_g, sl_s = axis_slices(d, gpos, src)
+                sl_w = axis_slices(d, gpos, wall_src)[1]
+                if stacked:
+                    from_fine = jnp.take(x[sl_s], nb, axis=-1)
+                    ok, wm = nb >= 0, w
+                else:
+                    from_fine = m_gather(x[sl_s], nb)
+                    ok, wm = jnp.repeat(nb >= 0, B), jnp.repeat(w, B)
+                x = x.at[sl_g].set(
+                    jnp.where(wm, x[sl_w], ok & from_fine)
+                )
+        return x
 
     # ------------------------------------------------------- restriction
 
@@ -387,11 +428,12 @@ class ADERDGPoolRefinement:
         out = []
         for d in range(dim):
             face = f_fluxes[d]  # [tn^(dim-1), V, *grid] (node axis d gone)
-            # Unstack the (always axis-0-stacked) grid.
+            # Un-merge the LAST grid axis (the stacked one) and move M to
+            # the canonical position after V.
             B, M = self.block, self.capacity
             m_pos = dim  # tn axes: dim-1, then V → grid starts at dim
-            shape = face.shape[:m_pos] + (M, B) + face.shape[m_pos + 1 :]
-            x = face.reshape(shape)
+            x = face.reshape(face.shape[:-1] + (M, B))
+            x = jnp.moveaxis(x, -2, m_pos)
             nd = x.ndim
 
             def block_ax(e, _m=m_pos):
@@ -492,7 +534,7 @@ class ADERDGPoolRefinement:
             )
         else:
             new_c = self.coarse_stepper.step(uc, dt)
-        up = self.prolong_blocks(uc, tables.coords)
+        up = self.stack(self.prolong_blocks(uc, tables.coords))
         dt_f = dt / r
 
         def substep(carry, _):
