@@ -123,13 +123,29 @@ class NativeGridDriver:
         extra_sources: Sequence[pathlib.Path] = (),
         defines: Optional[dict] = None,
         workdir: Optional[pathlib.Path] = None,
+        reflect_signs: Optional[np.ndarray] = None,
     ):
         from exahype_tpu.backends.cpp_backend import CPPPrinter
         from exahype_tpu.utils.errors import SemanticError
 
         cfg = grid.config
-        if getattr(grid, "boundary", "periodic") != "periodic":
-            raise SemanticError("NativeGridDriver supports periodic grids")
+        self._reflective = getattr(grid, "boundary", "periodic") == "reflective"
+        if self._reflective and reflect_signs is None:
+            raise SemanticError(
+                "reflective NativeGridDriver needs reflect_signs [dim, n_vars] "
+                "(per-axis/per-variable mirror multipliers; the Euler wall "
+                "hook is -1 on the normal momentum slot, +1 elsewhere)"
+            )
+        self._signs = (
+            np.ascontiguousarray(reflect_signs, dtype=np.float64)
+            if self._reflective
+            else np.zeros((cfg.dim, cfg.n_vars))
+        )
+        if self._reflective and self._signs.shape != (cfg.dim, cfg.n_vars):
+            raise SemanticError(
+                f"reflect_signs shape {self._signs.shape} != "
+                f"({cfg.dim}, {cfg.n_vars})"
+            )
         if code is None:
             code = CPPPrinter(kernel, header="euler.h").code
         self.grid = grid
@@ -147,16 +163,17 @@ class NativeGridDriver:
         lib = self._native._lib
         c_dp = ctypes.POINTER(ctypes.c_double)
         c_ip = ctypes.POINTER(ctypes.c_int)
-        self._run = lib.exa_run_grid
+        self._run = lib.exa_run_grid_bc
         self._run.restype = None
         self._run.argtypes = [
             c_dp, ctypes.c_double, ctypes.c_int, c_ip,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, c_dp,
         ]
-        self._fill = lib.exa_halo_fill
+        self._fill = lib.exa_halo_fill_bc
         self._fill.restype = None
         self._fill.argtypes = [c_dp, c_ip, ctypes.c_int, ctypes.c_int,
-                               ctypes.c_int, ctypes.c_int]
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int, c_dp]
         self._g = np.asarray(grid.grid_shape, dtype=np.int32)
 
     def _args(self, out):
@@ -168,20 +185,23 @@ class NativeGridDriver:
             ctypes.c_int(cfg.patch_size),
             ctypes.c_int(cfg.halo_size),
             ctypes.c_int(cfg.n_vars),
+            ctypes.c_int(1 if self._reflective else 0),
+            self._signs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
 
     def halo_fill(self, Q: np.ndarray) -> np.ndarray:
-        """Native periodic halo exchange on grid-shaped AoS state."""
+        """Native halo exchange (periodic or wall-mirrored) on grid-shaped
+        AoS state."""
         out = np.array(Q, dtype=np.float64, copy=True, order="C")
-        ptr, g, dim, P, h, V = self._args(out)
-        self._fill(ptr, g, dim, P, h, V)
+        ptr, g, dim, P, h, V, refl, signs = self._args(out)
+        self._fill(ptr, g, dim, P, h, V, refl, signs)
         return out
 
     def run(self, Q: np.ndarray, dt: float, n_steps: int) -> np.ndarray:
         """``n_steps`` × (halo exchange + kernel), one native call."""
         kdt = dt / self.dx if self.kernel_dt == "lambda" else dt
         out = np.array(Q, dtype=np.float64, copy=True, order="C")
-        ptr, g, dim, P, h, V = self._args(out)
+        ptr, g, dim, P, h, V, refl, signs = self._args(out)
         self._run(ptr, ctypes.c_double(kdt), ctypes.c_int(n_steps),
-                  g, dim, P, h, V)
+                  g, dim, P, h, V, refl, signs)
         return out

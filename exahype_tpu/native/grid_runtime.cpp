@@ -74,11 +74,70 @@ void copy_slab3(double *Q, long dst, long src, int d, int dst_lo, int shift,
 
 }  // namespace
 
-// Periodic halo fill over the patch grid (PatchGrid.halo_fill semantics).
-// Writes touch only halo layers; reads touch only interior layers of the
-// same axis, so the per-axis patch loop is race-free under OpenMP.
-extern "C" void exa_halo_fill(double *Q, const int *g, int dim, int P, int h,
-                              int V) {
+namespace {
+
+// Mirror one wall slab of a boundary patch: ghost layer k (of h) along
+// axis d takes the interior layer (flip) times the per-variable sign --
+// the PatchGrid._reflect + reflect_fn semantics with a sign-table hook
+// (signs[d*V + v]; the Euler hook is -1 on the normal momentum slot).
+void mirror_slab2(double *Q, long p, int d, int side, int e, int P, int h,
+                  int V, const double *signs) {
+  double *q = Q + p * (long)e * e * V;
+  for (int k = 0; k < h; ++k) {
+    int dst = side == 0 ? k : P + h + k;
+    // flip: ghost layer k mirrors interior layer (h-1-k) offset from the
+    // wall: low wall ghosts [0,h) <- interiors [h,2h) flipped; high wall
+    // ghosts [P+h,P+2h) <- interiors [P,P+h) flipped.
+    int src = side == 0 ? 2 * h - 1 - k : P + h - 1 - k;
+    int lo[2] = {0, 0}, hi[2] = {e, e};
+    lo[d] = dst;
+    hi[d] = dst + 1;
+    for (int s0 = lo[0]; s0 < hi[0]; ++s0)
+      for (int s1 = lo[1]; s1 < hi[1]; ++s1) {
+        int t0 = d == 0 ? src : s0;
+        int t1 = d == 1 ? src : s1;
+        long od = ((long)s0 * e + s1) * V;
+        long os = ((long)t0 * e + t1) * V;
+        for (int v = 0; v < V; ++v)
+          q[od + v] = signs[d * V + v] * q[os + v];
+      }
+  }
+}
+
+void mirror_slab3(double *Q, long p, int d, int side, int e, int P, int h,
+                  int V, const double *signs) {
+  double *q = Q + p * (long)e * e * e * V;
+  for (int k = 0; k < h; ++k) {
+    int dst = side == 0 ? k : P + h + k;
+    int src = side == 0 ? 2 * h - 1 - k : P + h - 1 - k;
+    int lo[3] = {0, 0, 0}, hi[3] = {e, e, e};
+    lo[d] = dst;
+    hi[d] = dst + 1;
+    for (int s0 = lo[0]; s0 < hi[0]; ++s0)
+      for (int s1 = lo[1]; s1 < hi[1]; ++s1)
+        for (int s2 = lo[2]; s2 < hi[2]; ++s2) {
+          int t0 = d == 0 ? src : s0;
+          int t1 = d == 1 ? src : s1;
+          int t2 = d == 2 ? src : s2;
+          long od = (((long)s0 * e + s1) * e + s2) * V;
+          long os = (((long)t0 * e + t1) * e + t2) * V;
+          for (int v = 0; v < V; ++v)
+            q[od + v] = signs[d * V + v] * q[os + v];
+        }
+  }
+}
+
+}  // namespace
+
+// Halo fill over the patch grid (PatchGrid.halo_fill semantics).
+// `reflective` != 0 overwrites the domain-face halos with the wall mirror
+// (per-axis/per-variable `signs`) after each axis's exchange, exactly the
+// PatchGrid ordering.  Writes touch only halo layers; reads touch only
+// interior layers of the same axis, so the per-axis patch loop is
+// race-free under OpenMP.
+extern "C" void exa_halo_fill_bc(double *Q, const int *g, int dim, int P,
+                                 int h, int V, int reflective,
+                                 const double *signs) {
   if (h == 0) return;
   const int e = P + 2 * h;
   if (dim == 2) {
@@ -95,6 +154,11 @@ extern "C" void exa_halo_fill(double *Q, const int *g, int dim, int P, int h,
           // High halo [P+h,e) <- high neighbour's interior low slab [h,2h).
           copy_slab2(Q, p, patch_index2(nb_hi[0], nb_hi[1], g), d, P + h, -P,
                      e, h, V);
+          if (reflective) {
+            int c[2] = {c0, c1};
+            if (c[d] == 0) mirror_slab2(Q, p, d, 0, e, P, h, V, signs);
+            if (c[d] == g[d] - 1) mirror_slab2(Q, p, d, 1, e, P, h, V, signs);
+          }
         }
     }
   } else {
@@ -111,19 +175,37 @@ extern "C" void exa_halo_fill(double *Q, const int *g, int dim, int P, int h,
                        0, P, e, h, V);
             copy_slab3(Q, p, patch_index3(nb_hi[0], nb_hi[1], nb_hi[2], g), d,
                        P + h, -P, e, h, V);
+            if (reflective) {
+              int c[3] = {c0, c1, c2};
+              if (c[d] == 0) mirror_slab3(Q, p, d, 0, e, P, h, V, signs);
+              if (c[d] == g[d] - 1)
+                mirror_slab3(Q, p, d, 1, e, P, h, V, signs);
+            }
           }
     }
   }
+}
+
+// Backwards-compatible periodic entry point.
+extern "C" void exa_halo_fill(double *Q, const int *g, int dim, int P, int h,
+                              int V) {
+  exa_halo_fill_bc(Q, g, dim, P, h, V, 0, nullptr);
 }
 
 // Chunked native time loop: n_steps x (halo exchange + generated kernel).
 // `kdt` is whatever scalar the kernel expects (lambda = dt/dx for the
 // corrected FV spec; physical dt for the canonical reference spec) -- the
 // Python wrapper converts, exactly like GridSolver.step.
-extern "C" void exa_run_grid(double *Q, double kdt, int n_steps, const int *g,
-                             int dim, int P, int h, int V) {
+extern "C" void exa_run_grid_bc(double *Q, double kdt, int n_steps,
+                                const int *g, int dim, int P, int h, int V,
+                                int reflective, const double *signs) {
   for (int s = 0; s < n_steps; ++s) {
-    exa_halo_fill(Q, g, dim, P, h, V);
+    exa_halo_fill_bc(Q, g, dim, P, h, V, reflective, signs);
     time_step(Q, kdt);
   }
+}
+
+extern "C" void exa_run_grid(double *Q, double kdt, int n_steps, const int *g,
+                             int dim, int P, int h, int V) {
+  exa_run_grid_bc(Q, kdt, n_steps, g, dim, P, h, V, 0, nullptr);
 }

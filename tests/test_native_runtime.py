@@ -110,13 +110,48 @@ def test_native_runtime_3d(tmp_path):
     np.testing.assert_allclose(out, const, rtol=0, atol=1e-13)
 
 
-def test_native_driver_rejects_walls():
+def test_native_reflective_walls(tmp_path):
+    """Native wall mirror (sign-table hook) is element-identical to the
+    Python grid layer with the Euler reflect hook, and a closed-box native
+    run conserves mass/energy while wall pressure changes momentum."""
+    from exahype_tpu.models.aderdg import euler_reflect
+
     cfg = KernelConfig(
         dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=4
     )
-    grid = PatchGrid(config=cfg, grid_shape=(2, 2), boundary="reflective")
+    grid = PatchGrid(
+        config=cfg, grid_shape=(2, 2), boundary="reflective",
+        reflect_fn=euler_reflect(2),
+    )
     kb = build_fv_rusanov_kernel(
         dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=4
     )
+    # Missing sign table -> loud failure.
     with pytest.raises(SemanticError):
         NativeGridDriver(grid, kb)
+
+    signs = np.ones((2, 5))
+    signs[0, 1] = signs[1, 2] = -1.0  # negate the normal momentum
+    driver = NativeGridDriver(
+        grid, kb, dx=1.0 / 8, kernel_dt="lambda",
+        extra_sources=euler_sources(),
+        defines={"EXA_DIM": 2, "EXA_NREAL": 5},
+        workdir=tmp_path, reflect_signs=signs,
+    )
+    Q = euler_grid_state(grid, seed=6)
+    Q[..., 1] += 0.5  # directed flow exercises the wall flux
+    want = np.asarray(grid.halo_fill(jnp.asarray(Q)))
+    np.testing.assert_array_equal(driver.halo_fill(Q), want)
+
+    def totals(arr):
+        h, P = 1, 4
+        interior = arr[:, :, h:h+P, h:h+P, :]
+        return interior.sum(axis=(0, 1, 2, 3))
+
+    before = totals(Q)
+    out = driver.run(Q, 1e-3, 5)
+    after = totals(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(after[0], before[0], rtol=1e-12)  # mass
+    np.testing.assert_allclose(after[3], before[3], rtol=1e-12)  # energy
+    assert abs(after[1] - before[1]) > 1e-8  # wall pressure
