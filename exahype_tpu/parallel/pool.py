@@ -98,6 +98,12 @@ class PatchPoolRefinement:
     #: Flux/maxEigenvalue callbacks and ``kernel_dt="lambda"`` only;
     #: auto-disabled otherwise, like ``refine.NestedRefinement``).
     reflux: bool = True
+    #: Kernel lowering for the fine pool: "jax" (vectorized array ops) or
+    #: "pallas" (the fused VMEM kernel through its AoS adapter — the fast
+    #: FV path applied to the pool batch).  ``fine_backend_kwargs`` are
+    #: forwarded to the printer (e.g. ``interpret=True`` on CPU).
+    fine_backend: str = "jax"
+    fine_backend_kwargs: Optional[dict] = None
 
     def __post_init__(self):
         grid = self.coarse.grid
@@ -121,11 +127,21 @@ class PatchPoolRefinement:
         #: Fine patches per axis of the global fine-patch index space.
         self.fine_patch_shape = tuple(g * self.factor for g in grid.grid_shape)
         # The pool's own kernel lowering: same spec, pool-sized patch batch.
-        from exahype_tpu.backends.jax_backend import JAXPrinter
+        pool_kernel = self.coarse.kernel.with_n_patches(self.pool_size)
+        kw = dict(self.fine_backend_kwargs or {})
+        if self.fine_backend == "pallas":
+            from exahype_tpu.backends.pallas_backend import PallasPrinter
 
-        self._fine_kernel_fn = JAXPrinter(
-            self.coarse.kernel.with_n_patches(self.pool_size)
-        ).build()
+            self._fine_kernel_fn = PallasPrinter(pool_kernel, **kw).build_aos()
+        elif self.fine_backend == "jax":
+            from exahype_tpu.backends.jax_backend import JAXPrinter
+
+            self._fine_kernel_fn = JAXPrinter(pool_kernel, **kw).build()
+        else:
+            raise SemanticError(
+                f"fine_backend must be 'jax' or 'pallas', got "
+                f"{self.fine_backend!r}"
+            )
 
     # ------------------------------------------------------------ tables
 

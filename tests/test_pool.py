@@ -406,3 +406,44 @@ def test_pool_inner_rejects_boundary_patches():
     bad[0, 2] = True  # on the region's boundary ring
     with pytest.raises(SemanticError):
         PoolInner(pool, pool.build_tables(bad))
+
+
+def test_pallas_fine_backend_matches_jax():
+    """fine_backend='pallas': the fused VMEM kernel (AoS adapter,
+    interpret mode) drives the pool's fine patches, matching the JAX
+    lowering to 1e-13 on a scattered Euler set."""
+    from exahype_tpu.models import euler
+
+    gx = gy = 4
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0, n_patches=gx * gy
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / 16, kernel_dt="lambda")
+    mask = np.zeros((4, 4), bool)
+    mask[1, 1] = mask[2, 3] = True
+
+    rng = np.random.default_rng(9)
+    Q0 = rng.uniform(0.1, 1.0, size=grid.state_shape)
+    Q0[..., 0] += 1.0
+    Q0[..., 3] += 5.0
+    Q0 = jnp.asarray(Q0)
+
+    outs = []
+    for backend, kw in (("jax", None), ("pallas", {"interpret": True, "tile_patches": 2})):
+        pool = PatchPoolRefinement(
+            solver, capacity=2, factor=2,
+            fine_backend=backend, fine_backend_kwargs=kw,
+        )
+        tables = pool.build_tables(mask)
+        fs = pool.init_pool(Q0, tables)
+        outs.append(pool.step(Q0, fs, tables, 1e-3))
+    np.testing.assert_allclose(
+        np.asarray(outs[1][0]), np.asarray(outs[0][0]), rtol=0, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1][1]), np.asarray(outs[0][1]), rtol=0, atol=1e-13
+    )
