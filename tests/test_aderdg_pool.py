@@ -455,3 +455,77 @@ def test_wall_pool_conserves_mass_and_energy():
     np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)  # mass
     np.testing.assert_allclose(m1[3], m0[3], rtol=1e-12)  # energy
     assert abs(m1[1] - m0[1]) > 1e-8  # wall pressure
+
+
+def test_pallas_accelerated_fine_pool():
+    """The fused-Pallas predictor drives the pool's fine level: PallasADERDG
+    wraps the stacked fine solver through the same fine_factory hook
+    (interpret mode on CPU), matching the base pool to rounding."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = make_solver(g=6, order=2)
+    mask = np.zeros((6, 6), bool)
+    mask[1, 1] = mask[3, 4] = True
+
+    uc = gaussian_state(solver)
+
+    def run(factory):
+        pool = ADERDGPoolRefinement(
+            solver, capacity=2, factor=3, fine_factory=factory
+        )
+        tables = pool.build_tables(mask)
+        fs = pool.init_pool(uc, tables)
+        return pool.run(uc, fs, tables, 3, 2e-3)
+
+    c_ref, f_ref = run(None)
+    c_pal, f_pal = run(lambda s: PallasADERDG(s, interpret=True, tile0=1))
+    np.testing.assert_allclose(
+        np.asarray(c_pal), np.asarray(c_ref), atol=1e-11, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pal), np.asarray(f_ref), atol=1e-11, rtol=0
+    )
+
+
+def test_wall_pool_3d_smoke():
+    """3-D walled ADER-DG pool: constant state exact, Euler box conserves."""
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+    from exahype_tpu.models import euler
+
+    def flux3(Q, axis, var_axis):
+        return euler.flux_tpu(Q, axis, dim=3, n_real=5, var_axis=var_axis)
+
+    def eig3(Q, axis, var_axis):
+        return euler.max_eigenvalue_tpu(Q, axis, dim=3, var_axis=var_axis)
+
+    solver = ADERDGSolver(
+        dim=3, order=1, n_vars=5, grid_shape=(4, 4, 4),
+        flux_fn=flux3, max_eigenvalue_fn=eig3, dx=0.25,
+        boundary="reflective",
+        reflect_fn=euler_reflect(3), reflect_flux_fn=euler_reflect_flux(3),
+    )
+    pool = ADERDGPoolRefinement(solver, capacity=3, factor=2)
+    mask = np.zeros((4, 4, 4), bool)
+    mask[0, 0, 0] = mask[1, 2, 3] = True  # wall corner + wall face
+    tables = pool.build_tables(mask)
+    assert bool(np.asarray(tables.wall).any())
+
+    shape = (2, 2, 2) + tuple(solver.grid_shape)
+    rng = np.random.default_rng(3)
+    rho = jnp.asarray(1.0 + 0.1 * rng.random(shape))
+    mx = 0.2 * jnp.ones(shape)
+    gamma = 1.4
+    u0 = jnp.stack(
+        [rho, mx, jnp.zeros(shape), jnp.zeros(shape),
+         2.0 / (gamma - 1.0) + 0.5 * mx**2 / rho],
+        axis=3,
+    )
+    assert u0.shape == solver.state_shape
+
+    m0 = np.asarray(solver.total_mass(u0))
+    fs = pool.init_pool(u0, tables)
+    c, f = pool.run(u0, fs, tables, 3, 1e-3)
+    assert bool(jnp.isfinite(c).all())
+    m1 = np.asarray(solver.total_mass(c))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)  # mass
+    np.testing.assert_allclose(m1[4], m0[4], rtol=1e-12)  # energy
