@@ -44,7 +44,7 @@ reference printers.
 
 from __future__ import annotations
 
-from typing import Literal, Mapping
+from typing import Literal, Mapping, Optional
 
 from exahype_tpu.frontend.statements import Statement
 from exahype_tpu.utils.config import KernelConfig
@@ -94,11 +94,13 @@ def spatial_range(
     policy: Policy = DEFAULT_POLICY,
     has_offset: bool = False,
     is_last_lhs: bool = False,
+    offset_reach: Optional[tuple[int, int]] = None,
 ) -> Range:
     """Range of spatial loop level ``level`` (1-based: 1=i/x, 2=j/y, 3=k/z).
 
     ``direction`` uses the statement encoding (-2 write-back, -1 none,
-    1..dim sweep axis).
+    1..dim sweep axis).  ``offset_reach`` is the statement's actual
+    (negative, positive) shift extent on this level, when known.
     """
     full: Range = (0, cfg.extent)
     trimmed: Range = cfg.interior
@@ -106,6 +108,14 @@ def spatial_range(
         if direction == -2:
             return trimmed  # write-back: interior only
         if direction >= 1 and level == direction and has_offset:
+            # Widest valid region: trim each side by the statement's own
+            # reach, never wider than the stored halo allows.  With
+            # halo_size == max|offset| (every reference spec) this equals
+            # the interior; a larger halo leaves rings for multi-stage
+            # stencils (e.g. MUSCL's slope → face-flux → update chain).
+            if offset_reach is not None:
+                neg, pos = offset_reach
+                return (neg, cfg.extent - pos)
             return trimmed  # stencil update: swept axis needs neighbours
         return full
     if policy == "golden":
@@ -143,8 +153,18 @@ def statement_ranges(
     ``(patch, i, j[, k], var)``.
     """
     has_offset = stmt.has_spatial_offset(cfg.spatial_index_names)
+    reach = (
+        stmt.spatial_offset_reach(cfg.spatial_index_names)
+        if has_offset
+        else None
+    )
     ranges: list[Range] = [(0, cfg.n_patches)]
     for level in range(1, cfg.dim + 1):
+        level_reach = (
+            reach.get(cfg.spatial_index_names[level - 1])
+            if reach is not None
+            else None
+        )
         ranges.append(
             spatial_range(
                 cfg,
@@ -153,6 +173,7 @@ def statement_ranges(
                 policy=policy,
                 has_offset=has_offset,
                 is_last_lhs=is_last_lhs,
+                offset_reach=level_reach,
             )
         )
     ranges.append(var_range(cfg, stmt, item_struct))

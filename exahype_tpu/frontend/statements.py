@@ -104,3 +104,31 @@ class Statement:
                     if any(str(s) in spatial for s in idx.free_symbols):
                         return True
         return False
+
+    def spatial_offset_reach(
+        self, spatial_names: tuple[str, ...]
+    ) -> dict[str, tuple[int, int]]:
+        """Per spatial index: the statement's (max negative, max positive)
+        constant shift over all array accesses — the data the statement
+        actually reaches, from which the sound bounds policy derives the
+        widest valid loop region (``halo_size`` > max |offset| leaves halo
+        rings usable by multi-stage stencils such as MUSCL)."""
+        reach = {name: (0, 0) for name in spatial_names}
+        for expr in self.exprs():
+            for access in expr.atoms(sympy.Indexed):
+                for idx in access.indices:
+                    if isinstance(idx, (sympy.Symbol, sympy.Idx)):
+                        continue
+                    for sym in idx.free_symbols:
+                        name = str(sym)
+                        if name not in reach:
+                            continue
+                        off = sympy.simplify(idx - sym)
+                        if off.is_number:
+                            o = int(off)
+                            neg, pos = reach[name]
+                            reach[name] = (
+                                max(neg, -o) if o < 0 else neg,
+                                max(pos, o) if o > 0 else pos,
+                            )
+        return reach

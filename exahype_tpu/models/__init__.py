@@ -13,7 +13,7 @@ __all__ = [
 def __getattr__(name):
     # Lazy heavy solver modules.
     if name in ("aderdg", "aderdg_pallas", "aderdg_amr", "aderdg_pool",
-                "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd"):
+                "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd", "muscl"):
         import importlib
 
         return importlib.import_module(f"exahype_tpu.models.{name}")
