@@ -559,3 +559,21 @@ def test_muscl_dsl_differential_and_conservation(tmp_path):
     )
     got_cpp = native(Q0.reshape(-1), lam).reshape(kb.item_shape("Q"))
     np.testing.assert_array_equal(got_cpp, want)
+
+
+def test_muscl_pallas_parity():
+    """The MUSCL spec lowers through the fused Pallas kernel too (interpret
+    mode), matching the JAX backend to 1e-13."""
+    from exahype_tpu.models.muscl import build_muscl_kernel
+
+    flux, eig = hyperbolic.advection((1.0, 0.5))
+    kb = build_muscl_kernel(
+        dim=2, patch_size=4, halo_size=2, n_real=2, n_aux=0, n_patches=2,
+        flux_impl=flux, eigenvalue_impl=eig,
+    )
+    rng = np.random.default_rng(4)
+    Q0 = rng.normal(size=kb.item_shape("Q"))
+    out_jax = np.asarray(JAXPrinter(kb).build()(Q0, 0.01))
+    fused = PallasPrinter(kb, interpret=True, tile_patches=1).build_aos()
+    out_pallas = np.asarray(fused(Q0, 0.01))
+    np.testing.assert_allclose(out_pallas, out_jax, rtol=0, atol=1e-13)
