@@ -1,5 +1,6 @@
 from exahype_tpu.models import euler, hyperbolic
 from exahype_tpu.models.fv import build_fv_rusanov_kernel
+from exahype_tpu.models.muscl import build_muscl_kernel
 from exahype_tpu.models.rusanov import build_rusanov_kernel
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "hyperbolic",
     "build_rusanov_kernel",
     "build_fv_rusanov_kernel",
+    "build_muscl_kernel",
 ]
 
 
