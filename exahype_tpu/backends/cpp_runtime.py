@@ -129,7 +129,13 @@ class NativeGridDriver:
         from exahype_tpu.utils.errors import SemanticError
 
         cfg = grid.config
-        self._reflective = getattr(grid, "boundary", "periodic") == "reflective"
+        boundary = getattr(grid, "boundary", "periodic")
+        if boundary not in ("periodic", "reflective"):
+            raise SemanticError(
+                f"NativeGridDriver supports periodic/reflective grids, "
+                f"got {boundary!r}"
+            )
+        self._reflective = boundary == "reflective"
         if self._reflective and reflect_signs is None:
             raise SemanticError(
                 "reflective NativeGridDriver needs reflect_signs [dim, n_vars] "

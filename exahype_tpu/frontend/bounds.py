@@ -115,6 +115,10 @@ def spatial_range(
             # stencils (e.g. MUSCL's slope → face-flux → update chain).
             if offset_reach is not None:
                 neg, pos = offset_reach
+                if neg == 0 and pos == 0:
+                    # Offsets exist but not as constants on this axis
+                    # (e.g. a symbolic shift): stay conservative.
+                    return trimmed
                 return (neg, cfg.extent - pos)
             return trimmed  # stencil update: swept axis needs neighbours
         return full

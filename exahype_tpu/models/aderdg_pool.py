@@ -256,6 +256,30 @@ class ADERDGPoolRefinement:
             out.append(coords.reshape(shape))
         return out
 
+    def _m_take(self, slab, nb):
+        """Gather over the M grouping of the trailing (M*B) axis."""
+        B, M = self.block, self.capacity
+        v = slab.reshape(slab.shape[:-1] + (M, B))
+        return jnp.take(v, nb, axis=-2).reshape(slab.shape)
+
+    def _stacked_slices(self, nd, grid_base, d, gpos, src):
+        """(ghost, source) slice tuples for block position ``gpos``/``src``
+        along axis ``d`` of a last-axis-stacked array whose first grid axis
+        sits at ``grid_base`` (dim+1 for state/prolongation arrays, 0 for
+        the flag grid)."""
+        if d == self.coarse.dim - 1:  # the stacked axis: strided slices
+            B = self.block
+            return (
+                (Ellipsis, slice(gpos, None, B)),
+                (Ellipsis, slice(src, None, B)),
+            )
+        sax = grid_base + d
+        sl_g = [slice(None)] * nd
+        sl_g[sax] = slice(gpos, gpos + 1)
+        sl_s = [slice(None)] * nd
+        sl_s[sax] = slice(src, src + 1)
+        return tuple(sl_g), tuple(sl_s)
+
     # -------------------------------------------------------- ghost fill
 
     def ghost_fill(self, fs, up_stacked, tables: CellPoolTables):
@@ -272,41 +296,22 @@ class ADERDGPoolRefinement:
         ``up_stacked`` is the stacked prolongation (one transpose per
         COARSE step, in :meth:`step`)."""
         c = self.coarse
-        r, B, M = self.factor, self.block, self.capacity
+        r, B = self.factor, self.block
         dim = c.dim
         x = fs
         nd = x.ndim
-
-        def m_gather(slab, nb):
-            # Gather over the M grouping of the trailing (M*B) axis.
-            v = slab.reshape(slab.shape[:-1] + (M, B))
-            v = jnp.take(v, nb, axis=-2)
-            return v.reshape(slab.shape)
-
-        def axis_slices(d, gpos, src):
-            if d == dim - 1:  # the stacked axis: strided block slices
-                return (
-                    (Ellipsis, slice(gpos, None, B)),
-                    (Ellipsis, slice(src, None, B)),
-                )
-            sax = dim + 1 + d
-            sl_g = [slice(None)] * nd
-            sl_g[sax] = slice(gpos, gpos + 1)
-            sl_s = [slice(None)] * nd
-            sl_s[sax] = slice(src, src + 1)
-            return tuple(sl_g), tuple(sl_s)
 
         for d in range(dim):
             stacked = d == dim - 1
             for side, (gpos, src) in enumerate(((0, r), (B - 1, 1))):
                 nb = tables.neighbor[:, d, side]
                 ok = nb >= 0
-                sl_g, sl_s = axis_slices(d, gpos, src)
+                sl_g, sl_s = self._stacked_slices(nd, dim + 1, d, gpos, src)
                 if stacked:
                     from_fine = jnp.take(x[sl_s], nb, axis=-1)
                     vals = jnp.where(ok, from_fine, up_stacked[sl_g])
                 else:
-                    from_fine = m_gather(x[sl_s], nb)
+                    from_fine = self._m_take(x[sl_s], nb)
                     vals = jnp.where(
                         jnp.repeat(ok, B), from_fine, up_stacked[sl_g]
                     )
@@ -321,7 +326,9 @@ class ADERDGPoolRefinement:
                 node_ax = c.node_axis(d)
                 for side, (gpos, src) in enumerate(((0, 1), (B - 1, r))):
                     w = tables.wall[:, d, side]
-                    sl_g, sl_s = axis_slices(d, gpos, src)
+                    sl_g, sl_s = self._stacked_slices(
+                        nd, dim + 1, d, gpos, src
+                    )
                     mirror = jnp.flip(x[sl_s], axis=node_ax)
                     mirror = c.reflect_fn(mirror, d, c.var_axis)
                     wmask = w if stacked else jnp.repeat(w, B)
@@ -335,28 +342,11 @@ class ADERDGPoolRefinement:
         the low wall, row r at the high wall, the rows the wall mirror in
         ghost_fill copies).  Stacked-layout strided addressing, like
         :meth:`ghost_fill`."""
-        B, M = self.block, self.capacity
+        B = self.block
         r = self.factor
         dim = self.coarse.dim
         x = troubled
         nd = x.ndim
-
-        def m_gather(slab, nb):
-            v = slab.reshape(slab.shape[:-1] + (M, B))
-            v = jnp.take(v, nb, axis=-2)
-            return v.reshape(slab.shape)
-
-        def axis_slices(d, gpos, src):
-            if d == dim - 1:
-                return (
-                    (Ellipsis, slice(gpos, None, B)),
-                    (Ellipsis, slice(src, None, B)),
-                )
-            sl_g = [slice(None)] * nd
-            sl_g[d] = slice(gpos, gpos + 1)
-            sl_s = [slice(None)] * nd
-            sl_s[d] = slice(src, src + 1)
-            return tuple(sl_g), tuple(sl_s)
 
         for d in range(dim):
             stacked = d == dim - 1
@@ -364,13 +354,13 @@ class ADERDGPoolRefinement:
                 nb = tables.neighbor[:, d, side]
                 w = tables.wall[:, d, side]
                 wall_src = 1 if side == 0 else r
-                sl_g, sl_s = axis_slices(d, gpos, src)
-                sl_w = axis_slices(d, gpos, wall_src)[1]
+                sl_g, sl_s = self._stacked_slices(nd, 0, d, gpos, src)
+                sl_w = self._stacked_slices(nd, 0, d, gpos, wall_src)[1]
                 if stacked:
                     from_fine = jnp.take(x[sl_s], nb, axis=-1)
                     ok, wm = nb >= 0, w
                 else:
-                    from_fine = m_gather(x[sl_s], nb)
+                    from_fine = self._m_take(x[sl_s], nb)
                     ok, wm = jnp.repeat(nb >= 0, B), jnp.repeat(w, B)
                 x = x.at[sl_g].set(
                     jnp.where(wm, x[sl_w], ok & from_fine)

@@ -36,6 +36,39 @@ from exahype_tpu.models import euler
 from exahype_tpu.models.hyperbolic import as_tpu_impl
 
 
+def resolve_physics_impls(
+    dim: int,
+    n_real: int,
+    flux_impl: Optional[Callable],
+    eigenvalue_impl: Optional[Callable],
+    tpu_flux_impl: Optional[Callable] = None,
+    tpu_eigenvalue_impl: Optional[Callable] = None,
+):
+    """(flux, eig, tpu_flux, tpu_eig) with per-callback defaulting: each
+    TPU lowering follows ITS OWN batch callback (a custom eigenvalue with
+    a default flux must not silently get the Euler eigenvalue on the
+    Pallas path), with explicit tpu_* overrides winning."""
+    custom_flux = flux_impl is not None
+    custom_eig = eigenvalue_impl is not None
+    if flux_impl is None:
+        flux_impl = euler.flux_v_fn(dim=dim, n_real=n_real)
+    if eigenvalue_impl is None:
+        eigenvalue_impl = euler.max_eigenvalue_v_fn(dim=dim)
+    if tpu_flux_impl is None:
+        tpu_flux_impl = (
+            as_tpu_impl(flux_impl, dim)
+            if custom_flux
+            else euler.flux_tpu_fn(dim=dim, n_real=n_real)
+        )
+    if tpu_eigenvalue_impl is None:
+        tpu_eigenvalue_impl = (
+            as_tpu_impl(eigenvalue_impl, dim)
+            if custom_eig
+            else euler.max_eigenvalue_tpu_fn(dim=dim)
+        )
+    return flux_impl, eigenvalue_impl, tpu_flux_impl, tpu_eigenvalue_impl
+
+
 def build_fv_rusanov_kernel(
     dim: int = 2,
     patch_size: int = 4,
@@ -49,23 +82,12 @@ def build_fv_rusanov_kernel(
     tpu_eigenvalue_impl: Optional[Callable] = None,
 ) -> KernelBuilder:
     """Textbook FV Rusanov patch update; kernel scalar = λ = dt/dx."""
-    custom = flux_impl is not None
-    if flux_impl is None:
-        flux_impl = euler.flux_v_fn(dim=dim, n_real=n_real)
-    if eigenvalue_impl is None:
-        eigenvalue_impl = euler.max_eigenvalue_v_fn(dim=dim)
-    if tpu_flux_impl is None:
-        tpu_flux_impl = (
-            as_tpu_impl(flux_impl, dim)
-            if custom
-            else euler.flux_tpu_fn(dim=dim, n_real=n_real)
+    flux_impl, eigenvalue_impl, tpu_flux_impl, tpu_eigenvalue_impl = (
+        resolve_physics_impls(
+            dim, n_real, flux_impl, eigenvalue_impl,
+            tpu_flux_impl, tpu_eigenvalue_impl,
         )
-    if tpu_eigenvalue_impl is None:
-        tpu_eigenvalue_impl = (
-            as_tpu_impl(eigenvalue_impl, dim)
-            if custom
-            else euler.max_eigenvalue_tpu_fn(dim=dim)
-        )
+    )
 
     kernel = KernelBuilder(
         dim=dim,

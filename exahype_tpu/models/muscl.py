@@ -29,8 +29,6 @@ from sympy import Max, Min
 from sympy.codegen.ast import integer, real
 
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
-from exahype_tpu.models import euler
-from exahype_tpu.models.hyperbolic import as_tpu_impl
 
 
 def build_muscl_kernel(
@@ -52,20 +50,10 @@ def build_muscl_kernel(
     studies only)."""
     if halo_size < 2:
         raise ValueError("MUSCL reconstruction needs halo_size >= 2")
-    custom = flux_impl is not None
-    if flux_impl is None:
-        flux_impl = euler.flux_v_fn(dim=dim, n_real=n_real)
-    if eigenvalue_impl is None:
-        eigenvalue_impl = euler.max_eigenvalue_v_fn(dim=dim)
-    tpu_flux = (
-        as_tpu_impl(flux_impl, dim)
-        if custom
-        else euler.flux_tpu_fn(dim=dim, n_real=n_real)
-    )
-    tpu_eig = (
-        as_tpu_impl(eigenvalue_impl, dim)
-        if custom
-        else euler.max_eigenvalue_tpu_fn(dim=dim)
+    from exahype_tpu.models.fv import resolve_physics_impls
+
+    flux_impl, eigenvalue_impl, tpu_flux, tpu_eig = resolve_physics_impls(
+        dim, n_real, flux_impl, eigenvalue_impl
     )
 
     kernel = KernelBuilder(
