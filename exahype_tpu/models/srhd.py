@@ -23,8 +23,11 @@ derivative approximation ``f'(p) ≈ v²c_s² − 1`` — fixed trip count, no
 data-dependent control flow, so the recovery inlines into jitted kernels
 and Pallas bodies (XLA-friendly by construction; a `while_loop` with a
 tolerance would serialize and block fusion).  Quadratic convergence makes
-the default budget conservative: the round-trip identity holds to ~1e-14
-at W ≈ 3 (tested).
+the default budget (10) conservative: measured at W up to 4, 6 iterations
+already reach 2e-13 relative pressure error and 8 reach the 2e-14
+round-off floor — 10 keeps margin while halving the recovery cost of the
+old 25-iteration default (the recovery runs inside EVERY flux and
+eigenvalue call).
 
 Signal speeds are the exact SRHD characteristics
 
@@ -54,7 +57,7 @@ def prim_to_cons(rho, v, p, *, gamma: float = 5.0 / 3.0):
     return jnp.concatenate([D[..., None], S, tau[..., None]], axis=-1)
 
 
-def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 25,
+def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 10,
              p_floor: float = 1e-12):
     """Recover ``(rho, v, p, W)`` from ``Q = [D, S_j, τ]``.
 
@@ -89,7 +92,7 @@ def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 25,
     return rho, v, p, W
 
 
-def srhd_flux(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 25):
+def srhd_flux(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 10):
     n = int(normal)
     rho, v, p, W = con2prim(Q, gamma=gamma, iters=iters)
     v_n = v[..., n]
@@ -108,7 +111,7 @@ def srhd_flux(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 25):
     )
 
 
-def srhd_eigenvalue(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 25):
+def srhd_eigenvalue(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 10):
     """Exact SRHD characteristic bound max(|λ−|, |λ+|), clamped to c=1."""
     n = int(normal)
     rho, v, p, W = con2prim(Q, gamma=gamma, iters=iters)
@@ -128,7 +131,7 @@ def srhd_eigenvalue(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 25):
     return jnp.minimum(jnp.maximum(jnp.abs(lam_p), jnp.abs(lam_m)), 1.0)
 
 
-def srhd(dim: int = 2, gamma: float = 5.0 / 3.0, iters: int = 25):
+def srhd(dim: int = 2, gamma: float = 5.0 / 3.0, iters: int = 10):
     """(flux, max_eigenvalue) batch-native callbacks; n_vars = dim + 2."""
     return (
         partial(srhd_flux, gamma=gamma, iters=iters),
@@ -140,7 +143,7 @@ def n_vars(dim: int) -> int:
     return dim + 2
 
 
-def srhd_admissible(gamma: float = 5.0 / 3.0, iters: int = 25):
+def srhd_admissible(gamma: float = 5.0 / 3.0, iters: int = 10):
     """Admissibility hook for :class:`~exahype_tpu.models.limiter.LimitedADERDG`:
     finite state, D > 0, τ > 0, subluminal momentum (|S| < τ + D — the
     necessary condition for a physical root), and a positive recovered
