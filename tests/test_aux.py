@@ -495,3 +495,57 @@ def test_adaptive_driver_checkpoint_resume(tmp_path, caplog):
     c2, f2, info2 = resumed.run(Q0, n_chunks=6, chunk_steps=5, dt=2e-3)
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c_ref))
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f_ref))
+
+
+def test_export_step_roundtrip(tmp_path):
+    """AOT serving artifact: the ADER-DG step exports to StableHLO bytes,
+    reloads in a context with no solver object, and reproduces the live
+    step bitwise; the FV grid solver step round-trips through a file."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models import hyperbolic
+    from exahype_tpu.utils.serialize import export_step, load_step, save_step
+
+    flux, eig = hyperbolic.advection((1.0, 0.4))
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(4, 4),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=0.25,
+    )
+    blob = export_step(solver.step, solver.state_shape, dtype=jnp.float64)
+    assert len(bytes(blob)) > 1000
+
+    rng = np.random.default_rng(0)
+    Q = jnp.asarray(rng.normal(size=solver.state_shape))
+    dt = jnp.asarray(1e-3, jnp.float64)
+    live = np.asarray(solver.step(Q, dt))
+    served = np.asarray(load_step(blob)(Q, dt))
+    # The deserialized StableHLO may fuse differently than the live jit:
+    # allow ulp-level drift.
+    np.testing.assert_allclose(served, live, rtol=0, atol=1e-13)
+
+    # File round trip on the FV grid solver.
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+    from exahype_tpu.parallel import GridSolver, PatchGrid
+    from exahype_tpu.utils.config import KernelConfig
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=4
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(2, 2))
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=4,
+        flux_impl=flux, eigenvalue_impl=eig,
+    )
+    gsolver = GridSolver(grid, kb, dx=0.125, kernel_dt="lambda")
+    path = tmp_path / "fv_step.shlo"
+    n = save_step(path, gsolver.step, grid.state_shape, dtype=jnp.float64)
+    assert path.stat().st_size == n
+    Qg = jnp.asarray(rng.normal(size=grid.state_shape))
+    np.testing.assert_allclose(
+        np.asarray(load_step(path)(Qg, dt)),
+        np.asarray(gsolver.step(Qg, dt)),
+        rtol=0, atol=1e-13,
+    )
