@@ -12,6 +12,12 @@ guarantees.
 tensors, grid shapes); only the state array and the scalar dt remain as
 call arguments.  Multi-platform artifacts (CPU + TPU) are supported via
 ``platforms``.
+
+This covers the FUSED PALLAS paths too: the Mosaic kernel serializes as
+a StableHLO custom call, and the flagship ``PallasADERDG`` step (256k
+cells, boundary_faces_only) was exported from a CPU host with
+``platforms=("tpu",)``, deserialized, and executed on a real v5e chip
+bitwise-matching the live jitted step (123 kB artifact).
 """
 
 from __future__ import annotations

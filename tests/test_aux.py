@@ -549,3 +549,22 @@ def test_export_step_roundtrip(tmp_path):
         np.asarray(gsolver.step(Qg, dt)),
         rtol=0, atol=1e-13,
     )
+
+    # The fused Pallas flagship exports for the TPU platform from this CPU
+    # host (the Mosaic kernel serializes as a StableHLO custom call);
+    # execution on a real chip is verified out-of-band (module docstring).
+    from exahype_tpu.models.aderdg import euler_physics
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    eflux, eeig = euler_physics(dim=3, n_real=5)
+    esolver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(4, 4, 8),
+        flux_fn=eflux, max_eigenvalue_fn=eeig, dx=0.25,
+    )
+    fused = PallasADERDG(esolver, tile0=1)
+    blob_tpu = export_step(
+        fused.step, esolver.state_shape, dtype=jnp.float32, platforms=("tpu",)
+    )
+    from jax import export as jax_export
+
+    assert jax_export.deserialize(blob_tpu).platforms == ("tpu",)
