@@ -617,3 +617,40 @@ def test_bf16_wire_sharded_aderdg():
     assert np.abs(got - ref).max() < 1e-2 * np.abs(ref).max()
     hlo = jax.jit(step_bf16).lower(Qs, 1e-3).compile().as_text()
     assert "collective-permute" in hlo and "bf16" in hlo
+
+
+def test_bf16_wire_two_axis_hierarchical():
+    """wire_dtype on the 2-axis (ICI x DCN) hierarchical schedule: bounded
+    perturbation vs the full-precision wire, bf16 collective in the HLO."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.parallel import TpuPatchGrid
+    from exahype_tpu.parallel.shard import make_sharded_pallas_step_2axis
+
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=32
+    )
+    grid = TpuPatchGrid(config=cfg, grid_shape=(8, 4))
+    kb = build_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=5, n_patches=32
+    )
+    rng = np.random.default_rng(44)
+    aos = rng.uniform(0.1, 1.0, size=(32, 6, 6, 10))
+    aos[..., 0] += 1.0
+    aos[..., 3] += 5.0
+    aos[..., 4] += 5.0
+    Q = grid.from_aos(jnp.asarray(aos))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+
+    step_full, sharding = make_sharded_pallas_step_2axis(
+        kb, grid, mesh, interpret=True, tile_patches=2
+    )
+    step_bf16, _ = make_sharded_pallas_step_2axis(
+        kb, grid, mesh, wire_dtype=jnp.bfloat16, interpret=True, tile_patches=2
+    )
+    Qs = jax.device_put(Q, sharding)
+    ref = np.asarray(step_full(Qs, 1e-3))
+    got = np.asarray(step_bf16(Qs, 1e-3))
+    assert np.abs(got - ref).max() < 1e-2 * np.abs(ref).max()
+    hlo = step_bf16.lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo and "bf16" in hlo
