@@ -39,7 +39,7 @@ def main():
     # (sublane, lane) VMEM tile.  With the interior-axis Riemann solves
     # fused into the predictor kernel the throughput keeps growing with
     # cell count (3.02 at 64k, 3.20 at 128k, 3.36 at 256k, plateau at
-    # 512k); tile0=2 beats 1 here, 4 exceeds VMEM.
+    # 512k).
     grid_shape = (256, 8, 128)
     chunk = 5
     dtype = np.float32
@@ -57,10 +57,14 @@ def main():
 
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
-    # boundary_faces_only: with tile0=2 the intra-tile axis-0 faces solve
-    # inside the kernel, halving the face arrays' HBM round trip
-    # (3.41 -> 3.49 GDOF/s measured on the chip).
-    fused = PallasADERDG(solver, tile0=2, boundary_faces_only=True)
+    # boundary_faces_only solves the intra-tile axis-0 faces inside the
+    # kernel; the 4x-smaller face arrays flip the old tile0=4 verdict:
+    # with the 126 MiB scoped-VMEM limit the wider tile now wins
+    # (3.41 plain -> 3.49 tile0=2+bfo -> 3.63 tile0=4+bfo measured).
+    fused = PallasADERDG(
+        solver, tile0=4, boundary_faces_only=True,
+        vmem_limit_bytes=126 * 1024 * 1024,
+    )
 
     rng = np.random.default_rng(0)
     no_var = (
