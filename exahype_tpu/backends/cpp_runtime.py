@@ -129,6 +129,22 @@ class NativeGridDriver:
         from exahype_tpu.utils.errors import SemanticError
 
         cfg = grid.config
+        kcfg = kernel.config
+        mismatched = {
+            field: (getattr(kcfg, field), getattr(cfg, field))
+            for field in ("dim", "patch_size", "halo_size", "n_real", "n_aux",
+                          "n_patches")
+            if getattr(kcfg, field) != getattr(cfg, field)
+        }
+        if mismatched:
+            # Native code has no shape checks: an oversized kernel would
+            # write past the grid's state buffer (heap corruption) instead
+            # of failing like the JAX path.  Fail in Python first.
+            raise SemanticError(
+                f"kernel config does not match grid config: {mismatched} "
+                f"(kernel value, grid value) — the compiled time_step would "
+                f"index out of the grid's state buffer"
+            )
         boundary = getattr(grid, "boundary", "periodic")
         if boundary not in ("periodic", "reflective"):
             raise SemanticError(

@@ -36,6 +36,7 @@ from sympy.core.function import AppliedUndef
 
 from exahype_tpu.backends.base import CodePrinter
 from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
+from exahype_tpu.frontend.dataflow import validate_dataflow
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.frontend.typed_function import TypedFunction
@@ -111,6 +112,10 @@ class JAXPrinter(CodePrinter):
         cfg = kb.config
         if not kb.inputs:
             raise LoweringError("kernel has no primary input item")
+        # Transitive range check: a demanded read outside its producer's
+        # written range fails HERE (frontend/dataflow.py) instead of
+        # silently consuming zero-initialized scratch.
+        validate_dataflow(kb, policy=self.policy)
         primary = kb.inputs[0]
         scalar_inputs = kb.inputs[1:]
         statements = list(kb.statements)

@@ -41,6 +41,7 @@ from sympy.core.function import AppliedUndef
 from exahype_tpu.backends.base import CodePrinter
 from exahype_tpu.backends.jax_backend import _reject_pointer_call_in_var_loop
 from exahype_tpu.frontend.bounds import DEFAULT_POLICY, Policy, statement_ranges
+from exahype_tpu.frontend.dataflow import validate_dataflow
 from exahype_tpu.frontend.kernel_builder import KernelBuilder
 from exahype_tpu.frontend.statements import Statement, StatementKind
 from exahype_tpu.utils.errors import LoweringError
@@ -190,6 +191,7 @@ class PallasPrinter(CodePrinter):
             return self._fn
         kb = self._kernel
         cfg = kb.config
+        validate_dataflow(kb, policy=self.policy)
         primary = kb.inputs[0]
         scalar_inputs = kb.inputs[1:]
         tail = self.patch_tail

@@ -413,6 +413,14 @@ class PallasADERDG:
                     f_hi0, tile0 - 1, fgax, keepdims=True
                 )
                 face_refs[3][...] = jax.lax.index_in_dim(f_lo0, 0, fgax, keepdims=True)
+                if emit_fused_fhat:
+                    # The limiter's flux contract from the fast path: the
+                    # intra-tile axis-0 fluxes (rows 0..tile0-2; the
+                    # boundary row's comes from the epilogue) plus the
+                    # fused interior axes' full per-row fluxes.
+                    face_refs[4][...] = fhat
+                    for j, fhat_d in enumerate(fused_fhats):
+                        face_refs[5 + j][...] = fhat_d
                 return
             out_vol_ref[...] = new
             # Face outputs for the epilogue axes: q_lo, q_hi, f_lo, f_hi.
@@ -434,25 +442,46 @@ class PallasADERDG:
             # One boundary row per tile instead of every row.
             face_shape = (nn,) * (dim - 1) + (nv, n_tiles) + grid[1:]
             face_block = (nn,) * (dim - 1) + (nv, 1) + grid[1:]
+            # Flux-contract extras (emit_fused_fhat): the intra-tile axis-0
+            # fluxes (tile0-1 rows per tile) and full fused-axis fluxes.
+            intra_shape = (nn,) * (dim - 1) + (nv, n_tiles * (tile0 - 1)) + grid[1:]
+            intra_block = (nn,) * (dim - 1) + (nv, tile0 - 1) + grid[1:]
+            full_face_shape = (nn,) * (dim - 1) + (nv,) + grid
+            full_face_block = (nn,) * (dim - 1) + (nv, tile0) + grid[1:]
         else:
             face_shape = (nn,) * (dim - 1) + (nv,) + grid
         n_face_out = 4 * len(epilogue_axes)
 
         def predictor_call(u, dt, emit_fused_fhat: bool = False):
-            if emit_fused_fhat and bfo:
-                raise LoweringError(
-                    "return_face_fluxes requires boundary_faces_only=False "
-                    "(the limiter needs every row's face flux)"
-                )
             n_extra = len(fused_axes) if emit_fused_fhat else 0
             out_shapes = [jax.ShapeDtypeStruct(state_shape, u.dtype)] + [
                 jax.ShapeDtypeStruct(face_shape, u.dtype)
-            ] * (n_face_out + n_extra)
+            ] * n_face_out
             out_specs = [
                 pl.BlockSpec(vol_block, vol_map, memory_space=pltpu.VMEM)
             ] + [
                 pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
-            ] * (n_face_out + n_extra)
+            ] * n_face_out
+            if bfo and emit_fused_fhat:
+                out_shapes.append(jax.ShapeDtypeStruct(intra_shape, u.dtype))
+                out_specs.append(
+                    pl.BlockSpec(intra_block, face_map, memory_space=pltpu.VMEM)
+                )
+                out_shapes += [
+                    jax.ShapeDtypeStruct(full_face_shape, u.dtype)
+                ] * n_extra
+                out_specs += [
+                    pl.BlockSpec(
+                        full_face_block, face_map, memory_space=pltpu.VMEM
+                    )
+                ] * n_extra
+            else:
+                out_shapes += [
+                    jax.ShapeDtypeStruct(face_shape, u.dtype)
+                ] * n_extra
+                out_specs += [
+                    pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
+                ] * n_extra
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
@@ -518,7 +547,7 @@ class PallasADERDG:
 
             newr = newr.at[row(tile0 - 1)].add(-lam0 * phi1w * fb)
             newr = newr.at[row(0)].add(lam0 * phi0w * flo)
-            return newr.reshape(new.shape)
+            return newr.reshape(new.shape), fhat_b
 
         def step(u, dt, return_face_fluxes: bool = False):
             """One fused step.  ``return_face_fluxes=True`` additionally
@@ -530,9 +559,33 @@ class PallasADERDG:
             if getattr(self, "_profile_predictor_only", False):
                 return new
             if bfo:
-                return boundary_epilogue(
+                new, fhat_b = boundary_epilogue(
                     new, outs[1:5], jnp.asarray(dt, u.dtype)
                 )
+                if not return_face_fluxes:
+                    return new
+                # Interleave the kernel's intra-tile axis-0 fluxes with the
+                # epilogue's tile-boundary fluxes into the full per-row
+                # array (face j of tile t = row t*tile0 + j's high face).
+                intra = outs[5]
+                fused_fhats = list(outs[6:])
+                fgax = sol.grid_axis(0) - 1
+                intra_r = intra.reshape(
+                    intra.shape[:fgax]
+                    + (n_tiles, tile0 - 1)
+                    + intra.shape[fgax + 1 :]
+                )
+                bnd_r = fhat_b.reshape(
+                    fhat_b.shape[:fgax] + (n_tiles, 1) + fhat_b.shape[fgax + 1 :]
+                )
+                fhat0 = jnp.concatenate([intra_r, bnd_r], axis=fgax + 1)
+                fhat0 = fhat0.reshape(
+                    fhat0.shape[:fgax] + (grid[0],) + fhat0.shape[fgax + 2 :]
+                )
+                fhat_by_dir = {0: fhat0}
+                for j, d in enumerate(fused_axes):
+                    fhat_by_dir[d] = fused_fhats[j]
+                return new, [fhat_by_dir[d] for d in range(dim)]
             faces = outs[1 : 1 + n_face_out]
             fused_fhats = list(outs[1 + n_face_out :])
             dtv = jnp.asarray(dt, u.dtype)

@@ -8,11 +8,12 @@ TPU-shaped pattern as the FV pool (``parallel/pool.py``):
 - every refined coarse cell owns one fine BLOCK of ``(factor+2)**dim``
   cells at spacing ``dx/factor``: its ``factor**dim`` interior cells plus a
   one-cell ghost ring;
-- all blocks stack along grid axis 0 of ONE fine :class:`ADERDGSolver`
-  (``grid_shape = (capacity*(r+2), r+2, ...)``), so the ordinary periodic
-  fine step runs unchanged — the wrap couples ghost rows to ghost rows
-  only, and ghosts are re-imposed before every sub-step (the box path's
-  extended-grid trick, per cell);
+- all blocks stack along the LAST grid axis of ONE fine
+  :class:`ADERDGSolver` (``grid_shape = (r+2,)*(dim-1) + (capacity*(r+2),)``
+  — the block axis lives in the TPU lane dimension, so the pool batch fills
+  the lanes), and the ordinary periodic fine step runs unchanged — the wrap
+  couples ghost rows to ghost rows only, and ghosts are re-imposed before
+  every sub-step (the box path's extended-grid trick, per cell);
 - the refinement pattern (cell coords / activity / per-face neighbour
   table) is ARRAY DATA consumed by one jitted step: re-gridding rebuilds
   tables, never retraces.

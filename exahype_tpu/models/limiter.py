@@ -38,8 +38,9 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from exahype_tpu.models.aderdg import ADERDGSolver, _project
+from exahype_tpu.models.aderdg import ADERDGSolver, _apply, _project
 
 
 def euler_admissible(dim: int, gamma: float = 1.4):
@@ -90,6 +91,19 @@ class LimitedADERDG:
     #: the SAME base solver): the candidate step + face fluxes run through
     #: the VMEM predictor kernel; detection and the FV fallback stay XLA.
     accelerator: Optional[object] = None
+    #: Static capacity of the GATHERED subcell fallback: when set, the
+    #: (2N+1)^d FV step runs only on the troubled cells — top-``capacity``
+    #: troubled cells gathered into a compact ``[..., K]`` batch (slot axis
+    #: in the TPU lanes), stepped with slot-table ghost exchange (gathered
+    #: neighbours exchange subcell edge layers; untroubled neighbours
+    #: contribute their projected DG state), and scattered back — instead
+    #: of over the whole grid.  This is the production configuration: at a
+    #: realistic 1–5 % troubled fraction the fallback cost drops from
+    #: O(grid·(2N+1)^d) to O(K·(2N+1)^d).  Troubled cells beyond the
+    #: capacity keep their DG candidate (pick K with margin; the selection
+    #: is deterministic — lowest flat cell index first).  Requires the
+    #: ``"subcell"`` fallback at ``fallback_order=1``.
+    troubled_capacity: Optional[int] = None
 
     def __post_init__(self):
         from exahype_tpu.models.dg import (
@@ -110,6 +124,15 @@ class LimitedADERDG:
             raise ValueError(
                 "accelerator must wrap the limiter's own base solver"
             )
+        if self.troubled_capacity is not None:
+            if self.fallback != "subcell" or self.fallback_order != 1:
+                raise ValueError(
+                    "troubled_capacity requires fallback='subcell' with "
+                    "fallback_order=1 (the gathered ghost exchange carries "
+                    "one subcell layer)"
+                )
+            n_cells = int(np.prod(self.solver.grid_shape))
+            self.troubled_capacity = min(int(self.troubled_capacity), n_cells)
 
     # ------------------------------------------------------- boundary helpers
 
@@ -377,6 +400,253 @@ class LimitedADERDG:
             return recon, face_fluxes
         return recon
 
+    # ------------------------------------------------- gathered subcell path
+
+    def _gather_tables(self, troubled):
+        """Slot tables for the gathered fallback, built IN-JIT from the
+        troubled mask: per-slot cell coordinates, activity, the slot index
+        of each face neighbour (or -1 where the neighbour is untroubled /
+        overflowed), and wall flags.  Selection is ``lax.top_k`` over the
+        0/1 mask — deterministic (lowest flat index first) and
+        shape-static, so re-detection never retraces."""
+        sol = self.solver
+        K = self.troubled_capacity
+        grid = sol.grid_shape
+        flat = troubled.reshape(-1)
+        n_cells = flat.shape[0]
+        vals, idx = jax.lax.top_k(flat.astype(jnp.int32), K)
+        active = vals > 0
+        slot_of = jnp.full((n_cells,), -1, jnp.int32).at[idx].set(
+            jnp.where(active, jnp.arange(K, dtype=jnp.int32), -1)
+        )
+        coords = jnp.unravel_index(idx, grid)
+        strides = np.array(
+            [int(np.prod(grid[d + 1 :])) for d in range(sol.dim)], np.int64
+        )
+        nb_slot = []
+        wall = []
+        reflective = self._wall
+        for d in range(sol.dim):
+            per_side_nb, per_side_wall = [], []
+            for sh in (-1, 1):
+                nb = [c for c in coords]
+                moved = coords[d] + sh
+                on_wall = (
+                    ((moved < 0) | (moved >= grid[d]))
+                    if reflective
+                    else jnp.zeros_like(active)
+                )
+                nb[d] = jnp.mod(moved, grid[d])
+                flat_nb = sum(
+                    nb[e].astype(jnp.int64) * strides[e] for e in range(sol.dim)
+                )
+                slot = slot_of[flat_nb]
+                per_side_nb.append(jnp.where(on_wall, -1, slot))
+                per_side_wall.append(on_wall)
+            nb_slot.append(jnp.stack(per_side_nb, axis=-1))
+            wall.append(jnp.stack(per_side_wall, axis=-1))
+        gathered = (
+            jnp.zeros((n_cells,), bool)
+            .at[jnp.where(active, idx, n_cells)]
+            .set(True, mode="drop")
+            .reshape(grid)
+        )
+        return {
+            "coords": coords,
+            "active": active,
+            "nb_slot": jnp.stack(nb_slot, axis=1),  # [K, dim, 2]
+            "wall": jnp.stack(wall, axis=1),  # [K, dim, 2]
+            "mask": gathered,
+        }
+
+    def _gather_cells(self, u, coords):
+        """[node axes..., V, *grid] -> [node axes..., V, K] (slot lanes)."""
+        sol = self.solver
+        sel = (slice(None),) * (sol.dim + 1) + tuple(coords)
+        return u[sel]
+
+    def _gathered_subcell_step(self, u, dt, tables):
+        """The (2N+1)^d Rusanov FV step of :meth:`subcell_fv_step`, run on
+        the gathered ``[..., K]`` slot batch only.  Ghost subcell layers:
+        the neighbour slot's current edge layer where the neighbour is
+        gathered (so shared faces see identical left/right states on both
+        sides — fluxes match exactly), the projected DG state where it is
+        not, the mirror at walls.  Returns the reconstructed nodal blocks
+        and the per-direction (lo, hi) transverse-mean cell-boundary
+        fluxes ``[V, K]``."""
+        sol = self.solver
+        n_sub = self.n_sub
+        va = sol.var_axis
+        coords = tables["coords"]
+        U = self._gather_cells(u, coords)
+        s = U
+        for d in range(sol.dim):
+            s = _apply(self._P, s, d)
+
+        # DG ghost layers per (direction, side): the untroubled neighbour's
+        # subcell edge layer, projected from its (unchanged) nodal state.
+        dg_ghost = []
+        grid = sol.grid_shape
+        for d in range(sol.dim):
+            per_side = []
+            for side, sh in ((0, -1), (1, 1)):
+                nb = [c for c in coords]
+                nb[d] = jnp.mod(coords[d] + sh, grid[d])
+                Un = self._gather_cells(u, nb)
+                Sn = Un
+                for e in range(sol.dim):
+                    Sn = _apply(self._P, Sn, e)
+                edge = n_sub - 1 if side == 0 else 0  # layer facing ME
+                per_side.append(
+                    jax.lax.slice_in_dim(Sn, edge, edge + 1, axis=d)
+                )
+            dg_ghost.append(per_side)
+
+        def bmask(m, like_ndim):
+            return m.reshape((1,) * (like_ndim - 1) + (-1,))
+
+        g_fluxes = []
+        for d in range(sol.dim):
+            lam = dt / (sol._dxs[d] / n_sub)
+            sub_ax = d
+
+            def take(rng):
+                sl = [slice(None)] * s.ndim
+                sl[sub_ax] = rng
+                return s[tuple(sl)]
+
+            first = take(slice(0, 1))
+            last = take(slice(n_sub - 1, n_sub))
+            nb_hi = tables["nb_slot"][:, d, 1]
+            nb_lo = tables["nb_slot"][:, d, 0]
+            ghost_hi = jnp.where(
+                bmask(nb_hi >= 0, s.ndim),
+                jnp.take(first, nb_hi, axis=-1),
+                dg_ghost[d][1],
+            )
+            ghost_lo = jnp.where(
+                bmask(nb_lo >= 0, s.ndim),
+                jnp.take(last, nb_lo, axis=-1),
+                dg_ghost[d][0],
+            )
+            if self._wall:
+                ghost_hi = jnp.where(
+                    bmask(tables["wall"][:, d, 1], s.ndim),
+                    sol.reflect_fn(last, d, va),
+                    ghost_hi,
+                )
+                ghost_lo = jnp.where(
+                    bmask(tables["wall"][:, d, 0], s.ndim),
+                    sol.reflect_fn(first, d, va),
+                    ghost_lo,
+                )
+            u_plus = jnp.concatenate([take(slice(1, None)), ghost_hi], axis=sub_ax)
+            u_minus = jnp.concatenate(
+                [ghost_lo, take(slice(0, n_sub - 1))], axis=sub_ax
+            )
+
+            F = sol.flux_fn(s, d, va)
+            F_plus = sol.flux_fn(u_plus, d, va)
+            F_minus = sol.flux_fn(u_minus, d, va)
+            s_hi = jnp.expand_dims(
+                jnp.maximum(
+                    sol.max_eigenvalue_fn(s, d, va),
+                    sol.max_eigenvalue_fn(u_plus, d, va),
+                ),
+                va,
+            )
+            s_lo = jnp.expand_dims(
+                jnp.maximum(
+                    sol.max_eigenvalue_fn(u_minus, d, va),
+                    sol.max_eigenvalue_fn(s, d, va),
+                ),
+                va,
+            )
+            fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * self._masked_jump(
+                u_plus - s, va
+            )
+            fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * self._masked_jump(
+                s - u_minus, va
+            )
+            if sol.ncp_fn is not None:
+                half_hi = 0.5 * sol.ncp_fn(0.5 * (s + u_plus), u_plus - s, d, va)
+                half_lo = 0.5 * sol.ncp_fn(0.5 * (u_minus + s), s - u_minus, d, va)
+                ncp_fluct = half_hi + half_lo
+            else:
+                ncp_fluct = None
+            other_sub_axes = tuple(a for a in range(sol.dim) if a != d)
+            g_hi = jnp.mean(
+                jax.lax.index_in_dim(fhat_hi, n_sub - 1, sub_ax, keepdims=False),
+                axis=tuple(a if a < d else a - 1 for a in other_sub_axes),
+            )
+            g_lo = jnp.mean(
+                jax.lax.index_in_dim(fhat_lo, 0, sub_ax, keepdims=False),
+                axis=tuple(a if a < d else a - 1 for a in other_sub_axes),
+            )
+            g_fluxes.append((g_lo, g_hi))
+            s = s - lam * (fhat_hi - fhat_lo)
+            if ncp_fluct is not None:
+                s = s - lam * ncp_fluct
+        if sol.source_fn is not None:
+            s = s + dt * sol.source_fn(s, va)
+        return self._reconstruct_gathered(s), g_fluxes
+
+    def _reconstruct_gathered(self, s):
+        """Subcell means -> nodal on the slot batch, with the cell-mean
+        conservation fix (mirrors :meth:`reconstruct_subcells` with the
+        grid axes replaced by the slot axis)."""
+        sol = self.solver
+        out = s
+        for d in range(sol.dim):
+            out = _apply(self._R, out, d)
+        sub_axes = tuple(range(sol.dim))
+        mean_sub = jnp.mean(s, axis=sub_axes)
+        mean_rec = out
+        for d in reversed(range(sol.dim)):
+            mean_rec = _project(
+                jnp.asarray(sol.ops.weights, out.dtype), mean_rec, d
+            )
+        shift = (mean_sub - mean_rec).reshape((1,) * sol.dim + mean_sub.shape)
+        return out + shift
+
+    def _scatter_fallback(self, candidate, R, tables):
+        """Write the gathered blocks back at their cells (inactive slots
+        dropped via an out-of-bounds coordinate)."""
+        sol = self.solver
+        coords = tables["coords"]
+        c0 = jnp.where(tables["active"], coords[0], sol.grid_shape[0])
+        sel = (slice(None),) * (sol.dim + 1) + (c0,) + tuple(coords[1:])
+        return candidate.at[sel].set(R, mode="drop")
+
+    def _scatter_face_fluxes(self, g_fluxes, tables, dtype):
+        """Assemble the global per-direction high-face flux arrays
+        ``[V, *grid]`` from the gathered (lo, hi) fluxes: every slot owns
+        its hi face, and also writes its LO-face flux to the -d neighbour's
+        hi-face slot (so mixed faces whose troubled side is the HIGH cell
+        are covered; where both sides are gathered the two writes carry the
+        identical exchanged flux)."""
+        sol = self.solver
+        grid = sol.grid_shape
+        coords = tables["coords"]
+        active = tables["active"]
+        out = []
+        for d in range(sol.dim):
+            g_lo, g_hi = g_fluxes[d]
+            G = jnp.zeros((sol.n_vars,) + grid, dtype)
+            c0 = jnp.where(active, coords[0], grid[0])
+            sel_hi = (slice(None), c0) + tuple(coords[1:])
+            G = G.at[sel_hi].set(g_hi, mode="drop")
+            # My low face = (-d neighbour)'s high face; skip at a wall (the
+            # wall face has a single owner and no matching partner).
+            drop_lo = ~active | tables["wall"][:, d, 0]
+            lo_coords = [c for c in coords]
+            lo_coords[d] = jnp.mod(coords[d] - 1, grid[d])
+            lo_c0 = jnp.where(drop_lo, grid[0], lo_coords[0])
+            sel_lo = (slice(None), lo_c0) + tuple(lo_coords[1:])
+            G = G.at[sel_lo].set(g_lo, mode="drop")
+            out.append(G)
+        return out
+
     # -------------------------------------------------- second-order subcell
 
     def _sub_shift(self, x, sh, d, va, negate_ghost=False):
@@ -585,6 +855,33 @@ class LimitedADERDG:
             # flags with the owning neighbour block so both sides of a
             # fine-fine face agree on the limiting decision).
             troubled = troubled_transform(troubled)
+        if self.troubled_capacity is not None:
+            # Gathered production path: FV only on the troubled slots.
+            tables = self._gather_tables(troubled)
+            troubled = tables["mask"]
+            R, g_fluxes = self._gathered_subcell_step(u, dt, tables)
+            fv_fluxes = self._scatter_face_fluxes(g_fluxes, tables, u.dtype)
+            candidate = self._match_interface_fluxes(
+                candidate, dg_fluxes, fv_fluxes, troubled, dt
+            )
+            out = self._scatter_fallback(candidate, R, tables)
+            if not return_face_fluxes:
+                return out
+            sol = self.solver
+            eff = []
+            for d in range(sol.dim):
+                fhat_dg = dg_fluxes[d]
+                G = jnp.expand_dims(fv_fluxes[d], tuple(range(sol.dim - 1)))
+                either = troubled | jnp.roll(troubled, shift=-1, axis=d)
+                shape = (1,) * (fhat_dg.ndim - either.ndim) + either.shape
+                eff.append(
+                    jnp.where(
+                        either.reshape(shape),
+                        jnp.broadcast_to(G, fhat_dg.shape),
+                        fhat_dg,
+                    )
+                )
+            return out, eff
         if self.fallback == "subcell":
             fb, fv_fluxes = self.subcell_fv_step(u, dt, return_face_fluxes=True)
             candidate = self._match_interface_fluxes(

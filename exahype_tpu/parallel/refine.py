@@ -44,10 +44,28 @@ from exahype_tpu.utils.output import assemble_global, disassemble_global
 
 
 def reflux_physics(kernel):
-    """(Flux, maxEigenvalue) jax impls of a flux-form spec, else None —
-    the refluxing-eligibility probe shared by the box and pool paths."""
+    """(Flux, maxEigenvalue) jax impls of a FIRST-ORDER flux-form spec,
+    else None — the refluxing-eligibility probe shared by the box and pool
+    paths.
+
+    The Berger–Colella correction recomputes the faces' fluxes as the
+    first-order Rusanov flux of the adjacent CELL VALUES, so it is only
+    consistent with kernels whose face fluxes are exactly that.  A
+    reconstruction-based spec (e.g. :func:`~exahype_tpu.models.muscl.
+    build_muscl_kernel`) carries the same Flux/maxEigenvalue callbacks but
+    fluxes limited face states — applying the first-order correction to it
+    drifts mass instead of conserving it.  Detection: the kernel's chained
+    stencil reach on its inputs (:func:`~exahype_tpu.frontend.dataflow.
+    transitive_input_reach`) — first-order updates reach 1 cell, any
+    reconstruction chain reaches ≥ 2 — mirroring the existing auto-disable
+    behaviour for specs without the callbacks.
+    """
+    from exahype_tpu.frontend.dataflow import max_input_reach
+
     fns = kernel.functions
     if "Flux" not in fns or "maxEigenvalue" not in fns:
+        return None
+    if max_input_reach(kernel) > 1:
         return None
     return fns["Flux"].jax_impl, fns["maxEigenvalue"].jax_impl
 

@@ -677,11 +677,18 @@ def test_pallas_boundary_faces_only_guards():
     f2 = PallasADERDG(refl, interpret=True, tile0=2, boundary_faces_only=True)
     assert not f2.boundary_faces_only
 
-    # return_face_fluxes is incompatible with the shrunken face outputs.
-    import pytest
-
-    from exahype_tpu.utils.errors import LoweringError
-
+    # return_face_fluxes now composes with the shrunken face outputs: the
+    # kernel emits the intra-tile axis-0 fluxes + the fused axes' full
+    # fluxes, and the epilogue's boundary fluxes interleave back to the
+    # full per-row contract — matching the base solver exactly.
     f3 = PallasADERDG(solver, interpret=True, tile0=2, boundary_faces_only=True)
-    with pytest.raises(LoweringError):
-        f3.step(euler_density_wave_state(solver), 1e-3, return_face_fluxes=True)
+    Q0 = euler_density_wave_state(solver)
+    new_b, fluxes_b = f3.step(Q0, 1e-3, return_face_fluxes=True)
+    new_ref, fluxes_ref = solver.step(Q0, 1e-3, return_face_fluxes=True)
+    np.testing.assert_allclose(
+        np.asarray(new_b), np.asarray(new_ref), rtol=0, atol=1e-11
+    )
+    for a, b in zip(fluxes_b, fluxes_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-11
+        )

@@ -1,0 +1,212 @@
+"""Gathered (capacity-based) subcell fallback — the production limiter path.
+
+The whole-grid fallback runs the (2N+1)^d FV step over EVERY cell each
+step; the gathered path runs it only on the troubled slots, with slot-table
+ghost exchange.  These tests pin its contract:
+
+- with every cell troubled and capacity == n_cells, the gathered step
+  reproduces the whole-grid fallback exactly (the slot exchange then IS the
+  periodic roll, just permuted into slot order);
+- the full gathered limited step conserves mass to rounding on a shock
+  (mixed DG/FV faces single-valued through the scattered flux table);
+- overflow beyond the capacity keeps the (conservative) DG candidate;
+- reflective walls use the same mirror convention as the whole-grid path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models.aderdg import (
+    ADERDGSolver,
+    euler_physics,
+    euler_reflect,
+    euler_reflect_flux,
+)
+from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+
+def make_solver(cells=12, order=3, **kw):
+    flux, eig = euler_physics(dim=2, n_real=4)
+    return ADERDGSolver(
+        dim=2, order=order, n_vars=4, grid_shape=(cells, cells),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / cells, **kw,
+    )
+
+
+def sod_like_state(solver):
+    coords = solver.nodes_meshgrid()
+    x = np.broadcast_to(
+        np.squeeze(coords[0], axis=solver.var_axis),
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :],
+    )
+    left = x < 0.5
+    rho = np.where(left, 1.0, 0.125)
+    p = np.where(left, 1.0, 0.1)
+    E = p / 0.4
+    Q = np.stack(
+        [rho, np.zeros_like(rho), np.zeros_like(rho), E],
+        axis=solver.var_axis,
+    )
+    return jnp.asarray(Q)
+
+
+def test_gathered_all_troubled_matches_whole_grid():
+    solver = make_solver(cells=8, order=2)
+    n_cells = 64
+    whole = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    gathered = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=n_cells
+    )
+    Q0 = sod_like_state(solver)
+    dt = 2e-3
+    force_all = lambda t: jnp.ones_like(t)
+    a = np.asarray(whole.step(Q0, dt, troubled_transform=force_all))
+    b = np.asarray(gathered.step(Q0, dt, troubled_transform=force_all))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-13)
+
+
+def test_gathered_all_troubled_face_fluxes_match():
+    solver = make_solver(cells=8, order=2)
+    whole = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    gathered = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=64
+    )
+    Q0 = sod_like_state(solver)
+    force_all = lambda t: jnp.ones_like(t)
+    _, eff_a = whole.step(
+        Q0, 2e-3, return_face_fluxes=True, troubled_transform=force_all
+    )
+    _, eff_b = gathered.step(
+        Q0, 2e-3, return_face_fluxes=True, troubled_transform=force_all
+    )
+    for a, b in zip(eff_a, eff_b):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=1e-13
+        )
+
+
+def test_gathered_limited_step_exactly_conservative():
+    solver = make_solver(cells=12, order=3)
+    # On this 12x12 grid the full-height shock marks 50-100% of cells
+    # troubled (realistic runs are 1-5% on grids 1000x larger) — capacity
+    # must cover the troubled set or the overflow keeps inadmissible DG
+    # candidates.
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=144
+    )
+    Q0 = sod_like_state(solver)
+    m0 = np.asarray(solver.total_mass(Q0))
+    Q = limited.run(Q0, 20, 4e-3)
+    m1 = np.asarray(solver.total_mass(Q))
+    np.testing.assert_allclose(m1, m0, rtol=0, atol=1e-12)
+    ok = euler_admissible(dim=2)(Q, solver.var_axis)
+    assert bool(np.asarray(ok).all())
+
+
+def test_gathered_matches_whole_grid_where_untroubled():
+    """Cells far from any troubled cell must be identical between the two
+    paths (they take the pure DG candidate in both)."""
+    solver = make_solver(cells=12, order=3)
+    whole = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    gathered = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=60
+    )
+    Q0 = sod_like_state(solver)
+    dt = 4e-3
+    candidate = solver.step(Q0, dt)
+    troubled = np.asarray(whole.troubled_mask(Q0, candidate))
+    a = np.asarray(whole.step(Q0, dt))
+    b = np.asarray(gathered.step(Q0, dt))
+    # Mask of cells with no troubled cell in their face neighbourhood
+    # (those cells see neither the fallback nor interface matching).
+    near = troubled.copy()
+    for d in range(2):
+        near |= np.roll(troubled, 1, axis=d) | np.roll(troubled, -1, axis=d)
+    far = ~near
+    assert far.any() and troubled.any()
+    np.testing.assert_array_equal(a[..., far], b[..., far])
+
+
+def test_gathered_overflow_keeps_dg_candidate():
+    solver = make_solver(cells=12, order=3)
+    cap = 4
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=cap
+    )
+    Q0 = sod_like_state(solver)
+    dt = 4e-3
+    candidate = solver.step(Q0, dt)
+    troubled = limited.troubled_mask(Q0, candidate)
+    assert int(np.asarray(troubled).sum()) > cap
+    tables = limited._gather_tables(troubled)
+    assert int(np.asarray(tables["active"]).sum()) == cap
+    gathered_mask = np.asarray(tables["mask"])
+    assert gathered_mask.sum() == cap
+    assert (gathered_mask <= np.asarray(troubled)).all()
+    out = np.asarray(limited.step(Q0, dt))
+    assert np.isfinite(out).all()
+    # Troubled-but-overflowed cells hold the DG candidate — except where
+    # they neighbour a gathered cell, whose interface matching (correctly)
+    # rewrites the shared face's flux to keep it single-valued.
+    near_gathered = gathered_mask.copy()
+    for d in range(2):
+        near_gathered |= np.roll(gathered_mask, 1, axis=d)
+        near_gathered |= np.roll(gathered_mask, -1, axis=d)
+    skipped = np.asarray(troubled) & ~near_gathered
+    assert skipped.any()
+    np.testing.assert_array_equal(
+        out[..., skipped], np.asarray(candidate)[..., skipped]
+    )
+
+
+def test_gathered_reflective_walls_conserve():
+    solver = make_solver(
+        cells=8, order=2, boundary="reflective",
+        reflect_fn=euler_reflect(2), reflect_flux_fn=euler_reflect_flux(2),
+    )
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=64
+    )
+    Q0 = sod_like_state(solver)
+    m0 = np.asarray(solver.total_mass(Q0))[0]  # mass: zero wall flux
+    Q = limited.run(Q0, 15, 3e-3)
+    m1 = np.asarray(solver.total_mass(Q))[0]
+    np.testing.assert_allclose(m1, m0, rtol=0, atol=1e-12)
+    ok = euler_admissible(dim=2)(Q, solver.var_axis)
+    assert bool(np.asarray(ok).all())
+
+
+def test_gathered_rejects_unsupported_configs():
+    solver = make_solver(cells=8, order=2)
+    with pytest.raises(ValueError, match="troubled_capacity"):
+        LimitedADERDG(solver, fallback="means", troubled_capacity=8)
+    with pytest.raises(ValueError, match="troubled_capacity"):
+        LimitedADERDG(solver, fallback_order=2, troubled_capacity=8)
+
+
+def test_gathered_with_bfo_accelerator_matches():
+    """The full production stack: gathered fallback + the fused Pallas
+    predictor in its fastest (boundary_faces_only) configuration, whose
+    flux contract is now compatible with the limiter."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = make_solver(cells=8, order=2)
+    plain = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=64
+    )
+    accel = PallasADERDG(
+        solver, interpret=True, tile0=2, boundary_faces_only=True
+    )
+    accel.build()
+    assert accel.boundary_faces_only
+    fast = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=64,
+        accelerator=accel,
+    )
+    Q0 = sod_like_state(solver)
+    dt = 2e-3
+    ref = np.asarray(plain.step(Q0, dt))
+    got = np.asarray(fast.step(Q0, dt))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-11)
