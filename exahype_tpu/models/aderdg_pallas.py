@@ -45,6 +45,7 @@ class PallasADERDG:
         fuse_interior_riemann: bool = True,
         boundary_faces_only: bool = False,
         dtype=None,
+        epilogue_axes: Optional[tuple] = None,
     ):
         if solver.boundary != "periodic":
             # The in-kernel face wraps assume periodicity; with walls every
@@ -71,6 +72,20 @@ class PallasADERDG:
         #: Set False when grid axes >0 are sharded (the in-kernel wrap
         #: assumes they are whole and periodic).
         self.fuse_interior_riemann = fuse_interior_riemann
+        #: Explicit override of WHICH grid axes run the XLA face epilogue
+        #: (the rest fuse in-kernel).  The multi-slice wrapper
+        #: (``parallel/shard.py make_sharded_aderdg_step_2axis``) passes
+        #: ``(0, 1)``: both sharded axes need the cross-chip edge exchange,
+        #: while the remaining whole axes keep the fused in-kernel solve.
+        #: Axis 0 (tiled) must always be included.
+        self._epilogue_override = (
+            tuple(sorted(set(epilogue_axes))) if epilogue_axes is not None
+            else None
+        )
+        if self._epilogue_override is not None and 0 not in self._epilogue_override:
+            raise LoweringError(
+                "axis 0 is the tiled axis and must be an epilogue axis"
+            )
         self.vmem_limit_bytes = vmem_limit_bytes
         #: State dtype assumed by the VMEM estimate (f32 default; pass the
         #: real dtype, e.g. f64 in x64 interpret tests, so auto-tiling
@@ -146,7 +161,10 @@ class PallasADERDG:
         va = sol.var_axis  # var axis of per-time-slice arrays
         face_va = sol.var_axis - 1  # var axis of face-projected arrays
         reflective = sol.boundary == "reflective"
-        if self.fuse_interior_riemann and dim > 1:
+        if self._epilogue_override is not None and self.fuse_interior_riemann:
+            epilogue_axes = self._epilogue_override
+            fused_axes = tuple(d for d in lam_axes if d not in epilogue_axes)
+        elif self.fuse_interior_riemann and dim > 1:
             fused_axes = tuple(d for d in lam_axes if d != 0)
             epilogue_axes = (0,)
         else:

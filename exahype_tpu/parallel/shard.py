@@ -503,6 +503,115 @@ def make_sharded_aderdg_step(
     return step, sharding
 
 
+def make_sharded_aderdg_step_2axis(
+    solver,
+    mesh: Mesh,
+    axis_names: tuple[str, str] = ("ici", "dcn"),
+    interpret: bool = False,
+    return_face_fluxes: bool = False,
+    wire_dtype=None,
+    **pallas_kwargs,
+):
+    """Multi-slice fused-Pallas ADER-DG: grid axes 0 AND 1 sharded over a
+    2-D mesh (axis 0 on ``axis_names[0]`` — the fast ICI ring; axis 1 on
+    ``axis_names[1]`` — the slow DCN axis), mirroring the FV path's
+    hierarchical schedule (:func:`make_sharded_pallas_step_2axis`).
+
+    The predictor kernel stays cell-local per shard with the fused interior
+    Riemann solve restricted to the remaining WHOLE axes
+    (``PallasADERDG(epilogue_axes=(0, 1))``); axes 0 and 1 run the
+    boundary-aware face stage with an explicit one-face ``ppermute`` edge
+    exchange on their respective mesh axes.  The DCN axis's face stage is
+    issued first so its (slower) edge bytes travel underneath the ICI
+    exchange and the axis-0 compute.  ``wire_dtype=jnp.bfloat16`` halves
+    both axes' cross-chip edge bytes.  Periodic boundaries only (wall
+    domains shard one axis via :func:`make_sharded_aderdg_step`).
+
+    Returns ``(step_fn, sharding)``; ``return_face_fluxes`` follows the
+    :func:`make_sharded_aderdg_step` contract.
+    """
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    if solver.boundary != "periodic":
+        raise SemanticError(
+            "2-axis sharded ADER-DG supports periodic boundaries "
+            "(wall domains shard axis 0 only)"
+        )
+    n0 = mesh.shape[axis_names[0]]
+    n1 = mesh.shape[axis_names[1]]
+    g0, g1 = solver.grid_shape[0], solver.grid_shape[1]
+    if g0 % n0 != 0 or g1 % n1 != 0:
+        raise SemanticError(
+            f"grid axes ({g0},{g1}) must divide the mesh ({n0},{n1})"
+        )
+    local_grid = (g0 // n0, g1 // n1) + tuple(solver.grid_shape[2:])
+    local_solver = dataclasses.replace(solver, grid_shape=local_grid)
+    fused = PallasADERDG(
+        local_solver, interpret=interpret, epilogue_axes=(0, 1),
+        **pallas_kwargs,
+    )
+    fused.build()
+    predictor_call = fused._predictor_call_fn
+    epilogue_axes = fused._epilogue_axes
+    fused_axes = tuple(d for d in range(solver.dim) if d not in epilogue_axes)
+    n_face_out = 4 * len(epilogue_axes)
+    n_mesh = {0: n0, 1: n1}
+
+    shard_axis0 = solver.grid_axis(0)
+    shard_axis1 = solver.grid_axis(1)
+    ndim = len(solver.state_shape)
+    spec_list = [None] * ndim
+    spec_list[shard_axis0] = axis_names[0]
+    spec_list[shard_axis1] = axis_names[1]
+    state_spec = PartitionSpec(*spec_list)
+    sharding = NamedSharding(mesh, state_spec)
+    # Face arrays drop one node axis: every grid axis sits one slot earlier.
+    face_spec = PartitionSpec(
+        *(spec_list[: shard_axis0 - 1] + spec_list[shard_axis0:])
+    )
+
+    def local_step(Q_local, dt):
+        outs = predictor_call(Q_local, dt, emit_fused_fhat=return_face_fluxes)
+        new = outs[0]
+        faces = outs[1 : 1 + n_face_out]
+        fused_fhats = list(outs[1 + n_face_out :])
+        dtv = jnp.asarray(dt, Q_local.dtype)
+        fhat_by_dir = {}
+        # DCN axis (1) first: its edge ppermutes are issued before axis 0's,
+        # letting the async collective scheduler overlap the slow bytes.
+        for d in sorted(epilogue_axes, reverse=True):
+            i = epilogue_axes.index(d)
+            q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
+            name, n_sh = axis_names[d], n_mesh[d]
+
+            def shift(x, sh, ax, _name=name, _n=n_sh):
+                return _edge_shift(x, sh, ax, _name, _n, wire_dtype)
+
+            new, fhat_d = local_solver.face_update(
+                new, q_lo, q_hi, f_lo, f_hi, d, dtv, shift=shift
+            )
+            fhat_by_dir[d] = fhat_d
+        if not return_face_fluxes:
+            return new
+        for j, d in enumerate(fused_axes):
+            fhat_by_dir[d] = fused_fhats[j]
+        return new, [fhat_by_dir[d] for d in range(solver.dim)]
+
+    out_specs = (
+        (state_spec, [face_spec] * solver.dim)
+        if return_face_fluxes
+        else state_spec
+    )
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, PartitionSpec()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return step, sharding
+
+
 class ShardedPallasADERDG:
     """Accelerator adapter: the multi-chip fused ADER-DG step with the
     ``PallasADERDG``-compatible interface (``.solver``, ``.step(u, dt,

@@ -654,3 +654,95 @@ def test_bf16_wire_two_axis_hierarchical():
     assert np.abs(got - ref).max() < 1e-2 * np.abs(ref).max()
     hlo = step_bf16.lower(Qs, 1e-3).compile().as_text()
     assert "collective-permute" in hlo and "bf16" in hlo
+
+
+def test_two_axis_sharded_aderdg_matches_single_device():
+    """VERDICT r2 item 4: the flagship ADER-DG over an ICI x DCN 2-axis
+    mesh (grid axes 0 AND 1 sharded, fused interior Riemann restricted to
+    the remaining whole axis) matches the unsharded fused step to 1e-12,
+    incl. the face-flux contract."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    Q0 = _aderdg_euler_state(solver)
+    ref_new, ref_fluxes = PallasADERDG(
+        solver, interpret=True, tile0=2, epilogue_axes=(0, 1)
+    ).step(Q0, 1e-3, return_face_fluxes=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+    step, sharding = make_sharded_aderdg_step_2axis(
+        solver, mesh, interpret=True, tile0=1, return_face_fluxes=True
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got_new, got_fluxes = jax.jit(step)(Qs, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_new), np.asarray(ref_new), rtol=0, atol=1e-12
+    )
+    for a, b in zip(got_fluxes, ref_fluxes):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-12
+        )
+    # Also vs the DEFAULT-fusion unsharded step (epilogue_axes override must
+    # not change the numbers, only where the work happens).
+    base = np.asarray(PallasADERDG(solver, interpret=True, tile0=2).step(Q0, 1e-3))
+    np.testing.assert_allclose(np.asarray(got_new), base, rtol=0, atol=1e-12)
+    hlo = jax.jit(step).lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo
+
+
+def test_two_axis_sharded_aderdg_bf16_wire():
+    from jax.sharding import Mesh
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 128), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    Q0 = _aderdg_euler_state(solver)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+    step_full, sharding = make_sharded_aderdg_step_2axis(
+        solver, mesh, interpret=True, tile0=1
+    )
+    step_bf16, _ = make_sharded_aderdg_step_2axis(
+        solver, mesh, interpret=True, tile0=1, wire_dtype=jnp.bfloat16
+    )
+    Qs = jax.device_put(Q0, sharding)
+    ref = np.asarray(jax.jit(step_full)(Qs, 1e-3))
+    got = np.asarray(jax.jit(step_bf16)(Qs, 1e-3))
+    assert np.abs(got - ref).max() < 1e-2 * np.abs(ref).max()
+    hlo = jax.jit(step_bf16).lower(Qs, 1e-3).compile().as_text()
+    assert "collective-permute" in hlo and "bf16" in hlo
+
+
+def test_two_axis_sharded_aderdg_rejects_walls():
+    from jax.sharding import Mesh
+
+    from exahype_tpu.models.aderdg import (
+        ADERDGSolver,
+        euler_physics,
+        euler_reflect,
+        euler_reflect_flux,
+    )
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
+    from exahype_tpu.utils.errors import SemanticError
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="reflective",
+        reflect_fn=euler_reflect(3), reflect_flux_fn=euler_reflect_flux(3),
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+    with pytest.raises(SemanticError, match="periodic"):
+        make_sharded_aderdg_step_2axis(solver, mesh, interpret=True, tile0=1)
