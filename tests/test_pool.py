@@ -447,3 +447,71 @@ def test_pallas_fine_backend_matches_jax():
     np.testing.assert_allclose(
         np.asarray(outs[1][1]), np.asarray(outs[0][1]), rtol=0, atol=1e-13
     )
+
+
+def test_pool_fine_state_sharded_matches_single_device():
+    """VERDICT r2 item 2: the POOL itself shards — the fine slot axis is
+    partitioned over the mesh (each device steps only its own slots), not
+    None-replicated — and the coupled step still matches single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel.mesh import make_mesh, state_sharding
+
+    solver = make_solver(gx=8, gy=8)
+    pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+    assert pool.pool_size == 16  # divisible by the 8-device mesh
+    mask = np.zeros((8, 8), bool)
+    mask[1, 1] = mask[2, 3] = mask[0, 0] = mask[7, 0] = True
+    tables = pool.build_tables(mask)
+    coarse_Q = gaussian_state(solver)
+    fine_Q = pool.init_pool(coarse_Q, tables)
+    ref_c, ref_f = jax.jit(pool.step)(coarse_Q, fine_Q, tables, 1e-3)
+
+    mesh = make_mesh(8)
+    sh = state_sharding(mesh, solver.grid)
+    fine_sh = pool.pool_sharding(mesh)
+    assert fine_sh.spec[0] is not None  # genuinely partitioned
+    stepped = jax.jit(
+        pool.step, in_shardings=(sh, fine_sh, None, None),
+        out_shardings=(sh, fine_sh),
+    )
+    c, f = stepped(
+        jax.device_put(coarse_Q, sh), jax.device_put(fine_Q, fine_sh), tables,
+        1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref_f), rtol=0, atol=1e-12)
+    # The fine output really lives sharded over the mesh.
+    assert len(set(d for s in f.addressable_shards for d in [s.device])) == 8
+
+    # Re-grid under the SAME sharding: carry + prolong, then one more step.
+    mask2 = np.zeros((8, 8), bool)
+    mask2[1, 1] = mask2[1, 2] = True
+    tables2 = pool.build_tables(mask2)
+    # regrid is host-side (coordinate matching) by design: run it eagerly
+    # on the sharded arrays, then re-place on the slot sharding.
+    f2 = jax.device_put(
+        pool.regrid(jax.device_put(c, sh), f, tables, tables2), fine_sh
+    )
+    ref_f2 = pool.regrid(np.asarray(c), np.asarray(f), tables, tables2)
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(ref_f2), rtol=0, atol=1e-12
+    )
+    c3, f3 = stepped(
+        jax.device_put(c, sh), jax.device_put(f2, fine_sh), tables2, 1e-3
+    )
+    ref_c3, ref_f3 = jax.jit(pool.step)(
+        np.asarray(c), np.asarray(ref_f2), tables2, 1e-3
+    )
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(ref_c3), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(ref_f3), rtol=0, atol=1e-12)
+
+
+def test_pool_sharding_requires_divisibility():
+    from exahype_tpu.parallel.mesh import make_mesh
+    from exahype_tpu.utils.errors import SemanticError
+
+    solver = make_solver(gx=4, gy=4)
+    pool = PatchPoolRefinement(solver, capacity=3, factor=2)  # 12 slots
+    with pytest.raises(SemanticError, match="divide the mesh"):
+        pool.pool_sharding(make_mesh(8))
