@@ -692,3 +692,29 @@ def test_pallas_boundary_faces_only_guards():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=1e-11
         )
+
+
+@pytest.mark.parametrize(
+    "order,cells_pair,steps_per_cell,min_rate",
+    [(5, (2, 4), 6, 5.4), (7, (2, 4), 8, 7.2)],
+)
+def test_high_order_convergence_rate(order, cells_pair, steps_per_cell, min_rate):
+    """VERDICT r2 item 6: order scaling beyond p3 — the operators are
+    order-generic, so p5/p7 must converge at order+1 on smooth advection
+    (p7's n_nodes=8 is exactly the basis size PERFORMANCE.md names as
+    MXU-viable; the perf probe lives in scripts/mxu_probe.py)."""
+    velocity = (1.0, 0.5)
+    t_end = 0.05
+    errors = []
+    for cells in cells_pair:
+        solver = make_advection_solver(cells, order=order, velocity=velocity)
+        u0 = advection_init(solver, velocity)
+        n_steps = steps_per_cell * cells
+        dt = t_end / n_steps
+        u = solver.run(u0, n_steps, dt)
+        exact = advection_init(solver, velocity, t=t_end)
+        errors.append(l2_error(solver, u, exact))
+    rate = np.log2(errors[0] / errors[1])
+    assert rate > min_rate, (
+        f"order-{order} convergence rate {rate:.2f}, errors {errors}"
+    )
