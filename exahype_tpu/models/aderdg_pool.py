@@ -283,19 +283,84 @@ class ADERDGPoolRefinement:
 
     # -------------------------------------------------------- ghost fill
 
-    def ghost_fill(self, fs, up_stacked, tables: CellPoolTables):
-        """Re-impose every block's ghost ring: the prolonged coarse field,
-        overwritten by the neighbour block's interior face row where the
-        face neighbour is refined.  Axis-by-axis, so ghost corners between
-        refined neighbours propagate (as in the FV pool's halo fill).
+    def ghost_index_map(self, tables: CellPoolTables):
+        """The axis-by-axis ghost fill COMPOSED into one source map.
 
-        Operates entirely in the STACKED layout: the (M, B) structure of
-        the trailing axis is addressed with free reshapes and strided
-        slices, so this per-substep path does no transposes (the canonical
-        unstack/stack pair measured 3.5 ms/call on a v5e chip — ~6× the
-        fine solver's own substep — purely from full-pool layout churn).
-        ``up_stacked`` is the stacked prolongation (one transpose per
-        COARSE step, in :meth:`step`)."""
+        Round-2 profiling showed the 12 per-chunk ghost fills cost 35 ms of
+        a 41.8 ms chunk — 4 strided-lane gathers + 4 strided scatters per
+        fill.  Every fill step is a pure copy ("ghost position g takes the
+        CURRENT value at source s, or the prolongation at g"), so the whole
+        sequential fill composes into a single gather: run the same
+        axis-by-axis recurrence on an int32 index grid (cheap: F =
+        B^(dim-1)·M·B elements, once per coarse step), yielding per flat
+        position the ORIGINAL-array source index and an is-prolongation
+        flag.  :meth:`ghost_fill` then applies it as ONE flat gather —
+        bitwise-identical to the sequential fill (differential-tested),
+        including corner-ghost propagation.
+        """
+        c = self.coarse
+        dim, B, r = c.dim, self.block, self.factor
+        grid = self.fine.grid_shape
+        F = int(np.prod(grid))
+        pos = jnp.arange(F, dtype=jnp.int32).reshape(grid)
+        idx = pos
+        use_up = jnp.zeros(grid, bool)
+        nd = dim
+        for d in range(dim):
+            stacked = d == dim - 1
+            for side, (gpos, src) in enumerate(((0, r), (B - 1, 1))):
+                nb = tables.neighbor[:, d, side]
+                ok = nb >= 0
+                sl_g, sl_s = self._stacked_slices(nd, 0, d, gpos, src)
+                if stacked:
+                    src_idx = jnp.take(idx[sl_s], nb, axis=-1)
+                    src_up = jnp.take(use_up[sl_s], nb, axis=-1)
+                    okb = ok
+                else:
+                    src_idx = self._m_take(idx[sl_s], nb)
+                    src_up = self._m_take(use_up[sl_s], nb)
+                    okb = jnp.repeat(ok, B)
+                idx = idx.at[sl_g].set(jnp.where(okb, src_idx, pos[sl_g]))
+                use_up = use_up.at[sl_g].set(jnp.where(okb, src_up, True))
+        return idx.reshape(-1), use_up.reshape(-1)
+
+    def ghost_fill(self, fs, up_stacked, tables: CellPoolTables, maps=None):
+        """Re-impose every block's ghost ring via the composed index map
+        (:meth:`ghost_index_map`): one flat gather over [pool ‖
+        prolongation] replaces the 4-gather/4-scatter sequential fill.
+        Pass ``maps`` (computed once per coarse step) to amortise the map
+        build across the ``factor`` sub-steps.  The wall-mirror pass (a
+        value TRANSFORM — node-axis flip + ``reflect_fn`` — not a copy)
+        stays explicit, applied after, exactly as in the sequential
+        order."""
+        if maps is None:
+            maps = self.ghost_index_map(tables)
+        idx, use_up = maps
+        c = self.coarse
+        lead = fs.shape[: c.dim + 1]
+        F = idx.shape[0]
+        src = jnp.concatenate(
+            [fs.reshape(lead + (F,)), up_stacked.reshape(lead + (F,))],
+            axis=-1,
+        )
+        flat_idx = idx + use_up.astype(jnp.int32) * F
+        x = jnp.take(src, flat_idx, axis=-1).reshape(fs.shape)
+        if c.boundary == "reflective":
+            x = self._wall_mirror_pass(x, tables)
+        return x
+
+    def ghost_fill_sequential(self, fs, up_stacked, tables: CellPoolTables):
+        """Reference implementation of the ghost fill (the composed-map
+        path in :meth:`ghost_fill` is differential-tested against this).
+
+        Axis-by-axis, so ghost corners between refined neighbours
+        propagate (as in the FV pool's halo fill).  Operates entirely in
+        the STACKED layout: the (M, B) structure of the trailing axis is
+        addressed with free reshapes and strided slices, so no transposes
+        (the canonical unstack/stack pair measured 3.5 ms/call on a v5e
+        chip — ~6× the fine solver's own substep — purely from full-pool
+        layout churn).  ``up_stacked`` is the stacked prolongation (one
+        transpose per COARSE step, in :meth:`step`)."""
         c = self.coarse
         r, B = self.factor, self.block
         dim = c.dim
@@ -317,23 +382,30 @@ class ADERDGPoolRefinement:
                         jnp.repeat(ok, B), from_fine, up_stacked[sl_g]
                     )
                 x = x.at[sl_g].set(vals)
-        # Wall mirror pass AFTER the fine/coarse fills, ascending axes (the
-        # mirror source spans the full transverse extent, so corner ghosts
-        # compose like the FV pool's wall pass).  Own interior edge cell,
-        # flipped along the face-normal NODE axis, reflect_fn-transformed.
         if c.boundary == "reflective":
-            for d in range(dim):
-                stacked = d == dim - 1
-                node_ax = c.node_axis(d)
-                for side, (gpos, src) in enumerate(((0, 1), (B - 1, r))):
-                    w = tables.wall[:, d, side]
-                    sl_g, sl_s = self._stacked_slices(
-                        nd, dim + 1, d, gpos, src
-                    )
-                    mirror = jnp.flip(x[sl_s], axis=node_ax)
-                    mirror = c.reflect_fn(mirror, d, c.var_axis)
-                    wmask = w if stacked else jnp.repeat(w, B)
-                    x = x.at[sl_g].set(jnp.where(wmask, mirror, x[sl_g]))
+            x = self._wall_mirror_pass(x, tables)
+        return x
+
+    def _wall_mirror_pass(self, x, tables: CellPoolTables):
+        """Wall mirror pass AFTER the fine/coarse fills, ascending axes (the
+        mirror source spans the full transverse extent, so corner ghosts
+        compose like the FV pool's wall pass).  Own interior edge cell,
+        flipped along the face-normal NODE axis, reflect_fn-transformed."""
+        c = self.coarse
+        dim, B, r = c.dim, self.block, self.factor
+        nd = x.ndim
+        for d in range(dim):
+            stacked = d == dim - 1
+            node_ax = c.node_axis(d)
+            for side, (gpos, src) in enumerate(((0, 1), (B - 1, r))):
+                w = tables.wall[:, d, side]
+                sl_g, sl_s = self._stacked_slices(
+                    nd, dim + 1, d, gpos, src
+                )
+                mirror = jnp.flip(x[sl_s], axis=node_ax)
+                mirror = c.reflect_fn(mirror, d, c.var_axis)
+                wmask = w if stacked else jnp.repeat(w, B)
+                x = x.at[sl_g].set(jnp.where(wmask, mirror, x[sl_g]))
         return x
 
     def _sync_troubled(self, troubled, tables: CellPoolTables):
@@ -527,10 +599,11 @@ class ADERDGPoolRefinement:
             new_c = self.coarse_stepper.step(uc, dt)
         up = self.stack(self.prolong_blocks(uc, tables.coords))
         dt_f = dt / r
+        ghost_maps = self.ghost_index_map(tables)
 
         def substep(carry, _):
             f, acc = carry
-            f = self.ghost_fill(f, up, tables)
+            f = self.ghost_fill(f, up, tables, maps=ghost_maps)
             kw = {}
             if hasattr(self.fine_stepper, "troubled_mask"):
                 # Limited fine level: ghost-row troubled flags must mirror

@@ -104,6 +104,19 @@ class LimitedADERDG:
     #: is deterministic — lowest flat cell index first).  Requires the
     #: ``"subcell"`` fallback at ``fallback_order=1``.
     troubled_capacity: Optional[int] = None
+    #: Gathering granularity of the capacity path: ``"cell"`` gathers
+    #: individual troubled cells (fine-grained, but TPU gathers pay ~1 µs
+    #: PER INDEX regardless of row size — measured 100+ ms at K=16k on a
+    #: 256k grid), ``"row"`` gathers whole LAST-grid-axis rows containing
+    #: any troubled cell (each index moves a contiguous
+    #: ``[nodes, V, row_len]`` lane tile — the fast TPU gather shape; the
+    #: last grid axis must then be whole, i.e. unsharded).  With ``"row"``,
+    #: ``troubled_capacity`` counts ROWS.  Numerics: identical contract —
+    #: the per-cell troubled mask still decides which cells take the
+    #: fallback; untroubled cells of a gathered row keep their DG
+    #: candidate, and in-row neighbours exchange REAL FV states (closer to
+    #: the whole-grid fallback than the cell path, which freezes them).
+    troubled_granularity: str = "cell"
 
     def __post_init__(self):
         from exahype_tpu.models.dg import (
@@ -124,6 +137,10 @@ class LimitedADERDG:
             raise ValueError(
                 "accelerator must wrap the limiter's own base solver"
             )
+        if self.troubled_granularity not in ("cell", "row"):
+            raise ValueError(
+                f"unknown troubled_granularity {self.troubled_granularity!r}"
+            )
         if self.troubled_capacity is not None:
             if self.fallback != "subcell" or self.fallback_order != 1:
                 raise ValueError(
@@ -131,8 +148,10 @@ class LimitedADERDG:
                     "fallback_order=1 (the gathered ghost exchange carries "
                     "one subcell layer)"
                 )
-            n_cells = int(np.prod(self.solver.grid_shape))
-            self.troubled_capacity = min(int(self.troubled_capacity), n_cells)
+            n_units = int(np.prod(self.solver.grid_shape))
+            if self.troubled_granularity == "row":
+                n_units = int(np.prod(self.solver.grid_shape[:-1]))
+            self.troubled_capacity = min(int(self.troubled_capacity), n_units)
 
     # ------------------------------------------------------- boundary helpers
 
@@ -662,6 +681,276 @@ class LimitedADERDG:
             out.append(G.reshape((sol.n_vars,) + grid))
         return out
 
+    # --------------------------------------------- row-granular gathered path
+
+    def _gather_tables_row(self, troubled):
+        """Row tables: one slot per LAST-axis row containing any troubled
+        cell.  Indices live over the flattened leading grid axes (R_n =
+        prod(grid[:-1]) entries — e.g. 2048 on the 256k bench grid), so
+        every table op is tiny; each data gather moves a contiguous
+        ``[.., row_len]`` lane tile."""
+        sol = self.solver
+        K = self.troubled_capacity
+        grid = sol.grid_shape
+        L = grid[-1]
+        lead_grid = grid[:-1]
+        R_n = int(np.prod(lead_grid))
+        cell_rows = troubled.reshape(R_n, L)
+        flat = cell_rows.any(axis=-1)
+        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        slot_target = jnp.where(flat & (pos < K), pos, K)
+        row = jnp.full((K,), R_n, jnp.int32).at[slot_target].set(
+            jnp.arange(R_n, dtype=jnp.int32), mode="drop"
+        )
+        active = row < R_n
+        row_safe = jnp.minimum(row, R_n - 1)
+        slot_of = jnp.full((R_n,), -1, jnp.int32).at[row].set(
+            jnp.arange(K, dtype=jnp.int32), mode="drop"
+        )
+        coords = jnp.unravel_index(row_safe, lead_grid)
+        strides = np.array(
+            [int(np.prod(lead_grid[d + 1 :])) for d in range(sol.dim - 1)],
+            np.int32,
+        )
+        nb_slot, nb_row, wall = [], [], []
+        reflective = self._wall
+        for d in range(sol.dim - 1):
+            per_nb, per_row, per_wall = [], [], []
+            for sh in (-1, 1):
+                moved = coords[d] + sh
+                on_wall = (
+                    ((moved < 0) | (moved >= lead_grid[d]))
+                    if reflective
+                    else jnp.zeros_like(active)
+                )
+                flat_nb = row_safe + sh * strides[d]
+                span = lead_grid[d] * strides[d]
+                flat_nb = jnp.where(moved < 0, flat_nb + span, flat_nb)
+                flat_nb = jnp.where(moved >= lead_grid[d], flat_nb - span, flat_nb)
+                per_nb.append(jnp.where(on_wall, -1, slot_of[flat_nb]))
+                per_row.append(flat_nb)
+                per_wall.append(on_wall)
+            nb_slot.append(jnp.stack(per_nb, axis=-1))
+            nb_row.append(jnp.stack(per_row, axis=-1))
+            wall.append(jnp.stack(per_wall, axis=-1))
+        row_gathered = (
+            jnp.zeros((R_n,), bool).at[row].set(True, mode="drop")
+        )
+        # Effective per-cell mask: troubled AND its row was gathered.
+        mask = (cell_rows & row_gathered[:, None]).reshape(grid)
+        return {
+            "row": row,  # sentinel R_n when inactive
+            "row_safe": row_safe,
+            "active": active,
+            "nb_slot": jnp.stack(nb_slot, axis=1) if nb_slot else None,
+            "nb_row": jnp.stack(nb_row, axis=1) if nb_row else None,
+            "wall": jnp.stack(wall, axis=1) if wall else None,
+            "mask": mask,
+        }
+
+    def _gather_rows(self, u, row_idx):
+        """[node.., V, *grid] -> [node.., V, K, L]: one gather along the
+        flattened leading grid axes; every index moves a contiguous
+        ``[nodes·V·L]`` tile."""
+        sol = self.solver
+        lead = u.shape[: sol.dim + 1]
+        L = u.shape[-1]
+        return jnp.take(u.reshape(lead + (-1, L)), row_idx, axis=-2)
+
+    def _gathered_subcell_step_row(self, u, dt, tables):
+        """The (2N+1)^d Rusanov FV step on the gathered ROW batch
+        ``[.., K, L]``.  The last grid direction's ghost exchange is an
+        in-row roll (rows span the whole axis, so it is exact — gathered
+        cells exchange REAL FV states along the row); the other directions
+        use the row slot tables (gathered neighbour rows exchange subcell
+        edge layers, ungathered ones contribute their projected DG state,
+        walls mirror).  Flux/eigenvalue evaluations are computed once per
+        subcell and SHIFTED to the neighbour positions (elementwise
+        physics commutes with permutations — bitwise identical, ~3x fewer
+        physics sweeps).  Returns the reconstructed nodal rows and the
+        per-direction (lo, hi) transverse-mean cell-boundary fluxes
+        ``[V, K, L]``."""
+        sol = self.solver
+        n_sub = self.n_sub
+        va = sol.var_axis
+        D = sol.dim
+        K_ax = D + 1  # slot axis of gathered arrays
+        L_ax = D + 2
+        s = self._gather_rows(u, tables["row_safe"])
+        for d in range(D):
+            s = _apply(self._P, s, d)
+
+        # DG ghost layers for the table directions (d < D-1): the
+        # ungathered neighbour row's subcell edge layer.
+        dg_ghost = []
+        P_np = np.asarray(self._P)
+        for d in range(D - 1):
+            per_side = []
+            for side in (0, 1):
+                Un = self._gather_rows(u, tables["nb_row"][:, d, side])
+                edge = n_sub - 1 if side == 0 else 0
+                edge_row = [float(v) for v in P_np[edge]]
+                Sn = sum(
+                    edge_row[j]
+                    * jax.lax.index_in_dim(Un, j, d, keepdims=True)
+                    for j in range(sol.n_nodes)
+                )
+                for e in range(D):
+                    if e != d:
+                        Sn = _apply(self._P, Sn, e)
+                per_side.append(Sn)
+            dg_ghost.append(per_side)
+
+        def kmask(m, ndim):
+            return m.reshape((1,) * (ndim - 2) + (-1, 1))
+
+        g_fluxes = []
+        for d in range(D):
+            lam = dt / (sol._dxs[d] / n_sub)
+            sub_ax = d
+
+            def take(x, rng, _ax=sub_ax):
+                sl = [slice(None)] * x.ndim
+                sl[_ax] = rng
+                return x[tuple(sl)]
+
+            first = take(s, slice(0, 1))
+            last = take(s, slice(n_sub - 1, n_sub))
+            if d < D - 1:
+                nb_hi = tables["nb_slot"][:, d, 1]
+                nb_lo = tables["nb_slot"][:, d, 0]
+                ghost_hi = jnp.where(
+                    kmask(nb_hi >= 0, s.ndim),
+                    jnp.take(first, nb_hi, axis=K_ax),
+                    dg_ghost[d][1],
+                )
+                ghost_lo = jnp.where(
+                    kmask(nb_lo >= 0, s.ndim),
+                    jnp.take(last, nb_lo, axis=K_ax),
+                    dg_ghost[d][0],
+                )
+                if self._wall:
+                    ghost_hi = jnp.where(
+                        kmask(tables["wall"][:, d, 1], s.ndim),
+                        sol.reflect_fn(last, d, va),
+                        ghost_hi,
+                    )
+                    ghost_lo = jnp.where(
+                        kmask(tables["wall"][:, d, 0], s.ndim),
+                        sol.reflect_fn(first, d, va),
+                        ghost_lo,
+                    )
+            else:
+                # In-row exchange along the last grid direction.
+                ghost_hi = jnp.roll(first, -1, axis=L_ax)
+                ghost_lo = jnp.roll(last, 1, axis=L_ax)
+                if self._wall:
+                    mirror_hi = sol.reflect_fn(
+                        self._row(last, -1, L_ax), d, va
+                    )
+                    mirror_lo = sol.reflect_fn(
+                        self._row(first, 0, L_ax), d, va
+                    )
+                    ghost_hi = self._set_row(ghost_hi, mirror_hi, -1, L_ax)
+                    ghost_lo = self._set_row(ghost_lo, mirror_lo, 0, L_ax)
+            u_plus = jnp.concatenate(
+                [take(s, slice(1, None)), ghost_hi], axis=sub_ax
+            )
+            u_minus = jnp.concatenate(
+                [ghost_lo, take(s, slice(0, n_sub - 1))], axis=sub_ax
+            )
+            # One flux/eig sweep + shifted reuse (bitwise == evaluating on
+            # the shifted states: the physics is elementwise).
+            F = sol.flux_fn(s, d, va)
+            F_plus = jnp.concatenate(
+                [take(F, slice(1, None)), sol.flux_fn(ghost_hi, d, va)],
+                axis=sub_ax,
+            )
+            F_minus = jnp.concatenate(
+                [sol.flux_fn(ghost_lo, d, va), take(F, slice(0, n_sub - 1))],
+                axis=sub_ax,
+            )
+            E = sol.max_eigenvalue_fn(s, d, va)
+            E_plus = jnp.concatenate(
+                [take(E, slice(1, None)), sol.max_eigenvalue_fn(ghost_hi, d, va)],
+                axis=sub_ax,
+            )
+            E_minus = jnp.concatenate(
+                [
+                    sol.max_eigenvalue_fn(ghost_lo, d, va),
+                    take(E, slice(0, n_sub - 1)),
+                ],
+                axis=sub_ax,
+            )
+            s_hi = jnp.expand_dims(jnp.maximum(E, E_plus), va)
+            s_lo = jnp.expand_dims(jnp.maximum(E_minus, E), va)
+            fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * self._masked_jump(
+                u_plus - s, va
+            )
+            fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * self._masked_jump(
+                s - u_minus, va
+            )
+            if sol.ncp_fn is not None:
+                half_hi = 0.5 * sol.ncp_fn(0.5 * (s + u_plus), u_plus - s, d, va)
+                half_lo = 0.5 * sol.ncp_fn(0.5 * (u_minus + s), s - u_minus, d, va)
+                ncp_fluct = half_hi + half_lo
+            else:
+                ncp_fluct = None
+            other_sub = tuple(a for a in range(D) if a != d)
+            g_hi = jnp.mean(
+                jax.lax.index_in_dim(fhat_hi, n_sub - 1, sub_ax, keepdims=False),
+                axis=tuple(a if a < d else a - 1 for a in other_sub),
+            )
+            g_lo = jnp.mean(
+                jax.lax.index_in_dim(fhat_lo, 0, sub_ax, keepdims=False),
+                axis=tuple(a if a < d else a - 1 for a in other_sub),
+            )
+            g_fluxes.append((g_lo, g_hi))
+            s = s - lam * (fhat_hi - fhat_lo)
+            if ncp_fluct is not None:
+                s = s - lam * ncp_fluct
+        if sol.source_fn is not None:
+            s = s + dt * sol.source_fn(s, va)
+        return self._reconstruct_gathered(s), g_fluxes
+
+    def _scatter_fallback_row(self, candidate, R, tables, troubled):
+        """Merge the gathered rows back: gather the candidate's rows,
+        select FV values on the troubled CELLS only, scatter the merged
+        rows (contiguous lane tiles both ways)."""
+        sol = self.solver
+        lead = candidate.shape[: sol.dim + 1]
+        L = candidate.shape[-1]
+        flat = candidate.reshape(lead + (-1, L))
+        cand_rows = jnp.take(flat, tables["row_safe"], axis=-2)
+        t_rows = jnp.take(
+            troubled.reshape(-1, L), tables["row_safe"], axis=0
+        ).reshape((1,) * (sol.dim + 1) + (-1, L))
+        merged = jnp.where(t_rows, R, cand_rows)
+        out = flat.at[..., tables["row"], :].set(merged, mode="drop")
+        return out.reshape(candidate.shape)
+
+    def _scatter_face_fluxes_row(self, g_fluxes, tables, dtype):
+        """Global high-face flux arrays ``[V, *grid]`` from the gathered
+        row fluxes.  The last direction's faces are complete within each
+        row; table directions also write the LO-face flux to the -d
+        neighbour row's slot (identical values where both rows are
+        gathered), skipping walls."""
+        sol = self.solver
+        grid = sol.grid_shape
+        L = grid[-1]
+        R_n = int(np.prod(grid[:-1]))
+        out = []
+        for d in range(sol.dim):
+            g_lo, g_hi = g_fluxes[d]
+            G = jnp.zeros((sol.n_vars, R_n, L), dtype)
+            G = G.at[:, tables["row"], :].set(g_hi, mode="drop")
+            if d < sol.dim - 1:
+                drop = ~tables["active"] | tables["wall"][:, d, 0]
+                tgt = jnp.where(drop, R_n, tables["nb_row"][:, d, 0])
+                G = G.at[:, tgt, :].set(g_lo, mode="drop")
+            out.append(G.reshape((sol.n_vars,) + grid))
+        return out
+
     # -------------------------------------------------- second-order subcell
 
     def _sub_shift(self, x, sh, d, va, negate_ghost=False):
@@ -877,14 +1166,28 @@ class LimitedADERDG:
             troubled = troubled_transform(troubled)
         if self.troubled_capacity is not None:
             # Gathered production path: FV only on the troubled slots.
-            tables = self._gather_tables(troubled)
-            troubled = tables["mask"]
-            R, g_fluxes = self._gathered_subcell_step(u, dt, tables)
-            fv_fluxes = self._scatter_face_fluxes(g_fluxes, tables, u.dtype)
-            candidate = self._match_interface_fluxes(
-                candidate, dg_fluxes, fv_fluxes, troubled, dt
-            )
-            out = self._scatter_fallback(candidate, R, tables)
+            if self.troubled_granularity == "row":
+                tables = self._gather_tables_row(troubled)
+                troubled = tables["mask"]
+                R, g_fluxes = self._gathered_subcell_step_row(u, dt, tables)
+                fv_fluxes = self._scatter_face_fluxes_row(
+                    g_fluxes, tables, u.dtype
+                )
+                candidate = self._match_interface_fluxes(
+                    candidate, dg_fluxes, fv_fluxes, troubled, dt
+                )
+                out = self._scatter_fallback_row(
+                    candidate, R, tables, troubled
+                )
+            else:
+                tables = self._gather_tables(troubled)
+                troubled = tables["mask"]
+                R, g_fluxes = self._gathered_subcell_step(u, dt, tables)
+                fv_fluxes = self._scatter_face_fluxes(g_fluxes, tables, u.dtype)
+                candidate = self._match_interface_fluxes(
+                    candidate, dg_fluxes, fv_fluxes, troubled, dt
+                )
+                out = self._scatter_fallback(candidate, R, tables)
             if not return_face_fluxes:
                 return out
             sol = self.solver

@@ -637,3 +637,43 @@ def test_limiter_wall_face_fluxes_contract():
         # Face arrays: [n_nodes, V, g0, g1] in 2-D; grid axis d at 2 + d.
         wall = np.take(f, -1, axis=2 + d)
         np.testing.assert_allclose(wall[:, 0, :], 0.0, atol=1e-12)
+
+
+def test_ghost_fill_composed_map_matches_sequential():
+    """The composed-index-map ghost fill must be BITWISE identical to the
+    sequential axis-by-axis fill (pure copies compose exactly), including
+    corner ghosts between diagonally refined neighbours and wall mirrors."""
+    from exahype_tpu.models import euler
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+
+    def flux2(Q, axis, var_axis):
+        return euler.flux_tpu(Q, axis, dim=2, n_real=4, var_axis=var_axis)
+
+    def eig2(Q, axis, var_axis):
+        return euler.max_eigenvalue_tpu(Q, axis, dim=2, var_axis=var_axis)
+
+    for boundary in ("periodic", "reflective"):
+        kw = {}
+        if boundary == "reflective":
+            kw = dict(
+                boundary="reflective",
+                reflect_fn=euler_reflect(2),
+                reflect_flux_fn=euler_reflect_flux(2),
+            )
+        solver = ADERDGSolver(
+            dim=2, order=2, n_vars=4, grid_shape=(6, 6),
+            flux_fn=flux2, max_eigenvalue_fn=eig2, dx=1.0 / 6, **kw,
+        )
+        pool = ADERDGPoolRefinement(solver, capacity=6, factor=3)
+        mask = np.zeros((6, 6), bool)
+        # Adjacent pair (fine-fine faces), a diagonal pair (corner ghosts),
+        # and wall-touching cells.
+        mask[2, 2] = mask[2, 3] = mask[3, 4] = True
+        mask[0, 0] = mask[5, 5] = True
+        tables = pool.build_tables(mask)
+        rng = np.random.default_rng(7)
+        fs = jnp.asarray(rng.normal(size=pool.fine.state_shape))
+        up = jnp.asarray(rng.normal(size=pool.fine.state_shape))
+        want = np.asarray(pool.ghost_fill_sequential(fs, up, tables))
+        got = np.asarray(pool.ghost_fill(fs, up, tables))
+        np.testing.assert_array_equal(got, want, err_msg=boundary)
