@@ -159,7 +159,9 @@ def bench_limited(solver, dtype):
 
     grid_shape = solver.grid_shape
     n_cells = int(np.prod(grid_shape))
-    capacity = 16384  # 6.25% of the 262144 cells — headroom over the front
+    # Row-granular gathering: capacity counts LAST-AXIS ROWS (128 cells
+    # each); 256 rows = 32768 cells = 12.5% headroom over the ~4% front.
+    capacity = 256
     accel = PallasADERDG(
         solver, tile0=4, boundary_faces_only=True,
         vmem_limit_bytes=126 * 1024 * 1024,
@@ -168,6 +170,7 @@ def bench_limited(solver, dtype):
         solver,
         admissible=euler_admissible(dim=solver.dim, gamma=1.4),
         troubled_capacity=capacity,
+        troubled_granularity="row",
         accelerator=accel,
     )
 
@@ -223,7 +226,7 @@ def bench_limited(solver, dtype):
         "vs_baseline": dof_per_sec / BASELINE_DOF_PER_SEC,
         "step_seconds": elapsed / steps,
         "troubled_fraction": frac,
-        "troubled_capacity": capacity,
+        "troubled_capacity_rows": capacity,
     }
 
 
