@@ -557,14 +557,16 @@ class LimitedADERDG:
             last = take(slice(n_sub - 1, n_sub))
             nb_hi = tables["nb_slot"][:, d, 1]
             nb_lo = tables["nb_slot"][:, d, 0]
+            # Clipped indices: keep -1 slots out of the gather's
+            # out-of-bounds fill path (see the row path's note).
             ghost_hi = jnp.where(
                 bmask(nb_hi >= 0, s.ndim),
-                jnp.take(first, nb_hi, axis=-1),
+                jnp.take(first, jnp.maximum(nb_hi, 0), axis=-1),
                 dg_ghost[d][1],
             )
             ghost_lo = jnp.where(
                 bmask(nb_lo >= 0, s.ndim),
-                jnp.take(last, nb_lo, axis=-1),
+                jnp.take(last, jnp.maximum(nb_lo, 0), axis=-1),
                 dg_ghost[d][0],
             )
             if self._wall:
@@ -578,6 +580,10 @@ class LimitedADERDG:
                     sol.reflect_fn(first, d, va),
                     ghost_lo,
                 )
+            # Materialized ghosts: see the row path's TPU-miscompile note.
+            ghost_hi, ghost_lo = jax.lax.optimization_barrier(
+                (ghost_hi, ghost_lo)
+            )
             u_plus = jnp.concatenate([take(slice(1, None)), ghost_hi], axis=sub_ax)
             u_minus = jnp.concatenate(
                 [ghost_lo, take(slice(0, n_sub - 1))], axis=sub_ax
@@ -819,14 +825,18 @@ class LimitedADERDG:
             if d < D - 1:
                 nb_hi = tables["nb_slot"][:, d, 1]
                 nb_lo = tables["nb_slot"][:, d, 0]
+                # Clipped indices: a -1 (ungathered) slot must not go
+                # through the gather's out-of-bounds FILL path (NaN fill
+                # lanes have miscompiled on TPU even under a masking
+                # where); the where still selects the DG ghost for them.
                 ghost_hi = jnp.where(
                     kmask(nb_hi >= 0, s.ndim),
-                    jnp.take(first, nb_hi, axis=K_ax),
+                    jnp.take(first, jnp.maximum(nb_hi, 0), axis=K_ax),
                     dg_ghost[d][1],
                 )
                 ghost_lo = jnp.where(
                     kmask(nb_lo >= 0, s.ndim),
-                    jnp.take(last, nb_lo, axis=K_ax),
+                    jnp.take(last, jnp.maximum(nb_lo, 0), axis=K_ax),
                     dg_ghost[d][0],
                 )
                 if self._wall:
@@ -853,6 +863,16 @@ class LimitedADERDG:
                     )
                     ghost_hi = self._set_row(ghost_hi, mirror_hi, -1, L_ax)
                     ghost_lo = self._set_row(ghost_lo, mirror_lo, 0, L_ax)
+            # Materialize the ghost layers: fusing the where/take/roll
+            # ghost construction into the downstream concat+flux graph
+            # MISCOMPILES on TPU (non-finite values at arbitrary slots;
+            # CPU is correct, and any materialization point fixes it —
+            # bisected with per-placement probes on a v5e chip).  The
+            # barrier is an identity, so gathered==whole-grid parity
+            # holds bitwise.
+            ghost_hi, ghost_lo = jax.lax.optimization_barrier(
+                (ghost_hi, ghost_lo)
+            )
             u_plus = jnp.concatenate(
                 [take(s, slice(1, None)), ghost_hi], axis=sub_ax
             )
