@@ -568,3 +568,43 @@ def test_export_step_roundtrip(tmp_path):
     from jax import export as jax_export
 
     assert jax_export.deserialize(blob_tpu).platforms == ("tpu",)
+
+
+def test_export_limited_production_step(tmp_path):
+    """The PRODUCTION configuration serves too: the row-gathered limited
+    step (detection + compaction + gathered FV + matching) exports to a
+    StableHLO artifact and the deserialized program matches the live jit."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+    from exahype_tpu.utils.serialize import export_step, load_step, save_step
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=8,
+        troubled_granularity="row",
+    )
+    path = tmp_path / "limited.shlo"
+    n = save_step(path, lim.step, solver.state_shape, dtype=jnp.float64)
+    assert n > 0
+    rng = np.random.default_rng(0)
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    Q = jnp.asarray(
+        np.stack(
+            [rho, 0.3 * rho, 0.1 * rho, 5.0 + 0.5 * rho],
+            axis=solver.var_axis,
+        )
+    )
+    restored = load_step(path)
+    got = np.asarray(restored(Q, jnp.float64(2e-3)))
+    want = np.asarray(jax.jit(lim.step)(Q, jnp.float64(2e-3)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
