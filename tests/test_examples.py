@@ -127,3 +127,10 @@ def test_limited_blast_walls(tmp_path, monkeypatch, capsys):
     run_example("limited_blast_walls.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "admissible + conservative" in out
+
+
+def test_limited_shock_production(tmp_path, monkeypatch):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["limited_shock_production.py", "--cpu"])
+    run_example("limited_shock_production.py", tmp_path, monkeypatch)
