@@ -364,3 +364,40 @@ def test_row_gathered_sharded_matches_single_device():
         )(Qs)
     )
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("granularity", ["cell", "row"])
+def test_gathered_source_ncp_mask_anisotropic_parity(granularity):
+    """The gathered fallback handles source terms, non-conservative
+    products, dissipation masks, and anisotropic dx exactly like the
+    whole-grid fallback (all-troubled bitwise parity, one solver carrying
+    all four features)."""
+    def flux(Q, axis, va):
+        return 0.5 * Q * Q  # Burgers-like, per component
+
+    def eig(Q, axis, va):
+        return jnp.max(jnp.abs(Q), axis=va)
+
+    def ncp(Q, dQ, axis, va):
+        return 0.1 * dQ
+
+    def src(Q, va):
+        return -0.2 * Q
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=2, grid_shape=(6, 8),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=(0.2, 0.15),
+        ncp_fn=ncp, source_fn=src, dissipation_mask=(1.0, 0.0),
+    )
+    whole = LimitedADERDG(solver)
+    gathered = LimitedADERDG(
+        solver, troubled_capacity=48 if granularity == "cell" else 6,
+        troubled_granularity=granularity,
+    )
+    rng = np.random.default_rng(11)
+    u0 = jnp.asarray(0.5 + rng.random(solver.state_shape))
+    force_all = lambda t: jnp.ones_like(t)
+    dt = 1e-3
+    a = np.asarray(whole.step(u0, dt, troubled_transform=force_all))
+    b = np.asarray(gathered.step(u0, dt, troubled_transform=force_all))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-14)
