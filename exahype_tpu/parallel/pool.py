@@ -271,11 +271,74 @@ class PatchPoolRefinement:
 
     # --------------------------------------------------------- halo fill
 
-    def halo_fill(self, fine_Q, up_blocks, tables: PoolTables):
-        """Axis-by-axis halo fill of every pool slot: fine-neighbour interior
-        edge slabs where a neighbour exists, coarse prolongation otherwise.
-        Later axes re-export earlier axes' halos, so corner ghosts propagate
-        exactly as in ``PatchGrid.halo_fill``."""
+    def halo_index_map(self, tables: PoolTables):
+        """The axis-by-axis halo fill composed into one source map (same
+        optimization as ``aderdg_pool.ghost_index_map``: every fill step is
+        a pure copy, so the sequential recurrence runs once per coarse step
+        on an int32 index grid and each substep's fill becomes a single
+        gather).  Returns ``(idx, use_up)`` flat over the ``[M, extent..]``
+        positions (variables follow their position)."""
+        cfg = self.coarse.grid.config
+        P, h = cfg.patch_size, cfg.halo_size
+        shape = (self.pool_size,) + (cfg.extent,) * cfg.dim
+        F = int(np.prod(shape))
+        pos = jnp.arange(F, dtype=jnp.int32).reshape(shape)
+        idx = pos
+        use_up = jnp.zeros(shape, bool)
+        nd = len(shape)
+        for d in range(cfg.dim):
+            ax = 1 + d
+
+            def sl(lo, hi, _ax=ax):
+                s = [slice(None)] * nd
+                s[_ax] = slice(lo, hi)
+                return tuple(s)
+
+            for side, (halo_rng, src_rng) in enumerate(
+                (((0, h), (P, P + h)), ((P + h, P + 2 * h), (h, 2 * h)))
+            ):
+                nb = tables.neighbor[:, d, side]
+                mask = (nb >= 0).reshape((-1,) + (1,) * (nd - 1))
+                nb_c = jnp.maximum(nb, 0)
+                idx_f = idx[sl(*src_rng)][nb_c]
+                up_f = use_up[sl(*src_rng)][nb_c]
+                idx = idx.at[sl(*halo_rng)].set(
+                    jnp.where(mask, idx_f, pos[sl(*halo_rng)])
+                )
+                use_up = use_up.at[sl(*halo_rng)].set(
+                    jnp.where(mask, up_f, True)
+                )
+        return idx.reshape(-1), use_up.reshape(-1)
+
+    def halo_fill(self, fine_Q, up_blocks, tables: PoolTables, maps=None):
+        """Halo fill via the composed index map: one gather over
+        [pool ‖ prolongation], bitwise-identical to the sequential
+        axis-by-axis fill (:meth:`halo_fill_sequential`, differential-
+        tested), corners included.  The wall-mirror pass (a value
+        transform) stays explicit."""
+        cfg = self.coarse.grid.config
+        if cfg.halo_size == 0:
+            return fine_Q
+        if maps is None:
+            maps = self.halo_index_map(tables)
+        idx, use_up = maps
+        F = idx.shape[0]
+        nv = fine_Q.shape[-1]
+        src = jnp.concatenate(
+            [fine_Q.reshape(F, nv), up_blocks.reshape(F, nv)], axis=0
+        )
+        flat_idx = idx + use_up.astype(jnp.int32) * F
+        cur = jnp.take(src, flat_idx, axis=0).reshape(fine_Q.shape)
+        if self.coarse.grid.boundary == "reflective":
+            cur = self._wall_mirror_pass(cur, tables)
+        return cur
+
+    def halo_fill_sequential(self, fine_Q, up_blocks, tables: PoolTables):
+        """Reference implementation: axis-by-axis halo fill of every pool
+        slot — fine-neighbour interior edge slabs where a neighbour exists,
+        coarse prolongation otherwise.  Later axes re-export earlier axes'
+        halos, so corner ghosts propagate exactly as in
+        ``PatchGrid.halo_fill``."""
         cfg = self.coarse.grid.config
         P, h = cfg.patch_size, cfg.halo_size
         if h == 0:
@@ -302,32 +365,39 @@ class PatchPoolRefinement:
                 cur = cur.at[sl(*halo_rng)].set(
                     jnp.where(mask, from_fine, from_coarse)
                 )
+        if self.coarse.grid.boundary == "reflective":
+            cur = self._wall_mirror_pass(cur, tables)
+        return cur
+
+    def _wall_mirror_pass(self, cur, tables: PoolTables):
         # Wall mirror pass AFTER all fine/coarse fills, ascending axes: each
         # mirror's source slab spans the full transverse extent, so corners
         # compose exactly as in PatchGrid.halo_fill (later axes re-export
         # earlier mirrors).
+        cfg = self.coarse.grid.config
+        P, h = cfg.patch_size, cfg.halo_size
+        nd = cur.ndim
         grid = self.coarse.grid
-        if grid.boundary == "reflective":
-            for d in range(cfg.dim):
-                ax = 1 + d
+        for d in range(cfg.dim):
+            ax = 1 + d
 
-                def msl(lo, hi, _ax=ax):
-                    s = [slice(None)] * nd
-                    s[_ax] = slice(lo, hi)
-                    return tuple(s)
+            def msl(lo, hi, _ax=ax):
+                s = [slice(None)] * nd
+                s[_ax] = slice(lo, hi)
+                return tuple(s)
 
-                for side, (halo_rng, src_rng) in enumerate(
-                    (((0, h), (h, 2 * h)), ((P + h, P + 2 * h), (P, P + h)))
-                ):
-                    mirror = jnp.flip(cur[msl(*src_rng)], axis=ax)
-                    if grid.reflect_fn is not None:
-                        mirror = grid.reflect_fn(mirror, d, nd - 1)
-                    w = tables.wall[:, d, side].reshape(
-                        (-1,) + (1,) * (nd - 1)
-                    )
-                    cur = cur.at[msl(*halo_rng)].set(
-                        jnp.where(w, mirror, cur[msl(*halo_rng)])
-                    )
+            for side, (halo_rng, src_rng) in enumerate(
+                (((0, h), (h, 2 * h)), ((P + h, P + 2 * h), (P, P + h)))
+            ):
+                mirror = jnp.flip(cur[msl(*src_rng)], axis=ax)
+                if grid.reflect_fn is not None:
+                    mirror = grid.reflect_fn(mirror, d, nd - 1)
+                w = tables.wall[:, d, side].reshape(
+                    (-1,) + (1,) * (nd - 1)
+                )
+                cur = cur.at[msl(*halo_rng)].set(
+                    jnp.where(w, mirror, cur[msl(*halo_rng)])
+                )
         return cur
 
     # -------------------------------------------------------- restriction
@@ -519,9 +589,11 @@ class PatchPoolRefinement:
             and self.coarse.kernel_dt == "lambda"
         )
 
+        halo_maps = self.halo_index_map(tables)
+
         def substep(carry, _):
             fq, acc = carry
-            filled = self.halo_fill(fq, up_blocks, tables)
+            filled = self.halo_fill(fq, up_blocks, tables, maps=halo_maps)
             if do_reflux:
                 acc = jax.tree.map(
                     lambda a, b: a + b, acc, self._face_flux_sample(filled)

@@ -515,3 +515,36 @@ def test_pool_sharding_requires_divisibility():
     pool = PatchPoolRefinement(solver, capacity=3, factor=2)  # 12 slots
     with pytest.raises(SemanticError, match="divide the mesh"):
         pool.pool_sharding(make_mesh(8))
+
+
+def test_halo_fill_composed_map_matches_sequential():
+    """The composed-index-map halo fill is BITWISE identical to the
+    sequential axis-by-axis fill (periodic and reflective, corners and
+    wall mirrors included)."""
+    from exahype_tpu.models.aderdg import euler_reflect
+
+    for boundary in ("periodic", "reflective"):
+        gx = gy = 4
+        cfg = KernelConfig(
+            dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0,
+            n_patches=gx * gy,
+        )
+        kb = build_fv_rusanov_kernel(
+            dim=2, patch_size=4, halo_size=1, n_real=5, n_aux=0,
+            n_patches=gx * gy,
+        )
+        kw = {}
+        if boundary == "reflective":
+            kw = dict(boundary="reflective", reflect_fn=euler_reflect(2))
+        grid = PatchGrid(config=cfg, grid_shape=(gx, gy), **kw)
+        solver = GridSolver(grid, kb, dx=1.0 / 16, kernel_dt="lambda")
+        pool = PatchPoolRefinement(solver, capacity=4, factor=2)
+        mask = np.zeros((gx, gy), bool)
+        mask[1, 1] = mask[1, 2] = mask[3, 0] = mask[0, 0] = True
+        tables = pool.build_tables(mask)
+        rng = np.random.default_rng(5)
+        fq = jnp.asarray(rng.normal(size=(pool.pool_size, 6, 6, 5)))
+        up = jnp.asarray(rng.normal(size=(pool.pool_size, 6, 6, 5)))
+        want = np.asarray(pool.halo_fill_sequential(fq, up, tables))
+        got = np.asarray(pool.halo_fill(fq, up, tables))
+        np.testing.assert_array_equal(got, want, err_msg=boundary)
