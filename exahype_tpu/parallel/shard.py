@@ -638,3 +638,30 @@ class ShardedPallasADERDG:
         if return_face_fluxes:
             return self._fluxed(u, dt)
         return self._plain(u, dt)
+
+
+class ShardedPallasADERDG2Axis:
+    """Multi-slice flavour of :class:`ShardedPallasADERDG`: the candidate
+    + face fluxes run per shard over an ICI × DCN 2-D mesh
+    (:func:`make_sharded_aderdg_step_2axis`), so the LIMITER composes on
+    multi-slice deployments too — its detection / gathered fallback /
+    matching stay plain XLA and GSPMD-partition around the shard_map
+    region."""
+
+    def __init__(self, solver, mesh: Mesh,
+                 axis_names: tuple[str, str] = ("ici", "dcn"),
+                 interpret: bool = False, wire_dtype=None, **pallas_kwargs):
+        self.solver = solver
+        self._plain, self.sharding = make_sharded_aderdg_step_2axis(
+            solver, mesh, axis_names, interpret=interpret,
+            wire_dtype=wire_dtype, **pallas_kwargs
+        )
+        self._fluxed, _ = make_sharded_aderdg_step_2axis(
+            solver, mesh, axis_names, interpret=interpret,
+            wire_dtype=wire_dtype, return_face_fluxes=True, **pallas_kwargs
+        )
+
+    def step(self, u, dt, return_face_fluxes: bool = False):
+        if return_face_fluxes:
+            return self._fluxed(u, dt)
+        return self._plain(u, dt)
