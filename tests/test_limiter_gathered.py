@@ -486,3 +486,29 @@ def test_row_gathered_with_2axis_sharded_accelerator_matches():
     )
     got = np.asarray(stepped(Qs, dt))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("granularity", ["cell", "row"])
+def test_gathered_random_masks_conserve(granularity):
+    """Randomized forced-troubled sets (scattered, clustered, wrapping):
+    every pattern conserves mass to rounding through the gathered path —
+    the mixed-face flux table must be single-valued for ARBITRARY sets,
+    not just shock fronts."""
+    solver = make_solver(cells=8, order=2)
+    lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        troubled_capacity=64 if granularity == "cell" else 8,
+        troubled_granularity=granularity,
+    )
+    Q0 = sod_like_state(solver)
+    m0 = np.asarray(solver.total_mass(Q0))
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        mask = jnp.asarray(rng.random((8, 8)) < (0.15 + 0.2 * trial))
+        out = lim.step(Q0, 2e-3, troubled_transform=lambda t: mask)
+        m1 = np.asarray(solver.total_mass(out))
+        np.testing.assert_allclose(
+            m1, m0, rtol=0, atol=1e-12,
+            err_msg=f"{granularity} trial {trial}",
+        )
+        assert bool(jnp.isfinite(out).all())
