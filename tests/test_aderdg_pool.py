@@ -677,3 +677,50 @@ def test_ghost_fill_composed_map_matches_sequential():
         want = np.asarray(pool.ghost_fill_sequential(fs, up, tables))
         got = np.asarray(pool.ghost_fill(fs, up, tables))
         np.testing.assert_array_equal(got, want, err_msg=boundary)
+
+
+def test_dynamic_pool_with_row_gathered_coarse_limiter():
+    """The capstone composition with the ROW-GATHERED coarse limiter: a
+    criteria-driven pool run with the gathered production fallback on the
+    coarse level conserves and stays admissible.  (On the real chip this
+    program's XLA compile is currently impractical — depth, not
+    correctness; documented in docs/PERFORMANCE.md — so the numerics are
+    pinned here on CPU.)"""
+    from exahype_tpu.models import euler
+    from exahype_tpu.models.aderdg_pool import DynamicADERDGPool
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    def flux2(Q, axis, var_axis):
+        return euler.flux_tpu(Q, axis, dim=2, n_real=4, var_axis=var_axis)
+
+    def eig2(Q, axis, var_axis):
+        return euler.max_eigenvalue_tpu(Q, axis, dim=2, var_axis=var_axis)
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8),
+        flux_fn=flux2, max_eigenvalue_fn=eig2, dx=1.0 / 8,
+    )
+    adm = euler_admissible(dim=2)
+    dyn = DynamicADERDGPool(
+        solver, capacity=6, factor=3, rel_threshold=0.5,
+        fine_factory=lambda s: LimitedADERDG(s, admissible=adm),
+        coarse_factory=lambda s: LimitedADERDG(
+            s, admissible=adm, troubled_capacity=4,
+            troubled_granularity="row",
+        ),
+    )
+    X, Y = solver.nodes_meshgrid()
+    shape = (3, 3) + tuple(solver.grid_shape)
+    Xb = jnp.broadcast_to(jnp.squeeze(jnp.asarray(X), axis=2), shape)
+    Yb = jnp.broadcast_to(jnp.squeeze(jnp.asarray(Y), axis=2), shape)
+    rho = jnp.ones(shape)
+    p = 0.1 + 8.0 * jnp.exp(-(((Xb - 0.4) ** 2 + (Yb - 0.55) ** 2) / 0.1**2))
+    u0 = jnp.stack(
+        [rho, jnp.zeros(shape), jnp.zeros(shape), p / 0.4], axis=2
+    )
+    m0 = np.asarray(solver.total_mass(u0))
+    c, f, info = dyn.run(u0, n_chunks=3, chunk_steps=3, dt=6e-4)
+    m1 = np.asarray(solver.total_mass(c))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12)
+    np.testing.assert_allclose(m1[3], m0[3], rtol=1e-12)
+    assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(f).all())
