@@ -193,6 +193,29 @@ class LimitedADERDG:
 
 
 
+    # ------------------------------------------------------- diagnostics
+
+    def capacity_usage(self, u, dt):
+        """(units_demanded, capacity) for one step from ``u`` — the
+        overflow monitor for gathered production runs (jittable; fetch and
+        compare on the host between chunks).  Units are CELLS for
+        ``troubled_granularity="cell"`` and last-axis ROWS for ``"row"``.
+        Demand above capacity degrades gracefully (overflowed troubled
+        cells keep the conservative DG candidate) but un-limited troubled
+        cells can go inadmissible — size the capacity ABOVE the worst
+        step's demand (transients flag far more than steady fronts; see
+        docs/PERFORMANCE.md)."""
+        if self.troubled_capacity is None:
+            raise ValueError("capacity_usage requires troubled_capacity")
+        stepper = self.accelerator if self.accelerator is not None else self.solver
+        candidate = stepper.step(u, dt)
+        t = self.troubled_mask(u, candidate)
+        if self.troubled_granularity == "row":
+            demand = t.any(axis=-1).sum()
+        else:
+            demand = t.sum()
+        return demand, self.troubled_capacity
+
     # ------------------------------------------------------------- means
 
     def cell_means(self, u):

@@ -512,3 +512,28 @@ def test_gathered_random_masks_conserve(granularity):
             err_msg=f"{granularity} trial {trial}",
         )
         assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("granularity", ["cell", "row"])
+def test_capacity_usage_diagnostic(granularity):
+    solver = make_solver(cells=8, order=2)
+    lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=4,
+        troubled_granularity=granularity,
+    )
+    Q0 = sod_like_state(solver)
+    import jax
+
+    demand, cap = jax.jit(lim.capacity_usage)(Q0, 2e-3)
+    assert cap == 4
+    cand = solver.step(Q0, 2e-3)
+    t = np.asarray(lim.troubled_mask(Q0, cand))
+    want = t.any(axis=-1).sum() if granularity == "row" else t.sum()
+    assert int(demand) == int(want)
+    # The cell variant overflows capacity 4; the row variant's demand (4
+    # rows on this 8x8 shock) exactly meets it.
+    assert int(demand) >= cap
+
+    plain = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    with pytest.raises(ValueError, match="requires troubled_capacity"):
+        plain.capacity_usage(Q0, 2e-3)
