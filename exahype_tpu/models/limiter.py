@@ -117,6 +117,21 @@ class LimitedADERDG:
     #: candidate, and in-row neighbours exchange REAL FV states (closer to
     #: the whole-grid fallback than the cell path, which freezes them).
     troubled_granularity: str = "cell"
+    #: Run the gathered ROW fallback's directional sweeps as fused Pallas
+    #: kernels (one ``pallas_call`` per direction; ghost construction and
+    #: the projection/reconstruction chains stay XLA).  Each sweep's bulk
+    #: ``(2N+1)^d`` flux/eigenvalue/update math — ~10 batch-sized HBM
+    #: round trips per direction in the XLA formulation — runs
+    #: VMEM-resident instead, reading and writing the gathered batch
+    #: exactly once per direction (blocks grid over the transverse subcell
+    #: positions so every vector op gets a full ``(K, L)`` tile — see
+    #: ``models/subcell_pallas.py``).  The kernel body calls the SAME
+    #: :meth:`_row_sweep_math` as the XLA path, so the numerics cannot
+    #: drift.  Requires ``troubled_granularity="row"``.
+    subcell_pallas: bool = False
+    subcell_vmem_limit_bytes: int = 100 * 1024 * 1024
+    #: Interpret-mode for the subcell sweep kernels (CPU tests).
+    subcell_interpret: bool = False
 
     def __post_init__(self):
         from exahype_tpu.models.dg import (
@@ -152,6 +167,15 @@ class LimitedADERDG:
             if self.troubled_granularity == "row":
                 n_units = int(np.prod(self.solver.grid_shape[:-1]))
             self.troubled_capacity = min(int(self.troubled_capacity), n_units)
+        if self.subcell_pallas:
+            if (
+                self.troubled_capacity is None
+                or self.troubled_granularity != "row"
+            ):
+                raise ValueError(
+                    "subcell_pallas accelerates the gathered ROW fallback: "
+                    "set troubled_capacity with troubled_granularity='row'"
+                )
 
     # ------------------------------------------------------- boundary helpers
 
@@ -835,7 +859,6 @@ class LimitedADERDG:
 
         g_fluxes = []
         for d in range(D):
-            lam = dt / (sol._dxs[d] / n_sub)
             sub_ax = d
 
             def take(x, rng, _ax=sub_ax):
@@ -896,65 +919,106 @@ class LimitedADERDG:
             ghost_hi, ghost_lo = jax.lax.optimization_barrier(
                 (ghost_hi, ghost_lo)
             )
-            u_plus = jnp.concatenate(
-                [take(s, slice(1, None)), ghost_hi], axis=sub_ax
-            )
-            u_minus = jnp.concatenate(
-                [ghost_lo, take(s, slice(0, n_sub - 1))], axis=sub_ax
-            )
-            # One flux/eig sweep + shifted reuse (bitwise == evaluating on
-            # the shifted states: the physics is elementwise).
-            F = sol.flux_fn(s, d, va)
-            F_plus = jnp.concatenate(
-                [take(F, slice(1, None)), sol.flux_fn(ghost_hi, d, va)],
-                axis=sub_ax,
-            )
-            F_minus = jnp.concatenate(
-                [sol.flux_fn(ghost_lo, d, va), take(F, slice(0, n_sub - 1))],
-                axis=sub_ax,
-            )
-            E = sol.max_eigenvalue_fn(s, d, va)
-            E_plus = jnp.concatenate(
-                [take(E, slice(1, None)), sol.max_eigenvalue_fn(ghost_hi, d, va)],
-                axis=sub_ax,
-            )
-            E_minus = jnp.concatenate(
-                [
-                    sol.max_eigenvalue_fn(ghost_lo, d, va),
-                    take(E, slice(0, n_sub - 1)),
-                ],
-                axis=sub_ax,
-            )
-            s_hi = jnp.expand_dims(jnp.maximum(E, E_plus), va)
-            s_lo = jnp.expand_dims(jnp.maximum(E_minus, E), va)
-            fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * self._masked_jump(
-                u_plus - s, va
-            )
-            fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * self._masked_jump(
-                s - u_minus, va
-            )
-            if sol.ncp_fn is not None:
-                half_hi = 0.5 * sol.ncp_fn(0.5 * (s + u_plus), u_plus - s, d, va)
-                half_lo = 0.5 * sol.ncp_fn(0.5 * (u_minus + s), s - u_minus, d, va)
-                ncp_fluct = half_hi + half_lo
+            if self.subcell_pallas:
+                from exahype_tpu.models.subcell_pallas import row_sweep_call
+
+                s, g_lo, g_hi = row_sweep_call(self, d, s, ghost_lo, ghost_hi, dt)
             else:
-                ncp_fluct = None
-            other_sub = tuple(a for a in range(D) if a != d)
-            g_hi = jnp.mean(
-                jax.lax.index_in_dim(fhat_hi, n_sub - 1, sub_ax, keepdims=False),
-                axis=tuple(a if a < d else a - 1 for a in other_sub),
-            )
-            g_lo = jnp.mean(
-                jax.lax.index_in_dim(fhat_lo, 0, sub_ax, keepdims=False),
-                axis=tuple(a if a < d else a - 1 for a in other_sub),
-            )
+                s, g_lo, g_hi = self._row_sweep_math(s, ghost_lo, ghost_hi, d, dt)
             g_fluxes.append((g_lo, g_hi))
-            s = s - lam * (fhat_hi - fhat_lo)
-            if ncp_fluct is not None:
-                s = s - lam * ncp_fluct
         if sol.source_fn is not None:
             s = s + dt * sol.source_fn(s, va)
         return self._reconstruct_gathered(s), g_fluxes
+
+    def _row_sweep_math(self, s, ghost_lo, ghost_hi, d, dt):
+        """One directional Rusanov sweep on the gathered row batch
+        ``[sub.., V, K, L]``, with the ghost layers already built: the
+        shared math of the XLA path and the Pallas kernel body
+        (``models/subcell_pallas.py`` wraps this very function, so the two
+        paths cannot drift).  Returns ``(s_new, g_lo, g_hi)`` where the
+        ``g``'s are the transverse-mean cell-boundary fluxes ``[V, K, L]``.
+        Everything here is elementwise physics, leading-axis slicing and
+        concatenation, and leading-axis mean reductions — all
+        Mosaic-lowerable."""
+        sol = self.solver
+        n_sub = self.n_sub
+        va = sol.var_axis
+        D = sol.dim
+        lam = dt / (sol._dxs[d] / n_sub)
+        sub_ax = d
+
+        def take(x, rng, _ax=sub_ax):
+            sl = [slice(None)] * x.ndim
+            sl[_ax] = rng
+            return x[tuple(sl)]
+
+        u_plus = jnp.concatenate(
+            [take(s, slice(1, None)), ghost_hi], axis=sub_ax
+        )
+        u_minus = jnp.concatenate(
+            [ghost_lo, take(s, slice(0, n_sub - 1))], axis=sub_ax
+        )
+        # One flux/eig sweep + shifted reuse (bitwise == evaluating on
+        # the shifted states: the physics is elementwise).
+        F = sol.flux_fn(s, d, va)
+        F_plus = jnp.concatenate(
+            [take(F, slice(1, None)), sol.flux_fn(ghost_hi, d, va)],
+            axis=sub_ax,
+        )
+        F_minus = jnp.concatenate(
+            [sol.flux_fn(ghost_lo, d, va), take(F, slice(0, n_sub - 1))],
+            axis=sub_ax,
+        )
+        E = sol.max_eigenvalue_fn(s, d, va)
+        E_plus = jnp.concatenate(
+            [take(E, slice(1, None)), sol.max_eigenvalue_fn(ghost_hi, d, va)],
+            axis=sub_ax,
+        )
+        E_minus = jnp.concatenate(
+            [
+                sol.max_eigenvalue_fn(ghost_lo, d, va),
+                take(E, slice(0, n_sub - 1)),
+            ],
+            axis=sub_ax,
+        )
+        s_hi = jnp.expand_dims(jnp.maximum(E, E_plus), va)
+        s_lo = jnp.expand_dims(jnp.maximum(E_minus, E), va)
+
+        def masked_jump(dq):
+            # Float-literal unrolled form of `_masked_jump`: identical
+            # values, but no captured array constant (pallas_call rejects
+            # captured consts; scalar-literal scaling is free in VMEM).
+            m = sol.dissipation_mask
+            if m is None:
+                return dq
+            parts = [
+                float(mk)
+                * jax.lax.index_in_dim(dq, k, va, keepdims=False)
+                for k, mk in enumerate(m)
+            ]
+            return jnp.stack(parts, axis=va)
+
+        fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * masked_jump(u_plus - s)
+        fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * masked_jump(s - u_minus)
+        if sol.ncp_fn is not None:
+            half_hi = 0.5 * sol.ncp_fn(0.5 * (s + u_plus), u_plus - s, d, va)
+            half_lo = 0.5 * sol.ncp_fn(0.5 * (u_minus + s), s - u_minus, d, va)
+            ncp_fluct = half_hi + half_lo
+        else:
+            ncp_fluct = None
+        other_sub = tuple(a for a in range(D) if a != d)
+        g_hi = jnp.mean(
+            jax.lax.index_in_dim(fhat_hi, n_sub - 1, sub_ax, keepdims=False),
+            axis=tuple(a if a < d else a - 1 for a in other_sub),
+        )
+        g_lo = jnp.mean(
+            jax.lax.index_in_dim(fhat_lo, 0, sub_ax, keepdims=False),
+            axis=tuple(a if a < d else a - 1 for a in other_sub),
+        )
+        s = s - lam * (fhat_hi - fhat_lo)
+        if ncp_fluct is not None:
+            s = s - lam * ncp_fluct
+        return s, g_lo, g_hi
 
     def _scatter_fallback_row(self, candidate, R, tables, troubled):
         """Merge the gathered rows back: gather the candidate's rows,

@@ -537,3 +537,135 @@ def test_capacity_usage_diagnostic(granularity):
     plain = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
     with pytest.raises(ValueError, match="requires troubled_capacity"):
         plain.capacity_usage(Q0, 2e-3)
+
+
+# ----------------------------------------------- fused Pallas subcell sweeps
+
+
+def test_subcell_pallas_matches_xla_path():
+    """`subcell_pallas=True` (interpret mode) reproduces the XLA gathered
+    row path — state and effective fluxes — on a shock step.  The kernel
+    body calls the same `_row_sweep_math`, so only reduction ordering can
+    differ (mean of edge fluxes): tolerance is a few ulps."""
+    solver = make_solver(cells=8, order=2)
+    kw = dict(
+        admissible=euler_admissible(dim=2), troubled_capacity=8,
+        troubled_granularity="row",
+    )
+    base = LimitedADERDG(solver, **kw)
+    fast = LimitedADERDG(
+        solver, subcell_pallas=True, subcell_interpret=True, **kw
+    )
+    Q0 = sod_like_state(solver)
+    dt = 2e-3
+    force_all = lambda t: jnp.ones_like(t)
+    a, eff_a = base.step(
+        Q0, dt, return_face_fluxes=True, troubled_transform=force_all
+    )
+    b, eff_b = fast.step(
+        Q0, dt, return_face_fluxes=True, troubled_transform=force_all
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), rtol=0, atol=1e-13
+    )
+    for x, y in zip(eff_a, eff_b):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=1e-13
+        )
+
+
+def test_subcell_pallas_walls_and_multistep():
+    """Reflective walls + a 15-step run: conservation to rounding and
+    admissibility, matching the XLA path's contract."""
+    solver = make_solver(
+        cells=8, order=2, boundary="reflective",
+        reflect_fn=euler_reflect(2), reflect_flux_fn=euler_reflect_flux(2),
+    )
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=8,
+        troubled_granularity="row", subcell_pallas=True,
+        subcell_interpret=True,
+    )
+    Q0 = sod_like_state(solver)
+    m0 = np.asarray(solver.total_mass(Q0))[0]
+    Q = limited.run(Q0, 15, 3e-3)
+    m1 = np.asarray(solver.total_mass(Q))[0]
+    np.testing.assert_allclose(m1, m0, rtol=0, atol=1e-12)
+    ok = euler_admissible(dim=2)(Q, solver.var_axis)
+    assert bool(np.asarray(ok).all())
+
+
+def test_subcell_pallas_physics_variants_parity():
+    """Source + NCP + dissipation mask + anisotropic dx through the Pallas
+    sweeps: parity with the XLA gathered path."""
+    def flux(Q, axis, va):
+        return 0.5 * Q * Q
+
+    def eig(Q, axis, va):
+        return jnp.max(jnp.abs(Q), axis=va)
+
+    def ncp(Q, dQ, axis, va):
+        return 0.1 * dQ
+
+    def src(Q, va):
+        return -0.2 * Q
+
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=2, grid_shape=(6, 8),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=(0.2, 0.15),
+        ncp_fn=ncp, source_fn=src, dissipation_mask=(1.0, 0.0),
+    )
+    kw = dict(troubled_capacity=6, troubled_granularity="row")
+    base = LimitedADERDG(solver, **kw)
+    fast = LimitedADERDG(
+        solver, subcell_pallas=True, subcell_interpret=True, **kw
+    )
+    rng = np.random.default_rng(11)
+    u0 = jnp.asarray(0.5 + rng.random(solver.state_shape))
+    force_all = lambda t: jnp.ones_like(t)
+    dt = 1e-3
+    a = np.asarray(base.step(u0, dt, troubled_transform=force_all))
+    b = np.asarray(fast.step(u0, dt, troubled_transform=force_all))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-13)
+
+
+def test_subcell_pallas_3d():
+    """3-D (the bench shape class): Pallas sweeps match the XLA path."""
+    flux, eig = euler_physics(dim=3, n_real=5)
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(6, 4, 8),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 6,
+    )
+    kw = dict(
+        admissible=euler_admissible(dim=3), troubled_capacity=24,
+        troubled_granularity="row",
+    )
+    base = LimitedADERDG(solver, **kw)
+    fast = LimitedADERDG(
+        solver, subcell_pallas=True, subcell_interpret=True, **kw
+    )
+    x = np.arange(6).reshape(-1, 1, 1) / 6.0
+    left = np.broadcast_to(x < 0.5, (6, 4, 8))
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = np.broadcast_to(np.where(left, 1.0, 0.125), no_var)
+    p = np.broadcast_to(np.where(left, 1.0, 0.1), no_var)
+    z = np.zeros(no_var)
+    Q0 = jnp.asarray(np.stack([rho, z, z, z, p / 0.4], axis=solver.var_axis))
+    dt = 4e-3
+    a = np.asarray(base.step(Q0, dt))
+    b = np.asarray(fast.step(Q0, dt))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-13)
+
+
+def test_subcell_pallas_rejects_bad_configs():
+    solver = make_solver(cells=8, order=2)
+    with pytest.raises(ValueError):
+        LimitedADERDG(solver, subcell_pallas=True)  # no capacity
+    with pytest.raises(ValueError):
+        LimitedADERDG(
+            solver, subcell_pallas=True, troubled_capacity=8,
+            troubled_granularity="cell",
+        )
