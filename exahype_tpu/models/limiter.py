@@ -100,8 +100,8 @@ class LimitedADERDG:
     #: of over the whole grid.  This is the production configuration: at a
     #: realistic 1–5 % troubled fraction the fallback cost drops from
     #: O(grid·(2N+1)^d) to O(K·(2N+1)^d).  Troubled cells beyond the
-    #: capacity keep their DG candidate (pick K with margin; the selection
-    #: is deterministic — lowest flat cell index first).  Requires the
+    #: capacity degrade per ``overflow_fallback`` (the selection is
+    #: deterministic — lowest flat cell index first).  Requires the
     #: ``"subcell"`` fallback at ``fallback_order=1``.
     troubled_capacity: Optional[int] = None
     #: Gathering granularity of the capacity path: ``"cell"`` gathers
@@ -132,6 +132,18 @@ class LimitedADERDG:
     subcell_vmem_limit_bytes: int = 100 * 1024 * 1024
     #: Interpret-mode for the subcell sweep kernels (CPU tests).
     subcell_interpret: bool = False
+    #: Degradation of troubled units beyond the gathered capacity:
+    #: ``"means"`` (default) gives them the first-order cell-mean FV
+    #: update — unconditionally stable, so sustained overflow degrades
+    #: accuracy (first order there, approximate flux accounting at their
+    #: faces) instead of detonating; ``"candidate"`` keeps the (failed)
+    #: DG candidate — exactly conservative and flux-consistent, for runs
+    #: whose :meth:`capacity_usage` shows real margin.  Measured on the
+    #: 256k-cell bench blast (v5e, capacity 128): the candidate policy
+    #: lets un-limited troubled cells avalanche (248 flagged rows at step
+    #: 22 → 928 by step 30 → NaN by ~35), the means policy keeps the run
+    #: admissible.  Only meaningful with ``troubled_capacity``.
+    overflow_fallback: str = "means"
 
     def __post_init__(self):
         from exahype_tpu.models.dg import (
@@ -155,6 +167,10 @@ class LimitedADERDG:
         if self.troubled_granularity not in ("cell", "row"):
             raise ValueError(
                 f"unknown troubled_granularity {self.troubled_granularity!r}"
+            )
+        if self.overflow_fallback not in ("means", "candidate"):
+            raise ValueError(
+                f"unknown overflow_fallback {self.overflow_fallback!r}"
             )
         if self.troubled_capacity is not None:
             if self.fallback != "subcell" or self.fallback_order != 1:
@@ -224,10 +240,12 @@ class LimitedADERDG:
         overflow monitor for gathered production runs (jittable; fetch and
         compare on the host between chunks).  Units are CELLS for
         ``troubled_granularity="cell"`` and last-axis ROWS for ``"row"``.
-        Demand above capacity degrades gracefully (overflowed troubled
-        cells keep the conservative DG candidate) but un-limited troubled
-        cells can go inadmissible — size the capacity ABOVE the worst
-        step's demand (transients flag far more than steady fronts; see
+        Demand above capacity degrades per ``overflow_fallback``: the
+        default ``"means"`` policy stays admissible but drops the
+        overflowed cells to first order, the ``"candidate"`` policy keeps
+        exact conservation but can avalanche under SUSTAINED overflow —
+        either way, size the capacity ABOVE the worst step's demand
+        (transients flag far more than steady fronts; see
         docs/PERFORMANCE.md)."""
         if self.troubled_capacity is None:
             raise ValueError("capacity_usage requires troubled_capacity")
@@ -1273,6 +1291,7 @@ class LimitedADERDG:
             troubled = troubled_transform(troubled)
         if self.troubled_capacity is not None:
             # Gathered production path: FV only on the troubled slots.
+            troubled_raw = troubled
             if self.troubled_granularity == "row":
                 tables = self._gather_tables_row(troubled)
                 troubled = tables["mask"]
@@ -1295,6 +1314,24 @@ class LimitedADERDG:
                     candidate, dg_fluxes, fv_fluxes, troubled, dt
                 )
                 out = self._scatter_fallback(candidate, R, tables)
+            if self.overflow_fallback == "means":
+                # Troubled units beyond the capacity: first-order
+                # cell-mean FV instead of the (failed) DG candidate.
+                # Measured necessity (v5e, the 256k-cell bench blast at
+                # capacity 128): with the candidate degradation the
+                # un-limited troubled cells radiate oscillations that
+                # widen the flagged set every step — 248 rows at step 22,
+                # 928 by step 30, negative densities by 32, NaN by ~35 —
+                # in BOTH the XLA and Pallas fallback variants.  The means
+                # update is unconditionally stable, so overflow degrades
+                # accuracy (first order at the overflowed cells, approximate
+                # flux accounting at their faces) instead of detonating.
+                over = troubled_raw & ~troubled
+                fbm = self.fv_fallback(u, dt)
+                m = over.reshape(
+                    (1,) * (self.solver.dim + 1) + over.shape
+                )
+                out = jnp.where(m, fbm, out)
             if not return_face_fluxes:
                 return out
             sol = self.solver

@@ -9,7 +9,9 @@ ghost exchange.  These tests pin its contract:
   periodic roll, just permuted into slot order);
 - the full gathered limited step conserves mass to rounding on a shock
   (mixed DG/FV faces single-valued through the scattered flux table);
-- overflow beyond the capacity keeps the (conservative) DG candidate;
+- overflow beyond the capacity degrades per `overflow_fallback`
+  ("candidate" keeps the DG candidate; the default "means" applies the
+  stable first-order cell-mean update);
 - reflective walls use the same mirror convention as the whole-grid path.
 """
 
@@ -133,7 +135,8 @@ def test_gathered_overflow_keeps_dg_candidate():
     solver = make_solver(cells=12, order=3)
     cap = 4
     limited = LimitedADERDG(
-        solver, admissible=euler_admissible(dim=2), troubled_capacity=cap
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=cap,
+        overflow_fallback="candidate",
     )
     Q0 = sod_like_state(solver)
     dt = 4e-3
@@ -669,3 +672,52 @@ def test_subcell_pallas_rejects_bad_configs():
             solver, subcell_pallas=True, troubled_capacity=8,
             troubled_granularity="cell",
         )
+
+
+def test_gathered_overflow_means_policy():
+    """Default overflow policy: troubled-but-overflowed cells take the
+    first-order cell-mean FV update (stable) instead of the failed DG
+    candidate; a multi-step run under sustained overflow stays finite and
+    admissible."""
+    solver = make_solver(cells=12, order=3)
+    cap = 4
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=cap
+    )
+    assert limited.overflow_fallback == "means"
+    Q0 = sod_like_state(solver)
+    dt = 4e-3
+    candidate = solver.step(Q0, dt)
+    troubled = np.asarray(limited.troubled_mask(Q0, candidate))
+    tables = limited._gather_tables(jnp.asarray(troubled))
+    gathered_mask = np.asarray(tables["mask"])
+    over = troubled & ~gathered_mask
+    assert over.any()
+    out = np.asarray(limited.step(Q0, dt))
+    fbm = np.asarray(limited.fv_fallback(Q0, dt))
+    np.testing.assert_array_equal(out[..., over], fbm[..., over])
+    # Sustained overflow (capacity 4 vs ~dozens troubled): 20 steps stay
+    # finite and admissible under the means policy.
+    Q = limited.run(Q0, 20, dt)
+    assert bool(jnp.isfinite(Q).all())
+    ok = euler_admissible(dim=2)(Q, solver.var_axis)
+    assert bool(np.asarray(ok).all())
+
+
+def test_row_gathered_overflow_means_policy():
+    """Row granularity: overflowed troubled rows take the means update."""
+    solver = make_solver(cells=8, order=2)
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2), troubled_capacity=1,
+        troubled_granularity="row",
+    )
+    Q0 = sod_like_state(solver)
+    dt = 3e-3
+    candidate = solver.step(Q0, dt)
+    troubled = np.asarray(limited.troubled_mask(Q0, candidate))
+    tables = limited._gather_tables_row(jnp.asarray(troubled))
+    over = troubled & ~np.asarray(tables["mask"])
+    assert over.any()
+    out = np.asarray(limited.step(Q0, dt))
+    fbm = np.asarray(limited.fv_fallback(Q0, dt))
+    np.testing.assert_array_equal(out[..., over], fbm[..., over])
