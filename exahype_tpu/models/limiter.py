@@ -1326,12 +1326,21 @@ class LimitedADERDG:
                 # update is unconditionally stable, so overflow degrades
                 # accuracy (first order at the overflowed cells, approximate
                 # flux accounting at their faces) instead of detonating.
+                # lax.cond keeps the no-overflow common case free: the
+                # means update + full-state select run only on steps
+                # where demand actually exceeded the capacity.
                 over = troubled_raw & ~troubled
-                fbm = self.fv_fallback(u, dt)
-                m = over.reshape(
-                    (1,) * (self.solver.dim + 1) + over.shape
+
+                def _degrade_overflow(o):
+                    fbm = self.fv_fallback(u, dt)
+                    m = over.reshape(
+                        (1,) * (self.solver.dim + 1) + over.shape
+                    )
+                    return jnp.where(m, fbm, o)
+
+                out = jax.lax.cond(
+                    over.any(), _degrade_overflow, lambda o: o, out
                 )
-                out = jnp.where(m, fbm, out)
             if not return_face_fluxes:
                 return out
             sol = self.solver

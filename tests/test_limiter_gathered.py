@@ -695,7 +695,11 @@ def test_gathered_overflow_means_policy():
     assert over.any()
     out = np.asarray(limited.step(Q0, dt))
     fbm = np.asarray(limited.fv_fallback(Q0, dt))
-    np.testing.assert_array_equal(out[..., over], fbm[..., over])
+    # One-ULP tolerance: the means branch is traced under lax.cond, so
+    # XLA may fuse (FMA) differently than the standalone fv_fallback.
+    np.testing.assert_allclose(
+        out[..., over], fbm[..., over], rtol=0, atol=1e-14
+    )
     # Sustained overflow (capacity 4 vs ~dozens troubled): 20 steps stay
     # finite and admissible under the means policy.
     Q = limited.run(Q0, 20, dt)
@@ -720,4 +724,6 @@ def test_row_gathered_overflow_means_policy():
     assert over.any()
     out = np.asarray(limited.step(Q0, dt))
     fbm = np.asarray(limited.fv_fallback(Q0, dt))
-    np.testing.assert_array_equal(out[..., over], fbm[..., over])
+    np.testing.assert_allclose(
+        out[..., over], fbm[..., over], rtol=0, atol=1e-14
+    )
