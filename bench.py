@@ -160,10 +160,16 @@ def bench_limited(solver, dtype):
     grid_shape = solver.grid_shape
     n_cells = int(np.prod(grid_shape))
     # Row-granular gathering: capacity counts LAST-AXIS ROWS (128 cells
-    # each).  The deterministic planar front flags ~80 rows throughout the
-    # run; 128 gives 1.6x headroom (measured: cap 128 -> 1.81 GDOF/s,
-    # 192 -> 1.55, 256 -> 1.30 — the gathered stage scales with capacity),
-    # and the end-of-run finiteness assert fails loudly on overflow.
+    # each).  The real limiting demand (the shock/contact front) needs
+    # ~80-120 rows; the DMP additionally trips on parasitic Gibbs waves
+    # radiating from the front at the DG group-velocity bound (measured:
+    # far-band violations <=2.6e-4 vs 9.6e-3 at the front — see
+    # docs/PERFORMANCE.md).  Capacity 128 serves the real front while the
+    # default overflow_fallback="means" first-orders the noise flags,
+    # which also damps them (demand plateaus at ~160-230 rows and the
+    # 40-step trajectory stays admissible with rho_min pinned at the
+    # correct post-shock 0.125).  The fused Pallas subcell sweeps beat
+    # the XLA formulation 37.4 vs 48.6 ms/step at this config.
     capacity = 128
     accel = PallasADERDG(
         solver, tile0=4, boundary_faces_only=True,
@@ -175,6 +181,7 @@ def bench_limited(solver, dtype):
         troubled_capacity=capacity,
         troubled_granularity="row",
         accelerator=accel,
+        subcell_pallas=True,
     )
 
     # Planar Sod-like shock along axis 0: the front is a ~1k-cell surface.
