@@ -299,54 +299,56 @@ class PallasADERDG:
                             for d in lam_axes
                         ]
                         ncps = [[ncp0[d]] * nn for d in lam_axes]
+                    rhs = []
+                    for s in range(nn):
+                        r = PHI0[s] * u
+                        for d in lam_axes:
+                            r = r - lams[d] * W[s] * derivs[d][s]
+                            if ncps is not None:
+                                r = r - lams[d] * W[s] * ncps[d][s]
+                        if srcs is not None:
+                            r = r + dtv * W[s] * srcs[s]
+                        rhs.append(r)
                 else:
-                    derivs = [
-                        [
-                            mat_apply(
+                    # Streamed (time-slice-outer) form: each slice's flux
+                    # derivative is traced, folded into rhs[s], and dead
+                    # before the next slice's is built.  The expression
+                    # tree per rhs[s] is IDENTICAL to the list-of-lists
+                    # form (same ops, same fold order — bitwise equal);
+                    # only the trace order changes, which drops the live
+                    # set from ~(dim+2)·nn blocks to ~2·nn + 1 and is what
+                    # lets the p5/p7 blocks fit VMEM.
+                    rhs = []
+                    for s in range(nn):
+                        r = PHI0[s] * u
+                        for d in lam_axes:
+                            dF = mat_apply(
                                 D, sol.flux_fn(q[s], d, va), sol.node_axis(d)
                             )
-                            for s in range(nn)
-                        ]
-                        for d in lam_axes
-                    ]
-                    srcs = (
-                        [sol.source_fn(q[s], va) for s in range(nn)]
-                        if sol.source_fn is not None
-                        else None
-                    )
-                    ncps = None
-                    if sol.ncp_fn is not None:
-                        ncps = [
-                            [
-                                sol.ncp_fn(
+                            r = r - lams[d] * W[s] * dF
+                            if sol.ncp_fn is not None:
+                                r = r - lams[d] * W[s] * sol.ncp_fn(
                                     q[s],
                                     mat_apply(D, q[s], sol.node_axis(d)),
                                     d,
                                     va,
                                 )
-                                for s in range(nn)
-                            ]
-                            for d in lam_axes
-                        ]
-                rhs = []
-                for s in range(nn):
-                    r = PHI0[s] * u
-                    for d in lam_axes:
-                        r = r - lams[d] * W[s] * derivs[d][s]
-                        if ncps is not None:
-                            r = r - lams[d] * W[s] * ncps[d][s]
-                    if srcs is not None:
-                        r = r + dtv * W[s] * srcs[s]
-                    rhs.append(r)
+                        if sol.source_fn is not None:
+                            r = r + dtv * W[s] * sol.source_fn(q[s], va)
+                        rhs.append(r)
                 q = [
                     sum(K1inv[s][t] * rhs[t] for t in range(nn)) for s in range(nn)
                 ]
-            # Time averages (fluxes of the FINAL q, matching the base solver).
+            # Time averages (fluxes of the FINAL q, matching the base
+            # solver).  Streamed per slice — same left-fold order as the
+            # list form (bitwise equal), one live flux transient.
             qbar = sum(W[s] * q[s] for s in range(nn))
             fbar = []
             for d in lam_axes:
-                Fd = [sol.flux_fn(q[s], d, va) for s in range(nn)]
-                fbar.append(sum(W[s] * Fd[s] for s in range(nn)))
+                acc = W[0] * sol.flux_fn(q[0], d, va)
+                for s in range(1, nn):
+                    acc = acc + W[s] * sol.flux_fn(q[s], d, va)
+                fbar.append(acc)
 
             if sol.source_fn is not None:
                 sbar = sum(

@@ -718,3 +718,17 @@ def test_high_order_convergence_rate(order, cells_pair, steps_per_cell, min_rate
     assert rate > min_rate, (
         f"order-{order} convergence rate {rate:.2f}, errors {errors}"
     )
+
+
+def test_pallas_streamed_predictor_p5_parity():
+    """The streamed (time-slice-outer) predictor trace order — what lets
+    p5/p7 blocks fit VMEM — matches the base solver at order 5 too (the
+    order tiers exercise different unroll depths of the streamed loop)."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=6, order=5)
+    Q0 = euler_density_wave_state(solver)
+    ref = np.asarray(solver.step(Q0, 1e-3))
+    fused = PallasADERDG(solver, interpret=True, tile0=2, dtype=np.float64)
+    got = np.asarray(fused.step(Q0, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
