@@ -682,10 +682,10 @@ def test_ghost_fill_composed_map_matches_sequential():
 def test_dynamic_pool_with_row_gathered_coarse_limiter():
     """The capstone composition with the ROW-GATHERED coarse limiter: a
     criteria-driven pool run with the gathered production fallback on the
-    coarse level conserves and stays admissible.  (On the real chip this
-    program's XLA compile is currently impractical — depth, not
-    correctness; documented in docs/PERFORMANCE.md — so the numerics are
-    pinned here on CPU.)"""
+    coarse level conserves and stays admissible.  (The chip run of this
+    composition compiles in ~15 min through the tunnel and delivers
+    10.56M DOF/s — docs/PERFORMANCE.md; the numerics are pinned here on
+    CPU at f64.)"""
     from exahype_tpu.models import euler
     from exahype_tpu.models.aderdg_pool import DynamicADERDGPool
     from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
