@@ -46,6 +46,7 @@ class PallasADERDG:
         boundary_faces_only: bool = False,
         dtype=None,
         epilogue_axes: Optional[tuple] = None,
+        picard_loop: Optional[bool] = None,
     ):
         if solver.boundary != "periodic":
             # The in-kernel face wraps assume periodicity; with walls every
@@ -53,6 +54,14 @@ class PallasADERDG:
             fuse_interior_riemann = False
         self.solver = solver
         self.interpret = interpret
+        #: Run Picard iterations 1.. as a real ``lax.fori_loop`` instead of
+        #: unrolling them.  ``None`` = auto: on for n_nodes >= 5, where the
+        #: fully-unrolled predictor's register pressure spills >100 MB of
+        #: vector state to VMEM and the Mosaic compile fails (measured at
+        #: p5; the block windows themselves are small).  Off for the low
+        #: orders so the headline p3 kernel keeps its cross-iteration
+        #: scheduling freedom.
+        self.picard_loop = picard_loop
         #: Also solve the INTRA-TILE axis-0 Riemann problems inside the
         #: kernel: faces between the tile0 rows of a block are block-local,
         #: so only the tile-BOUNDARY faces (one per tile) leave the kernel —
@@ -147,6 +156,11 @@ class PallasADERDG:
         def face_map(i, *_):
             return lead_zeros_face + (i,) + tail_zeros
 
+        picard_loop = (
+            self.picard_loop
+            if self.picard_loop is not None
+            else (nn >= 5 and sol.picard_iters > 1)
+        )
         ops = sol.ops
         # Operator entries as PYTHON floats: pallas_call rejects captured
         # array constants, and scalar-literal unrolling is free in VMEM.
@@ -270,9 +284,41 @@ class PallasADERDG:
             u = u_ref[...]
             dtv = dt_ref[0]
             lams = [dtv / sol._dxs[d] for d in lam_axes]
+
+            def picard_update(q):
+                """One streamed Picard iteration (time-slice-outer: each
+                slice's flux derivative is traced, folded into rhs[s], and
+                dead before the next slice's — the live set stays ~2·nn+1
+                blocks instead of ~(dim+2)·nn)."""
+                rhs = []
+                for s in range(nn):
+                    r = PHI0[s] * u
+                    for d in lam_axes:
+                        dF = mat_apply(
+                            D, sol.flux_fn(q[s], d, va), sol.node_axis(d)
+                        )
+                        r = r - lams[d] * W[s] * dF
+                        if sol.ncp_fn is not None:
+                            r = r - lams[d] * W[s] * sol.ncp_fn(
+                                q[s],
+                                mat_apply(D, q[s], sol.node_axis(d)),
+                                d,
+                                va,
+                            )
+                    if sol.source_fn is not None:
+                        r = r + dtv * W[s] * sol.source_fn(q[s], va)
+                    rhs.append(r)
+                return [
+                    sum(K1inv[s][t] * rhs[t] for t in range(nn))
+                    for s in range(nn)
+                ]
+
             # --- space-time predictor, time axis unrolled into a list ---
             q = [u for _ in range(nn)]
-            for it in range(sol.picard_iters):
+            n_unrolled = (
+                min(1, sol.picard_iters) if picard_loop else sol.picard_iters
+            )
+            for it in range(n_unrolled):
                 if it == 0:
                     # All time slices equal u on entry: one flux/derivative
                     # per direction instead of nn (same per-direction fold
@@ -309,35 +355,36 @@ class PallasADERDG:
                         if srcs is not None:
                             r = r + dtv * W[s] * srcs[s]
                         rhs.append(r)
+                    q = [
+                        sum(K1inv[s][t] * rhs[t] for t in range(nn))
+                        for s in range(nn)
+                    ]
                 else:
-                    # Streamed (time-slice-outer) form: each slice's flux
-                    # derivative is traced, folded into rhs[s], and dead
-                    # before the next slice's is built.  The expression
-                    # tree per rhs[s] is IDENTICAL to the list-of-lists
-                    # form (same ops, same fold order — bitwise equal);
-                    # only the trace order changes, which drops the live
-                    # set from ~(dim+2)·nn blocks to ~2·nn + 1 and is what
-                    # lets the p5/p7 blocks fit VMEM.
-                    rhs = []
-                    for s in range(nn):
-                        r = PHI0[s] * u
-                        for d in lam_axes:
-                            dF = mat_apply(
-                                D, sol.flux_fn(q[s], d, va), sol.node_axis(d)
-                            )
-                            r = r - lams[d] * W[s] * dF
-                            if sol.ncp_fn is not None:
-                                r = r - lams[d] * W[s] * sol.ncp_fn(
-                                    q[s],
-                                    mat_apply(D, q[s], sol.node_axis(d)),
-                                    d,
-                                    va,
-                                )
-                        if sol.source_fn is not None:
-                            r = r + dtv * W[s] * sol.source_fn(q[s], va)
-                        rhs.append(r)
+                    q = picard_update(q)
+            if picard_loop and sol.picard_iters > 1:
+                # Remaining iterations as a REAL loop (lax.fori_loop):
+                # Mosaic compiles the body once, so code size and register
+                # pressure are bounded by ONE iteration — without this the
+                # fully-unrolled high-order predictor spills >100 MB of
+                # vector registers to VMEM (the measured p5 failure mode;
+                # the window allocations themselves are only ~12 MB).  The
+                # stack/unstack round-trip is pure layout; arithmetic per
+                # iteration is identical to the unrolled path.
+                qs = jnp.stack(q, axis=0)
+
+                def it_body(_, qs):
+                    ql = [
+                        jax.lax.index_in_dim(qs, s, 0, keepdims=False)
+                        for s in range(nn)
+                    ]
+                    return jnp.stack(picard_update(ql), axis=0)
+
+                qs = jax.lax.fori_loop(
+                    1, sol.picard_iters, it_body, qs
+                )
                 q = [
-                    sum(K1inv[s][t] * rhs[t] for t in range(nn)) for s in range(nn)
+                    jax.lax.index_in_dim(qs, s, 0, keepdims=False)
+                    for s in range(nn)
                 ]
             # Time averages (fluxes of the FINAL q, matching the base
             # solver).  Streamed per slice — same left-fold order as the

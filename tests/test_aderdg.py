@@ -732,3 +732,26 @@ def test_pallas_streamed_predictor_p5_parity():
     fused = PallasADERDG(solver, interpret=True, tile0=2, dtype=np.float64)
     got = np.asarray(fused.step(Q0, 1e-3))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+
+def test_pallas_picard_loop_matches_unrolled():
+    """Forcing the Picard fori_loop at low order matches the unrolled
+    predictor (the loop is auto-on only for n_nodes >= 5, where unrolled
+    register pressure exceeds VMEM; both paths must agree everywhere)."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=8, order=3)
+    Q0 = euler_density_wave_state(solver)
+    un = np.asarray(
+        PallasADERDG(
+            solver, interpret=True, tile0=2, dtype=np.float64,
+            picard_loop=False,
+        ).step(Q0, 1e-3)
+    )
+    lo = np.asarray(
+        PallasADERDG(
+            solver, interpret=True, tile0=2, dtype=np.float64,
+            picard_loop=True,
+        ).step(Q0, 1e-3)
+    )
+    np.testing.assert_allclose(lo, un, rtol=0, atol=1e-13)
