@@ -47,6 +47,7 @@ class PallasADERDG:
         dtype=None,
         epilogue_axes: Optional[tuple] = None,
         picard_loop: Optional[bool] = None,
+        slice_loop: Optional[bool] = None,
     ):
         if solver.boundary != "periodic":
             # The in-kernel face wraps assume periodicity; with walls every
@@ -62,6 +63,14 @@ class PallasADERDG:
         #: orders so the headline p3 kernel keeps its cross-iteration
         #: scheduling freedom.
         self.picard_loop = picard_loop
+        #: Stream the predictor over TIME SLICES as well (a second
+        #: fori_loop level): the Picard rhs, the K1inv update, and the
+        #: time-average accumulation each loop over s with the quadrature
+        #: scalars selected branchlessly.  ``None`` = auto: on for
+        #: n_nodes >= 7, where even ONE unrolled Picard iteration (8
+        #: slices x dim directions of 8x8 contractions) spills ~284 MB of
+        #: registers.  Bounds code size to a single slice's work.
+        self.slice_loop = slice_loop
         #: Also solve the INTRA-TILE axis-0 Riemann problems inside the
         #: kernel: faces between the tile0 rows of a block are block-local,
         #: so only the tile-BOUNDARY faces (one per tile) leave the kernel —
@@ -114,6 +123,16 @@ class PallasADERDG:
             itemsize = self._itemsize
         sol = self.solver
         nodal = sol.n_nodes**sol.dim * sol.n_vars * itemsize
+        loop = (
+            self.picard_loop
+            if self.picard_loop is not None
+            else (sol.n_nodes >= 5 and sol.picard_iters > 1)
+        )
+        if loop:
+            # fori_loop predictor: u in/out (double-buffered, 4 buffers) +
+            # the stacked q carry (in + out copies of n_nodes time levels)
+            # + rhs list + ~2 streamed transients.
+            return nodal * (6 + 3 * sol.n_nodes)
         # u in/out (double-buffered, 4 buffers) + the space-time q (n_nodes
         # time levels) + ~3 live per-iteration space-time transients
         # (flux, derivative, rhs).
@@ -160,6 +179,9 @@ class PallasADERDG:
             self.picard_loop
             if self.picard_loop is not None
             else (nn >= 5 and sol.picard_iters > 1)
+        )
+        slice_loop = (
+            self.slice_loop if self.slice_loop is not None else nn >= 7
         )
         ops = sol.ops
         # Operator entries as PYTHON floats: pallas_call rejects captured
@@ -313,6 +335,114 @@ class PallasADERDG:
                     for s in range(nn)
                 ]
 
+            def dyn_scalar(vals, s):
+                """Branchless vals[s] for a TRACED index s and a static
+                Python-float list: Σ_k vals[k]·(s==k).  Exact (one term
+                non-zero, adds of 0.0 are exact) and lowers to plain
+                scalar arithmetic — no dynamic vector extraction needed."""
+                acc = jnp.zeros((), u.dtype)
+                for k, v in enumerate(vals):
+                    acc = acc + jnp.asarray(v, u.dtype) * (
+                        (s == k).astype(u.dtype)
+                    )
+                return acc
+
+            def rhs_slice(s, q_s):
+                """rhs[s] of one Picard iteration, scalars selected by the
+                traced slice index — the same ops/fold order as the
+                unrolled form."""
+                r = dyn_scalar(PHI0, s) * u
+                for d in lam_axes:
+                    dF = mat_apply(
+                        D, sol.flux_fn(q_s, d, va), sol.node_axis(d)
+                    )
+                    r = r - lams[d] * dyn_scalar(W, s) * dF
+                    if sol.ncp_fn is not None:
+                        r = r - lams[d] * dyn_scalar(W, s) * sol.ncp_fn(
+                            q_s,
+                            mat_apply(D, q_s, sol.node_axis(d)),
+                            d,
+                            va,
+                        )
+                if sol.source_fn is not None:
+                    r = r + dtv * dyn_scalar(W, s) * sol.source_fn(q_s, va)
+                return r
+
+            if slice_loop:
+                # --- doubly-streamed predictor: fori over iterations AND
+                # over time slices.  Code size (and so Mosaic register
+                # pressure) is bounded by ONE slice's flux/derivative work
+                # — at p7 even one unrolled iteration spills ~284 MB.  The
+                # iteration-0 dedup is dropped (flux(u) recomputed per
+                # slice — identical values, so results are unchanged).
+                K1col = [[K1inv[k][t] for k in range(nn)] for t in range(nn)]
+                qs = jnp.stack([u] * nn, axis=0)
+
+                def it_body(_, qs):
+                    def s_body(s, rhs_acc):
+                        q_s = jax.lax.dynamic_index_in_dim(
+                            qs, s, 0, keepdims=False
+                        )
+                        return jax.lax.dynamic_update_index_in_dim(
+                            rhs_acc, rhs_slice(s, q_s), s, 0
+                        )
+
+                    rhs = jax.lax.fori_loop(
+                        0, nn, s_body, jnp.zeros_like(qs)
+                    )
+
+                    def u_body(s, q_acc):
+                        acc = dyn_scalar(K1col[0], s) * jax.lax.index_in_dim(
+                            rhs, 0, 0, keepdims=False
+                        )
+                        for t in range(1, nn):
+                            acc = acc + dyn_scalar(
+                                K1col[t], s
+                            ) * jax.lax.index_in_dim(
+                                rhs, t, 0, keepdims=False
+                            )
+                        return jax.lax.dynamic_update_index_in_dim(
+                            q_acc, acc, s, 0
+                        )
+
+                    return jax.lax.fori_loop(0, nn, u_body, qs)
+
+                qs = jax.lax.fori_loop(0, sol.picard_iters, it_body, qs)
+
+                # Time averages, streamed over slices as well.
+                zero = jnp.zeros_like(u)
+                init = (zero, (zero,) * dim) + (
+                    (zero,) if sol.source_fn is not None else ()
+                )
+
+                def avg_body(s, carry):
+                    q_s = jax.lax.dynamic_index_in_dim(
+                        qs, s, 0, keepdims=False
+                    )
+                    w_s = dyn_scalar(W, s)
+                    qbar_acc = carry[0] + w_s * q_s
+                    fbar_acc = tuple(
+                        f + w_s * sol.flux_fn(q_s, d, va)
+                        for d, f in zip(lam_axes, carry[1])
+                    )
+                    out = (qbar_acc, fbar_acc)
+                    if sol.source_fn is not None:
+                        out = out + (
+                            carry[2] + w_s * sol.source_fn(q_s, va),
+                        )
+                    return out
+
+                avg = jax.lax.fori_loop(0, nn, avg_body, init)
+                qbar = avg[0]
+                fbar = list(avg[1])
+                new = (
+                    u + dtv * avg[2] if sol.source_fn is not None else u
+                )
+                return _epilogue(
+                    u, new, qbar, fbar, lams,
+                    out_vol_ref, face_refs, emit_fused_fhat,
+                )
+
             # --- space-time predictor, time axis unrolled into a list ---
             q = [u for _ in range(nn)]
             n_unrolled = (
@@ -404,6 +534,16 @@ class PallasADERDG:
                 new = u + dtv * sbar
             else:
                 new = u
+            return _epilogue(
+                u, new, qbar, fbar, lams,
+                out_vol_ref, face_refs, emit_fused_fhat,
+            )
+
+        def _epilogue(
+            u, new, qbar, fbar, lams, out_vol_ref, face_refs, emit_fused_fhat
+        ):
+            """Volume integral + Riemann/face handling, shared by the
+            unrolled and slice-streamed predictor paths."""
             for d in lam_axes:
                 new = new + lams[d] * mat_apply(Kvol, fbar[d], sol.node_axis(d))
                 if sol.ncp_fn is not None:

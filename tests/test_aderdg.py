@@ -755,3 +755,22 @@ def test_pallas_picard_loop_matches_unrolled():
         ).step(Q0, 1e-3)
     )
     np.testing.assert_allclose(lo, un, rtol=0, atol=1e-13)
+
+
+def test_pallas_slice_loop_parity():
+    """The doubly-streamed predictor (fori over Picard iterations AND
+    time slices, with branchlessly-selected quadrature scalars) matches
+    the base solver; auto-on at n_nodes >= 7 where one unrolled iteration
+    alone spills ~284 MB of registers."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = euler_density_wave_solver(cells=6, order=5)
+    Q0 = euler_density_wave_state(solver)
+    ref = np.asarray(solver.step(Q0, 1e-3))
+    got = np.asarray(
+        PallasADERDG(
+            solver, interpret=True, tile0=2, dtype=np.float64,
+            slice_loop=True,
+        ).step(Q0, 1e-3)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
