@@ -375,35 +375,38 @@ class PallasADERDG:
                 # — at p7 even one unrolled iteration spills ~284 MB.  The
                 # iteration-0 dedup is dropped (flux(u) recomputed per
                 # slice — identical values, so results are unchanged).
+                # Slice selection is a STATIC rotate-and-append on the
+                # stacked carry (Mosaic has no dynamic_slice: operate on
+                # slice 0, rotate by one each iteration; after nn rotations
+                # the stack is back in order).  Quadrature scalars are
+                # selected branchlessly (dyn_scalar) — pure scalar math.
                 K1col = [[K1inv[k][t] for k in range(nn)] for t in range(nn)]
+
+                def rot(x):
+                    return jnp.concatenate([x[1:], x[:1]], axis=0)
+
+                def append(x, sl):
+                    return jnp.concatenate([x[1:], sl[None]], axis=0)
+
                 qs = jnp.stack([u] * nn, axis=0)
 
                 def it_body(_, qs):
-                    def s_body(s, rhs_acc):
-                        q_s = jax.lax.dynamic_index_in_dim(
-                            qs, s, 0, keepdims=False
-                        )
-                        return jax.lax.dynamic_update_index_in_dim(
-                            rhs_acc, rhs_slice(s, q_s), s, 0
-                        )
+                    def s_body(s, carry):
+                        qs_rot, rhs_acc = carry
+                        r = rhs_slice(s, qs_rot[0])
+                        return rot(qs_rot), append(rhs_acc, r)
 
-                    rhs = jax.lax.fori_loop(
-                        0, nn, s_body, jnp.zeros_like(qs)
+                    qs, rhs = jax.lax.fori_loop(
+                        0, nn, s_body, (qs, jnp.zeros_like(qs))
                     )
+                    # rhs now holds slices 0..nn-1 in order; qs is back in
+                    # its original order (nn rotations = identity).
 
                     def u_body(s, q_acc):
-                        acc = dyn_scalar(K1col[0], s) * jax.lax.index_in_dim(
-                            rhs, 0, 0, keepdims=False
-                        )
+                        acc = dyn_scalar(K1col[0], s) * rhs[0]
                         for t in range(1, nn):
-                            acc = acc + dyn_scalar(
-                                K1col[t], s
-                            ) * jax.lax.index_in_dim(
-                                rhs, t, 0, keepdims=False
-                            )
-                        return jax.lax.dynamic_update_index_in_dim(
-                            q_acc, acc, s, 0
-                        )
+                            acc = acc + dyn_scalar(K1col[t], s) * rhs[t]
+                        return append(q_acc, acc)
 
                     return jax.lax.fori_loop(0, nn, u_body, qs)
 
@@ -411,32 +414,31 @@ class PallasADERDG:
 
                 # Time averages, streamed over slices as well.
                 zero = jnp.zeros_like(u)
-                init = (zero, (zero,) * dim) + (
+                init = (qs, zero, (zero,) * dim) + (
                     (zero,) if sol.source_fn is not None else ()
                 )
 
                 def avg_body(s, carry):
-                    q_s = jax.lax.dynamic_index_in_dim(
-                        qs, s, 0, keepdims=False
-                    )
+                    qs_rot = carry[0]
+                    q_s = qs_rot[0]
                     w_s = dyn_scalar(W, s)
-                    qbar_acc = carry[0] + w_s * q_s
+                    qbar_acc = carry[1] + w_s * q_s
                     fbar_acc = tuple(
                         f + w_s * sol.flux_fn(q_s, d, va)
-                        for d, f in zip(lam_axes, carry[1])
+                        for d, f in zip(lam_axes, carry[2])
                     )
-                    out = (qbar_acc, fbar_acc)
+                    out = (rot(qs_rot), qbar_acc, fbar_acc)
                     if sol.source_fn is not None:
                         out = out + (
-                            carry[2] + w_s * sol.source_fn(q_s, va),
+                            carry[3] + w_s * sol.source_fn(q_s, va),
                         )
                     return out
 
                 avg = jax.lax.fori_loop(0, nn, avg_body, init)
-                qbar = avg[0]
-                fbar = list(avg[1])
+                qbar = avg[1]
+                fbar = list(avg[2])
                 new = (
-                    u + dtv * avg[2] if sol.source_fn is not None else u
+                    u + dtv * avg[3] if sol.source_fn is not None else u
                 )
                 return _epilogue(
                     u, new, qbar, fbar, lams,
