@@ -90,7 +90,10 @@ def main():
                 solver, tile0=1, vmem_limit_bytes=126 * 1024 * 1024
             )
             t_pallas = chained_time(fused.step, Q, dt)
-        except Exception as e:  # VMEM infeasibility is a result, not a crash
+        except Exception:  # VMEM infeasibility is a result, not a crash
+            import traceback
+
+            traceback.print_exc()
             t_pallas = None
         print(
             json.dumps(

@@ -774,3 +774,41 @@ def test_pallas_slice_loop_parity():
         ).step(Q0, 1e-3)
     )
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_pallas_slice_loop_source_and_ncp_parity():
+    """The slice-streamed predictor's source and NCP branches (inside the
+    rotating fori bodies) match the base solver."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    flux, eig = advection_physics((1.0, 0.5))
+    src = ADERDGSolver(
+        dim=2, order=2, n_vars=1, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+        source_fn=lambda Q, va: -0.7 * Q + 0.2,
+    )
+    rng = np.random.default_rng(3)
+    q0 = jnp.asarray(1.0 + 0.1 * rng.random(src.state_shape))
+    ref = np.asarray(src.step(q0, 1e-3))
+    got = np.asarray(
+        PallasADERDG(
+            src, interpret=True, tile0=2, dtype=np.float64, slice_loop=True
+        ).step(q0, 1e-3)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+    velocity = (1.0, 0.5)
+    ncp = ADERDGSolver(
+        dim=2, order=3, n_vars=1, grid_shape=(8, 8),
+        flux_fn=lambda Q, axis, va: jnp.zeros_like(Q),
+        ncp_fn=lambda Q, dQ, axis, va: float(velocity[axis]) * dQ,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    q0 = jnp.asarray(1.0 + 0.1 * rng.random(ncp.state_shape))
+    ref = np.asarray(ncp.step(q0, 1e-3))
+    got = np.asarray(
+        PallasADERDG(
+            ncp, interpret=True, tile0=2, dtype=np.float64, slice_loop=True
+        ).step(q0, 1e-3)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
