@@ -134,3 +134,12 @@ def test_limited_shock_production(tmp_path, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", ["limited_shock_production.py", "--cpu"])
     run_example("limited_shock_production.py", tmp_path, monkeypatch)
+
+
+def test_high_order_p5(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["high_order_p5.py", "--cpu"])
+    run_example("high_order_p5.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "high-order p5: accurate + conservative" in out
