@@ -558,3 +558,43 @@ def test_limited_step_sharded_accelerator_matches():
 
     hlo = stepped.lower(Qs, dt).compile().as_text()
     assert "collective-permute" in hlo
+
+
+def test_limiter_high_order_p5():
+    """The MOOD limiter is order-generic: at p5 (11^2-subcell fallback)
+    a shock run stays admissible with exact conservation, and the
+    row-gathered production path composes too."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=5, n_vars=4, grid_shape=(8, 8),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    lim = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    x = np.squeeze(
+        np.asarray(solver.nodes_meshgrid()[0]), axis=solver.var_axis
+    )
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    x = np.broadcast_to(x, no_var)
+    left = x < 0.5
+    Q0 = jnp.asarray(np.stack(
+        [np.where(left, 1.0, 0.125), np.zeros_like(x),
+         np.zeros_like(x), np.where(left, 1.0, 0.1) / 0.4],
+        axis=solver.var_axis,
+    ))
+    m0 = np.asarray(solver.total_mass(Q0))[0]
+    Q = lim.run(Q0, 10, 2e-3)
+    m1 = np.asarray(solver.total_mass(Q))[0]
+    assert bool(jnp.isfinite(Q).all())
+    assert bool(np.asarray(euler_admissible(dim=2)(Q, solver.var_axis)).all())
+    np.testing.assert_allclose(m1, m0, rtol=1e-13)
+    gathered = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        troubled_capacity=3, troubled_granularity="row",
+    )
+    Qg = gathered.run(Q0, 6, 2e-3)
+    assert bool(jnp.isfinite(Qg).all())
