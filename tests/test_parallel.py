@@ -746,3 +746,36 @@ def test_two_axis_sharded_aderdg_rejects_walls():
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
     with pytest.raises(SemanticError, match="periodic"):
         make_sharded_aderdg_step_2axis(solver, mesh, interpret=True, tile0=1)
+
+
+def test_sharded_aderdg_high_order_p5():
+    """The sharded fused step is order-generic: at p5 the shard_mapped
+    streamed predictor (picard_loop auto-on) matches the unsharded fused
+    step on the 8-device mesh."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=5, n_vars=4, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    rng = np.random.default_rng(4)
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    comps = [rho, rho, 0.5 * rho, 5.0 + 0.66 * rho]
+    Q0 = jnp.asarray(np.stack(comps, axis=solver.var_axis))
+    fused = PallasADERDG(solver, interpret=True, tile0=1)
+    assert fused.picard_loop is None and fused.slice_loop is None
+    ref = np.asarray(fused.step(Q0, 1e-3))
+    mesh = make_mesh(8)
+    step, sharding = make_sharded_aderdg_step(
+        solver, mesh, interpret=True, tile0=1
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
