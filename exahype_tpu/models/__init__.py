@@ -15,7 +15,8 @@ __all__ = [
 def __getattr__(name):
     # Lazy heavy solver modules.
     if name in ("aderdg", "aderdg_pallas", "aderdg_amr", "aderdg_pool",
-                "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd", "muscl"):
+                "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd",
+                "muscl", "tracers"):
         import importlib
 
         return importlib.import_module(f"exahype_tpu.models.{name}")

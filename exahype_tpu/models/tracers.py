@@ -1,0 +1,237 @@
+"""Tracer particles: Lagrangian probes advected through the DG solution.
+
+The downstream ExaHyPE2 framework ships a particle toolbox whose flagship
+use is *tracers* — massless particles advected with the flow that record
+the solution along their trajectories (astrophysics post-processing,
+e.g. neutron-star-merger nucleosynthesis tracers).  The reference DSL
+repo itself contains no particle code (it is the kernel-compiler
+prototype; SURVEY.md §0), so this module is capability depth beyond the
+reference, built TPU-first:
+
+- particle state is a dense ``[n_particles, dim]`` position array —
+  static shapes, no host round-trips, jit/scan/shard-compatible;
+- locating the owning cell is pure arithmetic (floor divide), and
+  reading its ``(order+1)^dim`` nodal values is ONE flat gather along the
+  trailing (lane) grid axes of the SoA-P state layout;
+- evaluating the DG polynomial at the particle's local coordinate is a
+  per-particle Lagrange-basis contraction — tiny einsums batched over
+  the particle axis, exactly the shape class the VPU handles well;
+- time integration is explicit RK2 (midpoint), so a tracer step composes
+  with the solver step inside one ``lax.scan`` with no retracing.
+
+Interpolation uses the owning cell's polynomial only (DG solutions are
+discontinuous across faces; single-cell evaluation is the standard tracer
+choice and is exact for polynomials up to the scheme's order — tested).
+
+Works against any solver exposing the SoA-P layout contract
+(``state_shape = nodes^dim + (n_vars,) + grid_shape`` with
+``var_axis = dim``): `ADERDGSolver`, `PallasADERDG` (via ``.solver``),
+and the limiter's candidate states.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.models.dg import gauss_legendre
+from exahype_tpu.utils.errors import SemanticError
+
+
+def _lagrange_basis(nodes: np.ndarray, xi):
+    """``B[p, i] = ℓ_i(xi_p)`` for traced local coordinates ``xi`` ∈ [0,1].
+
+    Static double loop over the (order+1) basis — unrolls to a handful of
+    fused multiply-adds per particle.
+    """
+    n = len(nodes)
+    cols = []
+    for i in range(n):
+        term = jnp.ones_like(xi)
+        for j in range(n):
+            if j != i:
+                term = term * (xi - nodes[j]) / (nodes[i] - nodes[j])
+        cols.append(term)
+    return jnp.stack(cols, axis=-1)
+
+
+def euler_velocity(dim: int):
+    """``velocity_fn`` for compressible Euler: v = momentum / density."""
+
+    def velocity(vals):
+        return vals[:, 1 : 1 + dim] / vals[:, 0:1]
+
+    return velocity
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerAdvector:
+    """Samples and advects tracer particles through a DG solution.
+
+    Parameters
+    ----------
+    solver:
+        Any SoA-P-layout DG solver (``dim``, ``order``/``n_nodes``,
+        ``n_vars``, ``grid_shape``, per-axis ``dx``).  `PallasADERDG`
+        accelerators are unwrapped via their ``.solver`` attribute.
+    velocity_fn:
+        ``vals[P, n_vars] -> v[P, dim]`` — the advecting velocity from
+        sampled solution values (:func:`euler_velocity` for Euler).
+    boundary:
+        ``"periodic"`` wraps positions across the domain;
+        ``"clamp"`` clips them to the domain interior (wall boundaries —
+        with reflective walls the normal velocity vanishes at the wall, so
+        clamping only absorbs the O(dt²) integrator overshoot).
+    """
+
+    solver: object
+    velocity_fn: Callable
+    boundary: str = "periodic"
+
+    def __post_init__(self):
+        solver = getattr(self.solver, "solver", self.solver)
+        object.__setattr__(self, "solver", solver)
+        if self.boundary not in ("periodic", "clamp"):
+            raise SemanticError(
+                f"boundary must be 'periodic' or 'clamp', got {self.boundary!r}"
+            )
+        if solver.var_axis != solver.dim:
+            raise SemanticError(
+                "TracerAdvector requires the SoA-P layout "
+                "(node axes, var axis, grid axes)"
+            )
+        nodes, _ = gauss_legendre(solver.n_nodes)
+        object.__setattr__(self, "_nodes", nodes)
+
+    # ------------------------------------------------------------- geometry
+
+    @property
+    def dim(self) -> int:
+        return self.solver.dim
+
+    @property
+    def extents(self) -> tuple[float, ...]:
+        """Physical domain size per axis (grid cells × cell width)."""
+        return tuple(
+            g * d for g, d in zip(self.solver.grid_shape, self.solver._dxs)
+        )
+
+    def _wrap(self, x):
+        ext = jnp.asarray(self.extents, x.dtype)
+        if self.boundary == "periodic":
+            return jnp.mod(x, ext)
+        # Clamp strictly inside so floor() lands on a real cell.
+        eps = jnp.asarray(
+            [np.finfo(np.float32).eps * e for e in self.extents], x.dtype
+        )
+        return jnp.clip(x, 0.0, ext - eps)
+
+    def _locate(self, x):
+        """Owning cell indices ``[P, dim]`` (int32) and local coords ξ ∈
+        [0,1] ``[P, dim]``."""
+        dxs = jnp.asarray(self.solver._dxs, x.dtype)
+        s = x / dxs
+        c = jnp.floor(s)
+        xi = s - c
+        g = jnp.asarray(self.solver.grid_shape, jnp.int32)
+        c = c.astype(jnp.int32)
+        if self.boundary == "periodic":
+            c = jnp.mod(c, g)
+        else:
+            c = jnp.clip(c, 0, g - 1)
+        return c, xi
+
+    # ------------------------------------------------------------- sampling
+
+    def sample(self, u, x):
+        """Evaluate the DG solution at positions ``x[P, dim]`` → ``[P, n_vars]``.
+
+        One flat gather over the trailing grid axes (the particle axis
+        rides the lanes), then per-axis Lagrange contractions.
+        """
+        solver = self.solver
+        # Normalize into the domain first so clamp mode lands on the edge
+        # CELL with xi at the edge (not an interior cell with xi=0).
+        c, xi = self._locate(self._wrap(jnp.asarray(x)))
+        # Flat cell index over the trailing grid axes.
+        flat = c[:, 0]
+        for d in range(1, self.dim):
+            flat = flat * solver.grid_shape[d] + c[:, d]
+        outer = u.shape[: self.dim + 1]  # node axes + var axis
+        uf = u.reshape(outer + (-1,))
+        qc = jnp.take(uf, flat, axis=-1)  # [n.., V, P]
+        basis = [
+            _lagrange_basis(self._nodes, xi[:, d]).astype(u.dtype)
+            for d in range(self.dim)
+        ]
+        if self.dim == 1:
+            return jnp.einsum("pa,avp->pv", basis[0], qc)
+        if self.dim == 2:
+            return jnp.einsum("pa,pb,abvp->pv", basis[0], basis[1], qc)
+        return jnp.einsum(
+            "pa,pb,pc,abcvp->pv", basis[0], basis[1], basis[2], qc
+        )
+
+    # ------------------------------------------------------------ advection
+
+    def velocity(self, u, x):
+        """Advecting velocity at positions ``x`` → ``[P, dim]``."""
+        return self.velocity_fn(self.sample(u, x))
+
+    def advect(self, u, x, dt):
+        """One RK2 (midpoint) advection step through the frozen field ``u``.
+
+        Second order in dt for the trajectory ODE; the field itself is the
+        start-of-step solution (the standard tracer-toolbox choice — the
+        field error enters at the same O(dt²) as the integrator's).
+        """
+        x = jnp.asarray(x)
+        v1 = self.velocity(u, x)
+        xm = self._wrap((x + (0.5 * dt) * v1).astype(x.dtype))
+        v2 = self.velocity(u, xm)
+        return self._wrap((x + dt * v2).astype(x.dtype))
+
+    # ------------------------------------------------------------ recording
+
+    def trajectories(self, step_fn, u, x, dt, n_steps: int):
+        """Advance solver + tracers together; record the time series.
+
+        ``step_fn(u, dt) -> u'`` is the solver step (e.g.
+        ``solver.step`` or a limited/fused step).  Tracers advect through
+        the start-of-step field, then the field advances — one fused
+        ``lax.scan``, no host round-trips.
+
+        Returns ``(u_final, x_final, xs[n_steps, P, dim],
+        vals[n_steps, P, n_vars])`` — positions and sampled solution
+        AFTER each step (through the pre-step field, the value the tracer
+        "saw" while moving).
+        """
+
+        def body(carry, _):
+            u, x = carry
+            x_new = self.advect(u, x, dt)
+            rec = self.sample(u, x_new)
+            return (step_fn(u, dt), x_new), (x_new, rec)
+
+        (u_out, x_out), (xs, vals) = jax.lax.scan(
+            body, (u, jnp.asarray(x)), None, length=n_steps
+        )
+        return u_out, x_out, xs, vals
+
+
+def uniform_tracers(
+    extents: Sequence[float], counts: Sequence[int], dtype=jnp.float32
+):
+    """Regular lattice of tracer seeds, cell-center style (no particles on
+    the domain boundary)."""
+    axes = [
+        (np.arange(n) + 0.5) * (e / n) for e, n in zip(extents, counts)
+    ]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return jnp.asarray(
+        np.stack([g.ravel() for g in grids], axis=-1), dtype
+    )

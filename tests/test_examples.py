@@ -143,3 +143,12 @@ def test_high_order_p5(tmp_path, monkeypatch, capsys):
     run_example("high_order_p5.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "high-order p5: accurate + conservative" in out
+
+
+def test_tracer_vortex(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["tracer_vortex.py", "--cpu"])
+    run_example("tracer_vortex.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "ring tracers" in out

@@ -1,0 +1,280 @@
+"""Tracer particles: interpolation exactness, trajectory accuracy,
+solver composition, and sharding.
+
+The reference DSL repo has no particle code; the downstream ExaHyPE2
+toolbox's tracers are the capability being matched (massless particles
+advected with the flow, recording the solution).  Validation is from first
+principles: single-cell DG evaluation must be EXACT on polynomials up to
+the scheme's order, constant-velocity trajectories must be exact up to
+rounding, and the RK2 integrator must show second-order dt convergence on
+a rotating field.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+from exahype_tpu.models.tracers import (
+    TracerAdvector,
+    euler_velocity,
+    uniform_tracers,
+)
+from exahype_tpu.utils.errors import SemanticError
+
+from tests.test_aderdg import advection_physics
+
+
+def make_solver(dim=2, order=3, cells=6, n_vars=1, dx=None):
+    flux, eig = advection_physics((1.0,) * dim)
+    return ADERDGSolver(
+        dim=dim,
+        order=order,
+        n_vars=n_vars,
+        grid_shape=(cells,) * dim,
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        dx=dx if dx is not None else 1.0 / cells,
+    )
+
+
+def nodal_field(solver, fn):
+    """State whose nodal values are fn(x0, x1[, x2]) in variable 0."""
+    coords = solver.nodes_meshgrid()
+    vals = fn(*coords)
+    return jnp.asarray(np.broadcast_to(vals, solver.state_shape))
+
+
+# ----------------------------------------------------------------- sampling
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sample_exact_on_polynomials(dim):
+    """Single-cell DG evaluation is exact for tensor polynomials of the
+    scheme's degree — the defining property of the Lagrange contraction."""
+    order = 3
+    solver = make_solver(dim=dim, order=order, cells=4)
+
+    def poly(*xs):
+        out = 1.0
+        for x in xs:
+            out = out * (0.3 + 1.7 * x - 2.1 * x**2 + 0.9 * x**3)
+        return out
+
+    u = nodal_field(solver, poly)
+    adv = TracerAdvector(solver, euler_velocity(dim))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((50, dim)))  # anywhere in [0,1)^dim
+    got = np.asarray(adv.sample(u, x))[:, 0]
+    want = poly(*[np.asarray(x)[:, d] for d in range(dim)])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_sample_above_scheme_degree_not_exact():
+    """Sanity: a degree-(order+1) polynomial is NOT reproduced (guards
+    against a test that would pass for any interpolant)."""
+    solver = make_solver(dim=2, order=2, cells=4)
+    u = nodal_field(solver, lambda x, y: x**3 + 0.0 * y)
+    adv = TracerAdvector(solver, euler_velocity(2))
+    x = jnp.asarray([[0.37, 0.5]])
+    got = float(adv.sample(u, x)[0, 0])
+    assert abs(got - 0.37**3) > 1e-6
+
+
+def test_sample_periodic_wrap_and_anisotropic_dx():
+    """Out-of-domain positions wrap; anisotropic cell widths locate
+    correctly."""
+    solver = ADERDGSolver(
+        dim=2,
+        order=2,
+        n_vars=1,
+        grid_shape=(4, 8),
+        flux_fn=advection_physics((1.0, 1.0))[0],
+        max_eigenvalue_fn=advection_physics((1.0, 1.0))[1],
+        dx=(0.25, 0.0625),  # domain 1.0 × 0.5
+    )
+    u = nodal_field(solver, lambda x, y: 1.0 + x + 2.0 * y)
+    adv = TracerAdvector(solver, euler_velocity(2))
+    x = jnp.asarray([[0.3, 0.2], [0.3 + 1.0, 0.2 + 0.5], [-0.7, -0.3]])
+    got = np.asarray(adv.sample(u, x))[:, 0]
+    np.testing.assert_allclose(got, 1.0 + 0.3 + 0.4, rtol=1e-12)
+
+
+def test_clamp_boundary_locates_edge():
+    solver = make_solver(dim=2, order=2, cells=4)
+    u = nodal_field(solver, lambda x, y: x + 0.0 * y)
+    adv = TracerAdvector(solver, euler_velocity(2), boundary="clamp")
+    x = jnp.asarray([[1.5, 0.5], [-0.5, 0.5]])
+    got = np.asarray(adv.sample(u, x))[:, 0]
+    np.testing.assert_allclose(got, [1.0, 0.0], atol=1e-6)
+
+
+def test_bad_boundary_rejected():
+    solver = make_solver()
+    with pytest.raises(SemanticError):
+        TracerAdvector(solver, euler_velocity(2), boundary="reflect")
+
+
+# ---------------------------------------------------------------- advection
+
+
+def test_constant_velocity_trajectory_exact():
+    """Uniform Euler flow: tracers move at exactly the fluid velocity,
+    including across the periodic wrap."""
+    dim = 2
+    flux, eig = euler_physics(dim=dim, n_real=4)
+    solver = ADERDGSolver(
+        dim=dim,
+        order=2,
+        n_vars=4,
+        grid_shape=(4, 4),
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        dx=0.25,
+    )
+    rho, vx, vy, p = 1.0, 0.8, -0.3, 1.0
+    comps = [rho, rho * vx, rho * vy, p / 0.4 + 0.5 * rho * (vx**2 + vy**2)]
+    no_var = (solver.n_nodes,) * dim + solver.grid_shape
+    u = jnp.stack(
+        [jnp.full(no_var, c) for c in comps], axis=solver.var_axis
+    )
+    adv = TracerAdvector(solver, euler_velocity(dim))
+    x0 = jnp.asarray([[0.9, 0.1], [0.2, 0.7]])
+    dt, n = 0.05, 7
+    x = x0
+    for _ in range(n):
+        x = adv.advect(u, x, dt)
+    want = np.mod(np.asarray(x0) + n * dt * np.asarray([vx, vy]), 1.0)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=0, atol=1e-12)
+
+
+def test_rk2_convergence_on_rotation():
+    """Solid-body rotation about the domain centre: halving dt divides the
+    trajectory error by ~4 (the field is linear, hence represented exactly —
+    the measured error is purely the integrator's)."""
+    solver = make_solver(dim=2, order=1, cells=8, n_vars=2)
+
+    def vfield(x, y):
+        return np.stack(
+            [-(y - 0.5), (x - 0.5)], axis=solver.var_axis
+        )
+
+    coords = solver.nodes_meshgrid()
+    xg = np.broadcast_to(coords[0], (2, 2) + (1,) + solver.grid_shape)
+    yg = np.broadcast_to(coords[1], (2, 2) + (1,) + solver.grid_shape)
+    u = jnp.asarray(
+        np.concatenate(
+            [-(yg - 0.5), (xg - 0.5)], axis=solver.var_axis
+        )
+    )
+    adv = TracerAdvector(solver, lambda vals: vals)
+    x0 = jnp.asarray([[0.75, 0.5]])  # radius 0.25
+    t_end = 1.0
+
+    def err(n_steps):
+        dt = t_end / n_steps
+        x = x0
+        for _ in range(n_steps):
+            x = adv.advect(u, x, dt)
+        ang = t_end
+        want = np.asarray(
+            [[0.5 + 0.25 * np.cos(ang), 0.5 + 0.25 * np.sin(ang)]]
+        )
+        return float(np.abs(np.asarray(x) - want).max())
+
+    e1, e2 = err(40), err(80)
+    rate = np.log2(e1 / e2)
+    assert 1.8 < rate < 2.3, (e1, e2, rate)
+
+
+# -------------------------------------------------------------- composition
+
+
+def test_trajectories_with_solver_step():
+    """Tracers + ADER-DG advance together in one jitted scan; on a smooth
+    Euler density wave with uniform velocity the tracers track the flow."""
+    dim = 2
+    flux, eig = euler_physics(dim=dim, n_real=4)
+    solver = ADERDGSolver(
+        dim=dim,
+        order=2,
+        n_vars=4,
+        grid_shape=(8, 8),
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        dx=0.125,
+    )
+    vx, vy, p = 0.5, 0.25, 1.0
+    coords = solver.nodes_meshgrid()
+    rho = 1.0 + 0.1 * np.sin(2 * np.pi * (coords[0] + coords[1]))
+    rho = np.broadcast_to(rho, (3, 3, 1) + solver.grid_shape)
+    e = p / 0.4 + 0.5 * rho * (vx**2 + vy**2)
+    u = jnp.asarray(
+        np.concatenate([rho, rho * vx, rho * vy, e], axis=solver.var_axis)
+    )
+    adv = TracerAdvector(solver, euler_velocity(dim))
+    x0 = uniform_tracers((1.0, 1.0), (3, 3), dtype=u.dtype)
+    dt, n = 2e-3, 5
+
+    run = jax.jit(
+        lambda u, x: adv.trajectories(solver.step, u, x, dt, n)
+    )
+    u_out, x_out, xs, vals = run(u, x0)
+    assert xs.shape == (n, 9, 2) and vals.shape == (n, 9, 4)
+    assert np.isfinite(np.asarray(x_out)).all()
+    # Uniform velocity: every tracer displaces by ~v·t.  The tolerance is
+    # the DG solution error of the wave at this resolution (the velocity
+    # field is uniform only in the exact solution).
+    drift = np.asarray(x_out) - np.asarray(x0)
+    np.testing.assert_allclose(
+        drift, np.broadcast_to([vx * n * dt, vy * n * dt], (9, 2)),
+        atol=1e-4,
+    )
+    # Recording contract: step k's values are sampled from the PRE-step
+    # field at the post-advection positions.
+    _, _, xs1, vals1 = adv.trajectories(solver.step, u, x0, dt, 1)
+    np.testing.assert_allclose(
+        np.asarray(vals1[0]),
+        np.asarray(adv.sample(u, xs1[0])),
+        atol=1e-12,
+    )
+
+
+def test_sample_under_grid_sharding_matches():
+    """Sampling from a mesh-sharded state (gather over the sharded grid
+    axis) matches the single-device result."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel import make_mesh
+
+    solver = make_solver(dim=2, order=2, cells=8)
+    u = nodal_field(solver, lambda x, y: jnp.sin(x) + y**2)
+    adv = TracerAdvector(solver, euler_velocity(2))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((64, 2)))
+
+    ref = np.asarray(adv.sample(u, x))
+
+    mesh = make_mesh(8)
+    spec = [None] * len(solver.state_shape)
+    spec[solver.grid_axis(0)] = "patches"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec))
+    us = jax.device_put(u, sharding)
+    got = np.asarray(jax.jit(adv.sample)(us, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-14, atol=1e-14)
+
+
+def test_pallas_accelerator_unwrapped():
+    """TracerAdvector accepts the fused accelerator and uses its base
+    solver's layout."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=0.125,
+    )
+    accel = PallasADERDG(solver, interpret=True)
+    adv = TracerAdvector(accel, euler_velocity(2))
+    assert adv.solver is solver
