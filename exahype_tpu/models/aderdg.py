@@ -477,13 +477,21 @@ class ADERDGSolver:
 
     # ---------------------------------------------------------------- driver
 
-    def cfl_dt(self, u, cfl: float = 0.4):
+    def cfl_dt(self, u, cfl: float | None = None):
         """PNPM-style CFL: dt = cfl · dx / (λ_max · (2N+1)).
 
-        The stable constant for ADER-DG is well below the formal limit
-        (cfl≈0.9 measurably blows up order-3 Euler within tens of steps);
-        0.4 holds in our validation runs.
+        The stable constant is well below the formal limit AND shrinks
+        with order.  Measured on rough (white-noise) data — the content a
+        point source or a shock injects — the scheme stays bounded over
+        150 steps up to cfl ≈ 0.43 / 0.36 / 0.31 / 0.27 at orders 2/3/4/5
+        (advection and elastic agree; ≈ 1.9/(order+2)).  Smooth
+        validation runs survive cfl = 0.4 at order 3 because the unstable
+        modes start at rounding level, but long production runs do not:
+        the default is the order-aware safe value min(0.4, 1.5/(order+2)),
+        ~15–20 % under the measured boundary.
         """
+        if cfl is None:
+            cfl = min(0.4, 1.5 / (self.order + 2))
         r = 0.0
         for d in range(self.dim):
             s_d = jnp.max(self.max_eigenvalue_fn(u, d, self.var_axis))

@@ -832,7 +832,7 @@ class PallasADERDG:
     def dofs(self) -> int:
         return self.solver.dofs()
 
-    def cfl_dt(self, u, cfl: float = 0.4):
+    def cfl_dt(self, u, cfl: float | None = None):
         return self.solver.cfl_dt(u, cfl=cfl)
 
     def total_mass(self, u):

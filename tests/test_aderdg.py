@@ -8,6 +8,7 @@ rate on smooth solutions and conserve the state exactly on periodic domains.
 State layout (SoA-P): ``[*node_axes, n_vars, *grid_axes]``.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -136,6 +137,35 @@ def test_cfl_dt_positive():
     Q0 = euler_density_wave_state(solver)
     dt = solver.cfl_dt(Q0)
     assert 0 < float(dt) < 1.0
+
+
+def test_cfl_default_is_order_aware():
+    """The default CFL constant shrinks with order (the measured stability
+    boundary is ≈1.9/(order+2); the default keeps ~15-20 % margin)."""
+    dts = []
+    for order in (2, 3, 5):
+        s = make_advection_solver(cells=4, order=order)
+        u = advection_init(s)
+        dts.append(float(s.cfl_dt(u)) * (2 * order + 1))
+    assert dts[0] > dts[1] > dts[2]
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_default_cfl_stable_on_rough_data(order):
+    """Regression for the point-source blow-up: WHITE-NOISE data stepped at
+    the default CFL dt must stay bounded (the old order-blind cfl=0.4
+    default sat ABOVE the order-3 stability boundary — fine on smooth
+    validation runs, divergent within ~100 steps on rough content such as
+    a delta source or a shock)."""
+    solver = make_advection_solver(cells=6, order=order)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(
+        rng.standard_normal(solver.state_shape).astype(np.float32)
+    )
+    dt = solver.cfl_dt(u)
+    out = jax.jit(lambda u: solver.run(u, 150, dt))(u)
+    m = float(jnp.abs(out).max())
+    assert np.isfinite(m) and m < 3.0 * float(jnp.abs(u).max())
 
 
 def test_aderdg_3d_runs():

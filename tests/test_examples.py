@@ -152,3 +152,12 @@ def test_tracer_vortex(tmp_path, monkeypatch, capsys):
     run_example("tracer_vortex.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "ring tracers" in out
+
+
+def test_seismic_point_source(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["seismic_point_source.py", "--cpu"])
+    run_example("seismic_point_source.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "P arrival" in out
