@@ -163,6 +163,11 @@ class ADERDGSolver:
     boundary: str = "periodic"
     reflect_fn: Callable | None = None
     reflect_flux_fn: Callable | None = None
+    #: With ``boundary="reflective"``: which grid axes carry walls
+    #: (``None`` = all).  Axes not listed stay periodic — e.g. the seismic
+    #: free-surface box is ``wall_axes=(1,)`` (surface top/bottom, periodic
+    #: sides).
+    wall_axes: tuple | None = None
     #: Optional per-variable multiplier (length n_vars) on the Rusanov
     #: dissipation jump term.  Zero entries keep non-evolved material
     #: parameter slots exactly frozen (their central flux is already zero,
@@ -212,6 +217,17 @@ class ADERDGSolver:
             raise SemanticError(
                 "non-conservative products support periodic boundaries only"
             )
+        if self.wall_axes is not None:
+            if self.boundary != "reflective":
+                raise SemanticError("wall_axes requires boundary='reflective'")
+            self.wall_axes = tuple(int(d) for d in self.wall_axes)
+            if not self.wall_axes or any(
+                d < 0 or d >= self.dim for d in self.wall_axes
+            ):
+                raise SemanticError(
+                    f"wall_axes must be non-empty axes in [0, {self.dim}), "
+                    f"got {self.wall_axes}"
+                )
         if isinstance(self.dx, (tuple, list)):
             if len(self.dx) != self.dim:
                 raise SemanticError("dx tuple must have one entry per dim")
@@ -238,6 +254,13 @@ class ADERDGSolver:
 
     def grid_axis(self, d: int) -> int:
         return self.dim + 1 + d
+
+    def is_wall(self, d: int) -> bool:
+        """Whether grid axis ``d`` carries a reflective wall (axes outside
+        ``wall_axes`` stay periodic)."""
+        return self.boundary == "reflective" and (
+            self.wall_axes is None or d in self.wall_axes
+        )
 
     def dofs(self) -> int:
         return int(np.prod(self.grid_shape)) * self.n_nodes**self.dim * self.n_vars
@@ -388,7 +411,7 @@ class ADERDGSolver:
         # face, right state = neighbour's low face (periodic roll).
         q_plus = shift(q_lo, -1, face_grid_ax)
         f_plus = shift(f_lo, -1, face_grid_ax)
-        if self.boundary == "reflective":
+        if self.is_wall(d):
             # Domain high wall (last cell along d): the ghost is the
             # mirror of my own time-averaged face state/flux.
             last = jax.lax.index_in_dim(
@@ -431,7 +454,7 @@ class ADERDGSolver:
 
         # Face between my -d neighbour and me: that neighbour's fhat_hi.
         fhat_lo = shift(fhat_hi, 1, face_grid_ax)
-        if self.boundary == "reflective":
+        if self.is_wall(d):
             # Domain low wall (first cell along d): Riemann flux between
             # the mirror ghost (left) and my own low-face state (right).
             first = jax.lax.index_in_dim(q_lo, 0, face_grid_ax, keepdims=True)

@@ -100,6 +100,11 @@ class ADERDGPoolRefinement:
         # (The box path, aderdg_amr, remains periodic-only.)
         if self.capacity < 1:
             raise SemanticError("capacity must be >= 1")
+        if getattr(c, "wall_axes", None) is not None:
+            raise SemanticError(
+                "the ADER-DG pool does not support per-axis wall_axes: "
+                "its wall tables mirror every out-of-domain face"
+            )
         r = self.factor
         self.block = r + 2  # fine cells per axis incl. the ghost ring
         B, M = self.block, self.capacity

@@ -130,3 +130,120 @@ def elastic_het_eigenvalue(Q, normal):
 def elastic_heterogeneous():
     """(flux, max_eigenvalue) for 2-D elasticity with per-cell materials."""
     return elastic_het_flux, elastic_het_eigenvalue
+
+
+# --------------------------------------------------- free-surface boundary
+# The ExaSeis boundary condition: a traction-free surface (σ·n = 0) — the
+# Earth's surface in seismic runs.  Imposed through the ADER-DG solver's
+# reflective-wall hooks as a ghost image whose TRACTION components are
+# negated:
+#
+#   ghost state  = interior with σ·n rows negated
+#                  (axis 0: σ_xx, σ_xy;  axis 1: σ_yy, σ_xy),
+#   ghost flux   = F(ghost) = interior flux with the VELOCITY rows negated
+#                  (F's first two rows are the traction −σ·n/ρ, odd under
+#                  the image; the stress rows carry velocities, even).
+#
+# The Rusanov face flux between interior and image then has exactly ZERO
+# momentum flux through the wall (the velocity jump vanishes, the traction
+# averages cancel) and a dissipative stress-row term that weakly drives
+# σ·n → 0 — the standard ghost formulation.  Unlike the rigid/symmetry
+# wall (v·n = 0, which IS an exact mirror image of the continuous system),
+# the free-surface ghost is exact only for the y-invariant P subsystem
+# (σ_xy ≡ 0); the differential test in tests/test_models.py exploits that.
+
+
+def _sign_reflect(signs):
+    table = np.asarray(signs, np.float64)
+
+    def reflect(Q, axis, var_axis):
+        shape = [1] * Q.ndim
+        shape[var_axis] = table.shape[-1]
+        s = jnp.asarray(table[int(axis)], Q.dtype).reshape(shape)
+        return Q * s
+
+    return reflect
+
+
+def elastic_free_surface():
+    """(reflect_fn, reflect_flux_fn) imposing traction-free walls on the
+    2-D velocity–stress system via ``ADERDGSolver(boundary="reflective",
+    ...)``."""
+    state_signs = [
+        [1.0, 1.0, -1.0, 1.0, -1.0],   # axis 0: negate σ_xx, σ_xy
+        [1.0, 1.0, 1.0, -1.0, -1.0],   # axis 1: negate σ_yy, σ_xy
+    ]
+    flux_signs = [
+        [-1.0, -1.0, 1.0, 1.0, 1.0],   # traction rows odd, both axes
+        [-1.0, -1.0, 1.0, 1.0, 1.0],
+    ]
+    return _sign_reflect(state_signs), _sign_reflect(flux_signs)
+
+
+def elastic_free_surface_het():
+    """Free-surface hooks for the 8-variable heterogeneous system: traction
+    rows as in :func:`elastic_free_surface`; the frozen material slots
+    (ρ, λ, μ) mirror EVENLY in both state and flux (their flux rows are
+    identically zero, so the flux sign is immaterial — kept +1)."""
+    even3 = [1.0, 1.0, 1.0]
+    state_signs = [
+        [1.0, 1.0, -1.0, 1.0, -1.0] + even3,
+        [1.0, 1.0, 1.0, -1.0, -1.0] + even3,
+    ]
+    flux_signs = [
+        [-1.0, -1.0, 1.0, 1.0, 1.0] + even3,
+        [-1.0, -1.0, 1.0, 1.0, 1.0] + even3,
+    ]
+    return _sign_reflect(state_signs), _sign_reflect(flux_signs)
+
+
+# ---------------------------------------------------------- absorbing edges
+# Seismic domains are half-spaces: the free surface sits on top and the
+# other edges must ABSORB outgoing waves.  The TPU-friendly version of the
+# classic sponge layer: a smooth per-cell damping mask folded into the
+# solver's algebraic ``source_fn`` (S = −σ(x)·Q_wave), so it rides the
+# space-time predictor like any other source — no extra passes, composes
+# with walls/sharding/the fused kernel's source path unchanged.
+
+
+def sponge_source(solver, width: float, rate: float, axes=None,
+                  n_wave: int | None = None):
+    """``source_fn`` damping the wave variables within ``width`` of the
+    domain edges along ``axes`` (default: all), with a squared-cosine
+    profile peaking at ``rate`` on the boundary.
+
+    ``n_wave`` limits damping to the first ``n_wave`` variables (default
+    all) — use 5 for the heterogeneous system so the material slots stay
+    frozen.  Returns a closure matching ``ADERDGSolver.source_fn``.
+    """
+    import numpy as _np
+
+    dim = solver.dim
+    if axes is None:
+        axes = tuple(range(dim))
+    sigma = _np.zeros(solver.grid_shape)
+    for d in axes:
+        centers = (_np.arange(solver.grid_shape[d]) + 0.5) * solver._dxs[d]
+        extent = solver.grid_shape[d] * solver._dxs[d]
+        edge = _np.minimum(centers, extent - centers)
+        prof = _np.where(
+            edge < width, _np.cos(0.5 * _np.pi * edge / width) ** 2, 0.0
+        )
+        shape = [1] * dim
+        shape[d] = solver.grid_shape[d]
+        sigma = _np.maximum(sigma, prof.reshape(shape))
+    sigma = rate * sigma
+    nv = solver.n_vars if n_wave is None else int(n_wave)
+    mask = _np.asarray([1.0] * nv + [0.0] * (solver.n_vars - nv))
+
+    def source(q, var_axis):
+        # q may carry a leading time-node axis inside the predictor; the
+        # trailing grid axes always line up.
+        grid_shape = (1,) * (q.ndim - dim) + tuple(solver.grid_shape)
+        s = jnp.asarray(sigma, q.dtype).reshape(grid_shape)
+        mshape = [1] * q.ndim
+        mshape[var_axis] = solver.n_vars
+        m = jnp.asarray(mask, q.dtype).reshape(mshape)
+        return -(s * m) * q
+
+    return source

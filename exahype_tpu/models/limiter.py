@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from exahype_tpu.models.aderdg import ADERDGSolver, _apply, _project
+from exahype_tpu.utils.errors import SemanticError
 
 
 def euler_admissible(dim: int, gamma: float = 1.4):
@@ -154,6 +155,12 @@ class LimitedADERDG:
         self.n_sub = 2 * self.solver.order + 1
         self._P = subcell_projection(self.solver.order, self.n_sub)
         self._R = subcell_reconstruction(self.solver.order, self.n_sub)
+        if getattr(self.solver, "wall_axes", None) is not None:
+            raise SemanticError(
+                "LimitedADERDG does not support per-axis wall_axes yet: "
+                "its DMP/ghost helpers assume walls on every axis "
+                "(use all-axis reflective or periodic solvers)"
+            )
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
         if self.fallback_order not in (1, 2):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
-from exahype_tpu.models.elastic import _speeds, elastic
+from exahype_tpu.models.elastic import _speeds, elastic, elastic_free_surface
 from exahype_tpu.models.point_source import PointSources, ricker
 from exahype_tpu.models.tracers import TracerAdvector
 
@@ -34,11 +34,14 @@ cells = 9 if on_cpu else 128
 rho, lam, mu = 1.0, 2.0, 1.0
 cp, cs = _speeds(rho, lam, mu)
 
+# Traction-free (free-surface) box — the Earth's-surface boundary condition.
 flux, eig = elastic(rho=rho, lam=lam, mu=mu)
+reflect, reflect_flux = elastic_free_surface()
 solver = ADERDGSolver(
     dim=2, order=3, n_vars=5, grid_shape=(cells, cells),
     flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
-    dx=1.0 / cells,
+    dx=1.0 / cells, boundary="reflective",
+    reflect_fn=reflect, reflect_flux_fn=reflect_flux,
 )
 
 # Vertical point force at the domain centre (a cell centre for odd grids).

@@ -2,6 +2,7 @@
 Rusanov spec pipeline (JAX backend vs NumPy oracle is covered elsewhere;
 here JAX vs Pallas-interpret) and the ADER-DG solver."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -639,3 +640,288 @@ def test_srhd_con2prim_newton_unchanged_in_mild_regime():
     r2, v2, p2, W = srhd.con2prim(Q)
     np.testing.assert_allclose(np.asarray(p2), p, rtol=1e-10, atol=0)
     np.testing.assert_allclose(np.asarray(r2), rho, rtol=1e-10, atol=0)
+
+
+# ----------------------------------------------------- elastic free surface
+
+
+def _free_surface_solver(cells=8, order=3, wall_axes=None):
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.elastic import elastic, elastic_free_surface
+
+    flux, eig = elastic(rho=1.0, lam=2.0, mu=1.0)
+    refl, refl_f = elastic_free_surface()
+    return ADERDGSolver(
+        dim=2, order=order, n_vars=5, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, boundary="reflective",
+        reflect_fn=refl, reflect_flux_fn=refl_f, wall_axes=wall_axes,
+    )
+
+
+def _elastic_energy(solver, u):
+    """Total elastic energy ½ρ|v|² + ½σ:C⁻¹:σ (ρ=1, λ=2, μ=1)."""
+    rho, lam, mu = 1.0, 2.0, 1.0
+    sel = lambda k: jax.lax.index_in_dim(u, k, solver.var_axis, keepdims=False)
+    vx, vy, sxx, syy, sxy = (sel(k) for k in range(5))
+    # Compliance: ε_xx = (σ_xx(λ+2μ) ... ) invert the 2x2 block.
+    det = (lam + 2 * mu) ** 2 - lam**2
+    exx = ((lam + 2 * mu) * sxx - lam * syy) / det
+    eyy = ((lam + 2 * mu) * syy - lam * sxx) / det
+    exy = sxy / (2 * mu)
+    e = 0.5 * rho * (vx**2 + vy**2) + 0.5 * (
+        sxx * exx + syy * eyy + 2 * sxy * exy
+    )
+    w = solver.ops.weights
+    out = np.asarray(e)
+    for d in reversed(range(solver.dim)):
+        out = np.tensordot(w, out, axes=([0], [d]))
+    return float(out.sum()) * float(np.prod(solver._dxs))
+
+
+def test_free_surface_conserves_momentum_exactly():
+    """The traction-free wall flux has EXACTLY zero momentum rows (the
+    velocity jump vanishes, the traction averages cancel), so total
+    momentum is conserved to rounding in a closed free-surface box —
+    while the stress totals are NOT (the surface does work on them)."""
+    from exahype_tpu.models.elastic import plane_p_wave
+
+    solver = _free_surface_solver(cells=8, order=3)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], axis=solver.var_axis), no_var)
+    # Smooth compact blob (not wall-symmetric).
+    blob = np.exp(-60.0 * ((X - 0.43) ** 2 + (Y - 0.58) ** 2))
+    u = jnp.asarray(
+        np.moveaxis(plane_p_wave(X, Y, 0.0), -1, solver.var_axis)
+        * np.expand_dims(blob, solver.var_axis)
+    )
+    m0 = np.asarray(solver.total_mass(u))
+    dt = float(solver.cfl_dt(u))
+    out = jax.jit(lambda u: solver.run(u, 40, dt))(u)
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[:2], m0[:2], atol=1e-13)   # momentum
+    assert abs(m1[2] - m0[2]) > 1e-9                          # σ_xx changes
+
+
+def test_free_surface_energy_non_increasing():
+    """Rusanov dissipation at the walls and faces: total elastic energy
+    must be non-increasing step over step."""
+    solver = _free_surface_solver(cells=6, order=2)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(0.01 * rng.standard_normal(solver.state_shape))
+    dt = float(solver.cfl_dt(u))
+    e_prev = _elastic_energy(solver, u)
+    for _ in range(15):
+        u = jax.jit(solver.step)(u, dt)
+        e = _elastic_energy(solver, u)
+        assert e <= e_prev * (1 + 1e-12), (e, e_prev)
+        e_prev = e
+
+
+def test_free_surface_p_wave_reflection():
+    """Normal-incidence P pulse on the free surface: the velocity reflects
+    with coefficient +1 (free end), the normal stress with −1 — compared
+    against the analytic image solution while the pulse is clear of the
+    wall again."""
+    from exahype_tpu.models.elastic import _speeds
+
+    cells, order = 24, 3
+    solver = _free_surface_solver(cells=cells, order=order, wall_axes=(0,))
+    cp, _ = _speeds(1.0, 2.0, 1.0)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+
+    def pulse(x):  # rightward-travelling compact P pulse in v_x
+        return np.exp(-800.0 * (x - 0.55) ** 2)
+
+    def state_from_vx(vx):
+        lam, mu = 2.0, 1.0
+        z = np.zeros_like(vx)
+        comps = [vx, z, -(lam + 2 * mu) / cp * vx, -lam / cp * vx, z]
+        return np.stack(comps, axis=solver.var_axis)
+
+    u = jnp.asarray(state_from_vx(pulse(X)))
+    # Travel 0.7 length units: hit the x=1 wall (0.45 away) and come back.
+    t_end = 0.7 / cp
+    dt = float(solver.cfl_dt(u)) * 0.9
+    n = int(np.ceil(t_end / dt))
+    out = np.asarray(jax.jit(lambda u: solver.run(u, n, dt))(u))
+    # Analytic: reflected v_x pulse travelling LEFT from the image point;
+    # same sign in velocity, flipped sign in stress.
+    t1 = n * dt
+    x_img = 2.0 - (0.55 + cp * t1)  # mirrored about the x=1 wall
+    vx_exact = np.exp(-800.0 * (X - x_img) ** 2)
+    got_vx = np.take(out, 0, axis=solver.var_axis)
+    got_sxx = np.take(out, 2, axis=solver.var_axis)
+    scale = np.abs(vx_exact).max()
+    assert np.abs(got_vx - vx_exact).max() < 0.05 * scale
+    # Stress flipped: σ_xx = +(λ+2μ)/c_p · v_x after reflection.
+    np.testing.assert_allclose(
+        got_sxx, +(2.0 + 2 * 1.0) / cp * vx_exact, atol=0.05 * 4 / cp * scale
+    )
+
+
+def test_wall_axes_subset_matches_full_walls_on_invariant_data():
+    """Euler in a closed box vs wall_axes=(0,1): bitwise identical.  And
+    wall_axes=(0,) on y-invariant data (v_y = 0) equals the all-wall run —
+    the y-walls are then no-ops, so the periodic y-axis must agree."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.aderdg import (
+        ADERDGSolver,
+        euler_physics,
+        euler_reflect,
+        euler_reflect_flux,
+    )
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+
+    def solver_for(wall_axes):
+        return ADERDGSolver(
+            dim=2, order=2, n_vars=4, grid_shape=(6, 6),
+            flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 6,
+            boundary="reflective", reflect_fn=euler_reflect(2),
+            reflect_flux_fn=euler_reflect_flux(2), wall_axes=wall_axes,
+        )
+
+    s_all = solver_for(None)
+    s_01 = solver_for((0, 1))
+    s_0 = solver_for((0,))
+    coords = s_all.nodes_meshgrid()
+    no_var = s_all.state_shape[:2] + s_all.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=s_all.var_axis), no_var)
+    rho = 1.0 + 0.3 * np.exp(-40.0 * (X - 0.5) ** 2)   # y-invariant, v=0
+    z = np.zeros_like(rho)
+    u = jnp.asarray(
+        np.stack([rho, z, z, 2.5 + 0.2 * rho], axis=s_all.var_axis)
+    )
+    dt = 1e-3
+    a = np.asarray(jax.jit(lambda u: s_all.run(u, 10, dt))(u))
+    b = np.asarray(jax.jit(lambda u: s_01.run(u, 10, dt))(u))
+    c = np.asarray(jax.jit(lambda u: s_0.run(u, 10, dt))(u))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(c, a, rtol=1e-13, atol=1e-15)
+
+
+def test_wall_axes_validation():
+    from exahype_tpu.utils.errors import SemanticError
+
+    with pytest.raises(SemanticError):
+        _free_surface_solver(wall_axes=(2,))      # out of range
+    with pytest.raises(SemanticError):
+        _free_surface_solver(wall_axes=())        # empty
+    from exahype_tpu.models.aderdg import ADERDGSolver
+    from tests.test_aderdg import advection_physics
+
+    flux, eig = advection_physics((1.0, 1.0))
+    with pytest.raises(SemanticError):
+        ADERDGSolver(
+            dim=2, order=2, n_vars=1, grid_shape=(4, 4), flux_fn=flux,
+            max_eigenvalue_fn=eig, dx=0.25, wall_axes=(0,),  # periodic
+        )
+
+
+def test_limiter_and_pool_reject_partial_walls():
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+    from exahype_tpu.utils.errors import SemanticError
+
+    solver = _free_surface_solver(wall_axes=(0,))
+    with pytest.raises(SemanticError):
+        LimitedADERDG(solver, admissible=lambda q, va: jnp.ones(()))
+    from exahype_tpu.models.aderdg_pool import ADERDGPoolRefinement
+
+    with pytest.raises(SemanticError):
+        ADERDGPoolRefinement(coarse=solver, capacity=2, factor=2)
+
+
+def test_het_free_surface_conserves_momentum_exactly():
+    """Heterogeneous (layered-material) elastic box with free surfaces:
+    wall momentum flux is exactly zero, so total momentum conserves to
+    rounding even across material interfaces; the material slots stay
+    bitwise frozen."""
+    from exahype_tpu.models.elastic import (
+        elastic_free_surface_het,
+        elastic_heterogeneous,
+        plane_p_wave,
+    )
+
+    flux, eig = elastic_heterogeneous()
+    refl, refl_f = elastic_free_surface_het()
+    cells = 8
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=8, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, boundary="reflective",
+        reflect_fn=refl, reflect_flux_fn=refl_f,
+        dissipation_mask=(1,) * 5 + (0,) * 3,
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], axis=solver.var_axis), no_var)
+    blob = np.exp(-60.0 * ((X - 0.4) ** 2 + (Y - 0.6) ** 2))
+    wave = np.moveaxis(plane_p_wave(X, Y, 0.0), -1, solver.var_axis)
+    wave = wave * np.expand_dims(blob, solver.var_axis)
+    # Layered medium: stiffer lower half.
+    lam_f = np.where(Y < 0.5, 2.0, 4.0)
+    mats = np.stack([np.ones_like(X), lam_f, np.ones_like(X)],
+                    axis=solver.var_axis)
+    u = jnp.asarray(np.concatenate([wave, mats], axis=solver.var_axis))
+    m0 = np.asarray(solver.total_mass(u))
+    dt = float(solver.cfl_dt(u))
+    out = jax.jit(lambda u: solver.run(u, 30, dt))(u)
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[:2], m0[:2], atol=1e-13)
+    np.testing.assert_array_equal(  # materials bitwise frozen
+        np.take(np.asarray(out), [5, 6, 7], axis=solver.var_axis),
+        np.take(np.asarray(u), [5, 6, 7], axis=solver.var_axis),
+    )
+
+
+def test_sponge_absorbs_outgoing_pulse():
+    """Sponge layer: a P pulse travelling into the absorbing band loses
+    >90 % of its energy instead of wrapping around the periodic domain."""
+    from exahype_tpu.models.elastic import (
+        _speeds,
+        elastic,
+        plane_p_wave,
+        sponge_source,
+    )
+
+    cells = 24
+    cp, _ = _speeds(1.0, 2.0, 1.0)
+    flux, eig = elastic(rho=1.0, lam=2.0, mu=1.0)
+
+    def solver_with(source):
+        return ADERDGSolver(
+            dim=2, order=3, n_vars=5, grid_shape=(cells, cells),
+            flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+            dx=1.0 / cells, source_fn=source,
+        )
+
+    base = solver_with(None)
+    sponge = sponge_source(base, width=0.2, rate=80.0, axes=(0,))
+    damped = solver_with(sponge)
+
+    coords = base.nodes_meshgrid()
+    no_var = base.state_shape[:2] + base.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=base.var_axis), no_var)
+    vx = np.exp(-600.0 * (X - 0.5) ** 2)
+    z = np.zeros_like(vx)
+    u = jnp.asarray(np.stack(
+        [vx, z, -(2.0 + 2.0) / cp * vx, -2.0 / cp * vx, z],
+        axis=base.var_axis,
+    ))
+    # Travel 0.55 units: the pulse (at 0.5, moving +x) crosses the band
+    # [0.8, 1.0] and would wrap to ~0.05 without the sponge.
+    dt = float(base.cfl_dt(u)) * 0.9
+    n = int(np.ceil(0.55 / cp / dt))
+    out_p = np.asarray(jax.jit(lambda u: base.run(u, n, dt))(u))
+    out_s = np.asarray(jax.jit(lambda u: damped.run(u, n, dt))(u))
+    amp_p = np.abs(np.take(out_p, 0, axis=base.var_axis)).max()
+    amp_s = np.abs(np.take(out_s, 0, axis=base.var_axis)).max()
+    assert amp_p > 0.5          # periodic: the pulse survives the wrap
+    assert amp_s < 0.1 * amp_p  # sponge: absorbed
