@@ -247,3 +247,95 @@ def sponge_source(solver, width: float, rate: float, axes=None,
         return -(s * m) * q
 
     return source
+
+
+# --------------------------------------------------------- 3-D elasticity
+# The production ExaSeis configuration is 3-D: 9 variables
+#   Q = [v_x, v_y, v_z, σ_xx, σ_yy, σ_zz, σ_yz, σ_xz, σ_xy]
+# (Voigt stress ordering), with
+#   ρ ∂t v_i = ∂_j σ_ij,    ∂t σ_ij = λ δ_ij ∂_k v_k + μ(∂_i v_j + ∂_j v_i).
+
+N_VARS_3D = 9
+
+# σ_in component index for (axis n, velocity i): rows of the Voigt vector.
+_SIG = {  # (i, j) -> Voigt index (i<=j)
+    (0, 0): 3, (1, 1): 4, (2, 2): 5, (1, 2): 6, (0, 2): 7, (0, 1): 8,
+}
+
+
+def _sig_idx(i, j):
+    return _SIG[(min(i, j), max(i, j))]
+
+
+def elastic3d_flux(Q, normal, *, rho: float = 1.0, lam: float = 2.0,
+                   mu: float = 1.0):
+    n = int(normal)
+    v = [Q[..., i] for i in range(3)]
+    comps = [None] * N_VARS_3D
+    for i in range(3):
+        comps[i] = -Q[..., _sig_idx(i, n)] / rho
+    for i in range(3):
+        for j in range(i, 3):
+            val = lam * v[n] if i == j else 0.0 * v[0]
+            if i == n:
+                val = val + mu * v[j] + (mu * v[j] if j == n else 0.0)
+            elif j == n:
+                val = val + mu * v[i]
+            comps[_sig_idx(i, j)] = -val
+    return jnp.stack(comps, axis=-1)
+
+
+def elastic3d_eigenvalue(Q, normal, *, rho: float = 1.0, lam: float = 2.0,
+                         mu: float = 1.0):
+    cp, _ = _speeds(rho, lam, mu)
+    return jnp.full(Q.shape[:-1], cp, Q.dtype)
+
+
+def elastic3d(rho: float = 1.0, lam: float = 2.0, mu: float = 1.0):
+    """(flux, max_eigenvalue) batch-native pair for 3-D elasticity."""
+    return (
+        partial(elastic3d_flux, rho=rho, lam=lam, mu=mu),
+        partial(elastic3d_eigenvalue, rho=rho, lam=lam, mu=mu),
+    )
+
+
+def elastic3d_free_surface():
+    """Traction-free hooks for the 3-D system: per wall axis n, the state
+    ghost negates the three σ_in rows; the flux ghost negates the three
+    velocity (traction) rows."""
+    state_signs = []
+    for n in range(3):
+        s = [1.0] * N_VARS_3D
+        for i in range(3):
+            s[_sig_idx(i, n)] = -1.0
+        state_signs.append(s)
+    flux_signs = [[-1.0] * 3 + [1.0] * 6] * 3
+    return _sign_reflect(state_signs), _sign_reflect(flux_signs)
+
+
+def plane_p_wave_3d(x, t, *, rho: float = 1.0, lam: float = 2.0,
+                    mu: float = 1.0, k: float = 2 * np.pi,
+                    amplitude: float = 1e-3):
+    """Exact P wave travelling in +x; returns the 9-variable state on the
+    coordinate array ``x`` (variable axis last)."""
+    cp, _ = _speeds(rho, lam, mu)
+    vx = amplitude * np.sin(k * (x - cp * t))
+    z = np.zeros_like(vx)
+    return np.stack(
+        [vx, z, z,
+         -(lam + 2 * mu) / cp * vx, -lam / cp * vx, -lam / cp * vx,
+         z, z, z],
+        axis=-1,
+    )
+
+
+def plane_s_wave_3d(x, t, *, rho: float = 1.0, lam: float = 2.0,
+                    mu: float = 1.0, k: float = 2 * np.pi,
+                    amplitude: float = 1e-3):
+    """Exact S wave travelling in +x, polarized in y (v_y, σ_xy only)."""
+    _, cs = _speeds(rho, lam, mu)
+    vy = amplitude * np.sin(k * (x - cs * t))
+    z = np.zeros_like(vy)
+    return np.stack(
+        [z, vy, z, z, z, z, z, z, -mu / cs * vy], axis=-1
+    )

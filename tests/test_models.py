@@ -925,3 +925,95 @@ def test_sponge_absorbs_outgoing_pulse():
     amp_s = np.abs(np.take(out_s, 0, axis=base.var_axis)).max()
     assert amp_p > 0.5          # periodic: the pulse survives the wrap
     assert amp_s < 0.1 * amp_p  # sponge: absorbed
+
+
+# -------------------------------------------------------------- 3-D elastic
+
+
+def test_elastic3d_flux_reduces_to_2d():
+    """z-invariant states with v_z = σ_·z = 0: the 3-D fluxes restrict to
+    the 2-D system's on the shared components (independent derivation
+    cross-check)."""
+    from exahype_tpu.models.elastic import elastic3d_flux, elastic_flux
+
+    rng = np.random.default_rng(2)
+    q2 = rng.standard_normal((7, 5))
+    q3 = np.zeros((7, 9))
+    q3[:, 0], q3[:, 1] = q2[:, 0], q2[:, 1]          # vx, vy
+    q3[:, 3], q3[:, 4], q3[:, 8] = q2[:, 2], q2[:, 3], q2[:, 4]
+    pick = [0, 1, 3, 4, 8]                           # vx vy sxx syy sxy
+    for n in (0, 1):
+        f3 = np.asarray(elastic3d_flux(jnp.asarray(q3), n))
+        f2 = np.asarray(elastic_flux(jnp.asarray(q2), n))
+        np.testing.assert_allclose(f3[:, pick], f2, atol=1e-14)
+        # σ_zz row couples via λ only; everything else involving z is 0.
+        np.testing.assert_allclose(f3[:, [2, 6]], 0.0, atol=1e-14)
+
+
+@pytest.mark.parametrize("wave", ["p", "s"])
+def test_elastic3d_plane_wave_aderdg(wave):
+    """Exact P and S plane waves through the 3-D solver at order 3."""
+    from exahype_tpu.models.elastic import (
+        elastic3d,
+        plane_p_wave_3d,
+        plane_s_wave_3d,
+    )
+
+    rho, lam, mu = 1.0, 2.0, 1.0
+    flux, eig = elastic3d(rho=rho, lam=lam, mu=mu)
+    cells = 6
+    solver = ADERDGSolver(
+        dim=3, order=3, n_vars=9, grid_shape=(cells,) * 3,
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:3] + solver.state_shape[4:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    fn = plane_p_wave_3d if wave == "p" else plane_s_wave_3d
+
+    def state(t):
+        return jnp.asarray(
+            np.moveaxis(fn(X, t, rho=rho, lam=lam, mu=mu), -1, solver.var_axis)
+        )
+
+    t_end = 0.04
+    n_steps = 25
+    out = jax.jit(lambda u: solver.run(u, n_steps, t_end / n_steps))(state(0.0))
+    err = float(jnp.max(jnp.abs(out - state(t_end))))
+    assert err < 0.03 * 1e-3, f"{wave}-wave error {err}"
+
+
+def test_elastic3d_free_surface_momentum_exact():
+    """Closed 3-D free-surface box: total momentum conserved to rounding."""
+    from exahype_tpu.models.elastic import (
+        elastic3d,
+        elastic3d_free_surface,
+        plane_p_wave_3d,
+    )
+
+    flux, eig = elastic3d()
+    refl, refl_f = elastic3d_free_surface()
+    cells = 4
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=9, grid_shape=(cells,) * 3,
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, boundary="reflective",
+        reflect_fn=refl, reflect_flux_fn=refl_f,
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:3] + solver.state_shape[4:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], axis=solver.var_axis), no_var)
+    Z = np.broadcast_to(np.squeeze(coords[2], axis=solver.var_axis), no_var)
+    blob = np.exp(-40.0 * ((X - 0.4) ** 2 + (Y - 0.6) ** 2 + (Z - 0.5) ** 2))
+    u = jnp.asarray(
+        np.moveaxis(plane_p_wave_3d(X, 0.0), -1, solver.var_axis)
+        * np.expand_dims(blob, solver.var_axis)
+    )
+    m0 = np.asarray(solver.total_mass(u))
+    dt = float(solver.cfl_dt(u))
+    out = jax.jit(lambda u: solver.run(u, 20, dt))(u)
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[:3], m0[:3], atol=1e-13)
+    assert abs(m1[3] - m0[3]) > 1e-10  # the stresses DO change
