@@ -148,3 +148,29 @@ def assemble_pool(pool, fine_Q, tables, fill=np.nan) -> np.ndarray:
             interior = interior[tuple(s)]
         out[sl] = interior
     return out
+
+
+def write_seismograms(
+    path,
+    times,
+    positions,
+    values,
+    var_names: Optional[Sequence[str]] = None,
+    **extra,
+):
+    """Receiver time series (the ExaHyPE probe/seismogram output): NPZ with
+    ``times [T]``, ``positions [R, dim]`` and one ``[T, R]`` array per
+    variable — the shape :meth:`TracerAdvector.trajectories` and the
+    example receiver scans produce (``values [T, R, n_vars]``)."""
+    values = np.asarray(values)
+    names = list(var_names or [f"var{i}" for i in range(values.shape[-1])])
+    if len(names) != values.shape[-1]:
+        raise ValueError(
+            f"{len(names)} names for {values.shape[-1]} variables"
+        )
+    arrays = {name: values[..., i] for i, name in enumerate(names)}
+    arrays["times"] = np.asarray(times)
+    arrays["positions"] = np.asarray(positions)
+    arrays.update(extra)
+    np.savez_compressed(path, **arrays)
+    return pathlib.Path(path)

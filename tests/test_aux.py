@@ -608,3 +608,30 @@ def test_export_limited_production_step(tmp_path):
     got = np.asarray(restored(Q, jnp.float64(2e-3)))
     want = np.asarray(jax.jit(lim.step)(Q, jnp.float64(2e-3)))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_write_seismograms(tmp_path):
+    import numpy as np
+
+    from exahype_tpu.utils.output import write_seismograms
+
+    T, R, V = 7, 3, 2
+    vals = np.arange(T * R * V, dtype=float).reshape(T, R, V)
+    p = write_seismograms(
+        tmp_path / "seis.npz",
+        times=np.linspace(0, 1, T),
+        positions=np.zeros((R, 2)),
+        values=vals,
+        var_names=["vx", "vy"],
+        dt=0.1,
+    )
+    with np.load(p) as f:
+        np.testing.assert_array_equal(f["vx"], vals[..., 0])
+        assert f["times"].shape == (T,) and f["positions"].shape == (R, 2)
+        assert float(f["dt"]) == 0.1
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_seismograms(
+            tmp_path / "bad.npz", [0], np.zeros((R, 2)), vals, ["only-one"]
+        )

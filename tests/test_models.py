@@ -1017,3 +1017,28 @@ def test_elastic3d_free_surface_momentum_exact():
     m1 = np.asarray(solver.total_mass(out))
     np.testing.assert_allclose(m1[:3], m0[:3], atol=1e-13)
     assert abs(m1[3] - m0[3]) > 1e-10  # the stresses DO change
+
+
+def test_elastic3d_fused_pallas_parity():
+    """The 3-D seismic system runs on the flagship fused predictor
+    (interpret mode here; the kernel is physics-generic) at 1e-12 parity
+    with the base solver."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.models.elastic import elastic3d, plane_p_wave_3d
+
+    flux, eig = elastic3d()
+    cells = 4
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=9, grid_shape=(cells,) * 3,
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+    )
+    fused = PallasADERDG(solver, interpret=True)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:3] + solver.state_shape[4:]
+    X = np.broadcast_to(np.squeeze(coords[0], axis=solver.var_axis), no_var)
+    u = jnp.asarray(np.moveaxis(plane_p_wave_3d(X, 0.0), -1, solver.var_axis))
+    dt = 1e-3
+    ref = np.asarray(solver.step(u, dt))
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15)
