@@ -235,3 +235,76 @@ def uniform_tracers(
     return jnp.asarray(
         np.stack([g.ravel() for g in grids], axis=-1), dtype
     )
+
+
+class NestedTracerAdvector:
+    """Tracers over a two-level AMR composite (`ADERDGNestedRefinement`):
+    particles inside the refined box sample the FINE solution, everyone
+    else the coarse — the adaptive-mesh behaviour of the ExaHyPE2 tracer
+    toolbox.
+
+    State is the AMR pair ``(uc, uf)``; ``step_fn`` in
+    :meth:`trajectories` is ``(state, dt) -> state`` (e.g.
+    ``lambda s, dt: amr.step(*s, dt)``).  The fine sub-sampler runs in
+    clamp mode on the ghost-extended fine grid; its values are selected
+    only where the particle is strictly inside the refined interior.
+    """
+
+    def __init__(self, amr, velocity_fn: Callable, boundary: str = "periodic"):
+        self.amr = amr
+        self.coarse_adv = TracerAdvector(amr.coarse, velocity_fn, boundary)
+        self.fine_adv = TracerAdvector(amr.fine, velocity_fn, "clamp")
+        c = amr.coarse
+        r = amr.factor
+        # Physical origin of the ghost-extended fine grid: one fine cell
+        # before the region's low corner.
+        self._origin = tuple(
+            (lo - 1.0 / r) * dxc for lo, dxc in zip(amr.region_lo, c._dxs)
+        )
+        self._lo = tuple(lo * dxc for lo, dxc in zip(amr.region_lo, c._dxs))
+        self._hi = tuple(hi * dxc for hi, dxc in zip(amr.region_hi, c._dxs))
+
+    @property
+    def dim(self) -> int:
+        return self.coarse_adv.dim
+
+    def _inside(self, xw):
+        lo = jnp.asarray(self._lo, xw.dtype)
+        hi = jnp.asarray(self._hi, xw.dtype)
+        return jnp.all((xw >= lo) & (xw < hi), axis=-1)
+
+    def sample(self, state, x):
+        uc, uf = state
+        x = jnp.asarray(x)
+        xw = self.coarse_adv._wrap(x)
+        vals_c = self.coarse_adv.sample(uc, xw)
+        vals_f = self.fine_adv.sample(
+            uf, xw - jnp.asarray(self._origin, x.dtype)
+        )
+        return jnp.where(self._inside(xw)[:, None], vals_f, vals_c)
+
+    def velocity(self, state, x):
+        return self.coarse_adv.velocity_fn(self.sample(state, x))
+
+    def advect(self, state, x, dt):
+        x = jnp.asarray(x)
+        wrap = self.coarse_adv._wrap
+        v1 = self.velocity(state, x)
+        xm = wrap((x + (0.5 * dt) * v1).astype(x.dtype))
+        v2 = self.velocity(state, xm)
+        return wrap((x + dt * v2).astype(x.dtype))
+
+    def trajectories(self, step_fn, state, x, dt, n_steps: int):
+        """Advance the AMR composite + tracers together (cf.
+        :meth:`TracerAdvector.trajectories`)."""
+
+        def body(carry, _):
+            state, x = carry
+            x_new = self.advect(state, x, dt)
+            rec = self.sample(state, x_new)
+            return (step_fn(state, dt), x_new), (x_new, rec)
+
+        (state_out, x_out), (xs, vals) = jax.lax.scan(
+            body, (state, jnp.asarray(x)), None, length=n_steps
+        )
+        return state_out, x_out, xs, vals

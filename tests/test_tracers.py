@@ -278,3 +278,98 @@ def test_pallas_accelerator_unwrapped():
     accel = PallasADERDG(solver, interpret=True)
     adv = TracerAdvector(accel, euler_velocity(2))
     assert adv.solver is solver
+
+
+# ------------------------------------------------------------- AMR tracers
+
+
+def make_amr(order=3, cells=6, factor=3):
+    from exahype_tpu.models.aderdg_amr import ADERDGNestedRefinement
+
+    solver = make_solver(dim=2, order=order, cells=cells)
+    return ADERDGNestedRefinement(
+        coarse=solver, region_lo=(1, 2), region_hi=(4, 5), factor=factor
+    )
+
+
+def test_nested_sampler_consistent_on_polynomials():
+    """A degree<=order field is represented exactly on BOTH levels, so the
+    composite sampler must agree with the coarse one everywhere — a strong
+    check of the fine grid's ghost-extended origin offset."""
+    from exahype_tpu.models.tracers import NestedTracerAdvector
+
+    amr = make_amr()
+    uc = nodal_field(amr.coarse, lambda x, y: 0.4 + x * y - 1.3 * x**2 * y)
+    uf = amr.prolong_initial(uc)
+    nested = NestedTracerAdvector(amr, euler_velocity(2))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((80, 2)))
+    got = np.asarray(nested.sample((uc, uf), x))
+    want = np.asarray(nested.coarse_adv.sample(uc, x))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_nested_sampler_selects_fine_inside_region():
+    """For a rough field the two levels disagree; the composite must return
+    the FINE values strictly inside the refined box and coarse outside."""
+    from exahype_tpu.models.tracers import NestedTracerAdvector
+
+    amr = make_amr(order=2)
+    uc = nodal_field(amr.coarse, lambda x, y: np.sin(9 * x) * np.cos(7 * y))
+    uf = amr.prolong_initial(uc)
+    # Perturb the fine level so the levels are distinguishable.
+    uf = uf + 0.01
+    nested = NestedTracerAdvector(amr, euler_velocity(2))
+    dxc = amr.coarse._dxs[0]
+    inside = jnp.asarray([[1.5 * dxc, 3.0 * dxc], [3.9 * dxc, 2.1 * dxc]])
+    outside = jnp.asarray([[0.2 * dxc, 0.5 * dxc], [5.5 * dxc, 5.5 * dxc]])
+    vi = np.asarray(nested.sample((uc, uf), inside))
+    vo = np.asarray(nested.sample((uc, uf), outside))
+    fi = np.asarray(
+        nested.fine_adv.sample(uf, inside - jnp.asarray(nested._origin))
+    )
+    ci = np.asarray(nested.coarse_adv.sample(uc, inside))
+    co = np.asarray(nested.coarse_adv.sample(uc, outside))
+    np.testing.assert_allclose(vi, fi, atol=1e-12)
+    np.testing.assert_allclose(vo, co, atol=1e-12)
+    assert np.abs(vi - ci).max() > 1e-3  # levels genuinely differ inside
+
+
+def test_nested_trajectories_with_amr_step():
+    """Tracers + the coupled AMR step advance together in one jitted scan."""
+    from exahype_tpu.models.aderdg_amr import ADERDGNestedRefinement
+    from exahype_tpu.models.tracers import NestedTracerAdvector
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    coarse = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(6, 6),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 6,
+    )
+    amr = ADERDGNestedRefinement(
+        coarse=coarse, region_lo=(2, 2), region_hi=(4, 4), factor=2
+    )
+    vx, vy, p = 0.3, -0.2, 1.0
+    no_var = (3, 3) + coarse.grid_shape
+    rho = jnp.ones(no_var)
+    uc = jnp.stack(
+        [rho, rho * vx, rho * vy,
+         p / 0.4 + 0.5 * rho * (vx**2 + vy**2)],
+        axis=coarse.var_axis,
+    )
+    uf = amr.prolong_initial(uc)
+    nested = NestedTracerAdvector(amr, euler_velocity(2))
+    x0 = jnp.asarray([[0.45, 0.55], [0.1, 0.9]])  # one in-region, one out
+    dt, n = 2e-3, 4
+    run = jax.jit(
+        lambda s, x: nested.trajectories(
+            lambda st, d: amr.step(*st, d), s, x, dt, n
+        )
+    )
+    (uc1, uf1), x1, xs, vals = run((uc, uf), x0)
+    assert xs.shape == (n, 2, 2) and vals.shape == (n, 2, 4)
+    drift = np.asarray(x1) - np.asarray(x0)
+    np.testing.assert_allclose(
+        drift, np.broadcast_to([vx * n * dt, vy * n * dt], (2, 2)), atol=1e-6
+    )
