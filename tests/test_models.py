@@ -1042,3 +1042,142 @@ def test_elastic3d_fused_pallas_parity():
     ref = np.asarray(solver.step(u, dt))
     got = np.asarray(fused.step(u, dt))
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15)
+
+
+# --------------------------------------------------------------------- RMHD
+
+
+def test_rmhd_con2prim_roundtrip():
+    """prim → cons → prim at 1e-10 across W up to ~7 and magnetizations up
+    to σ ~ 10 (the regimes the GRMHD family exists for)."""
+    from exahype_tpu.models import rmhd as m
+
+    rng = np.random.default_rng(0)
+    n = 256
+    rho = 10.0 ** rng.uniform(-4, 1, n)
+    p = 10.0 ** rng.uniform(-4, 1, n)
+    # |v| up to 0.99 (W ≈ 7), random direction.
+    vmag = rng.uniform(0.0, 0.99, n)
+    vdir = rng.standard_normal((n, 3))
+    vdir /= np.linalg.norm(vdir, axis=-1, keepdims=True)
+    v = vmag[:, None] * vdir
+    sigma = 10.0 ** rng.uniform(-3, 1, n)
+    Bmag = np.sqrt(sigma * rho)  # σ ~ B²/ρ
+    Bdir = rng.standard_normal((n, 3))
+    Bdir /= np.linalg.norm(Bdir, axis=-1, keepdims=True)
+    B = Bmag[:, None] * Bdir
+
+    Q = m.prim_to_cons(jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+                       jnp.asarray(B))
+    r2, v2, p2, W2 = m.con2prim(Q)
+    np.testing.assert_allclose(np.asarray(r2), rho, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p2), p, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v2), v, atol=1e-10)
+
+
+def test_rmhd_reduces_to_srhd_at_zero_field():
+    """B = 0: the RMHD fluxes must equal the SRHD fluxes exactly (the two
+    modules derive them independently)."""
+    from exahype_tpu.models import rmhd as m
+    from exahype_tpu.models import srhd
+
+    rng = np.random.default_rng(1)
+    n = 64
+    rho = rng.uniform(0.1, 2.0, n)
+    p = rng.uniform(0.1, 2.0, n)
+    v = 0.8 * rng.uniform(-1, 1, (n, 3)) / np.sqrt(3)
+    B = np.zeros((n, 3))
+    Qm = m.prim_to_cons(jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+                        jnp.asarray(B))
+    Qs = srhd.prim_to_cons(jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p))
+    np.testing.assert_allclose(  # same conserved hydro block
+        np.asarray(Qm)[:, :5], np.asarray(Qs), atol=1e-14
+    )
+    for axis in range(3):
+        fm = np.asarray(m.rmhd_flux(Qm, axis))
+        fs = np.asarray(srhd.srhd_flux(Qs, axis, gamma=5.0 / 3.0))
+        np.testing.assert_allclose(fm[:, :5], fs, atol=1e-11)
+        np.testing.assert_allclose(fm[:, 5:], 0.0, atol=1e-14)
+
+
+def test_rmhd_causality():
+    from exahype_tpu.models import rmhd as m
+
+    rng = np.random.default_rng(2)
+    n = 128
+    rho = 10.0 ** rng.uniform(-3, 1, n)
+    p = 10.0 ** rng.uniform(-3, 2, n)
+    v = 0.995 * rng.uniform(-1, 1, (n, 3)) / np.sqrt(3)
+    B = rng.standard_normal((n, 3)) * 3.0
+    Q = m.prim_to_cons(jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+                       jnp.asarray(B))
+    for axis in range(3):
+        lam = np.asarray(m.rmhd_eigenvalue(Q, axis))
+        assert np.all(lam <= 1.0 + 1e-14) and np.all(lam > 0)
+
+
+def test_rmhd_aderdg_constant_state_and_conservation():
+    """Constant magnetized state is an exact steady state; on a smooth
+    perturbed state every conserved total (incl. B) holds to rounding on
+    the periodic domain."""
+    from exahype_tpu.models import rmhd as m
+    from exahype_tpu.models.aderdg import wrap_var_last
+
+    flux, eig = m.rmhd(c_h=1.0)
+    cells = 4
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=9, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+    )
+    prim = dict(rho=1.0, v=np.asarray([0.3, -0.2, 0.1]), p=0.8,
+                B=np.asarray([0.4, 0.3, -0.2]))
+    q0 = np.asarray(m.prim_to_cons(
+        jnp.asarray(prim["rho"]), jnp.asarray(prim["v"]),
+        jnp.asarray(prim["p"]), jnp.asarray(prim["B"]),
+    ))
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    u = jnp.asarray(np.moveaxis(
+        np.broadcast_to(q0, no_var + (9,)), -1, solver.var_axis
+    ))
+    dt = 5e-3
+    out = jax.jit(lambda u: solver.run(u, 5, dt))(u)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(u),
+                               rtol=1e-11, atol=1e-13)
+
+    # Smooth perturbation: conservation of all 8 physical variables.
+    coords = solver.nodes_meshgrid()
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    rho_f = 1.0 + 0.2 * np.sin(2 * np.pi * (X + Y))
+    v_f = np.stack([0.2 + 0.05 * np.cos(2 * np.pi * X),
+                    -0.1 * np.ones_like(X),
+                    0.05 * np.ones_like(X)], -1)
+    # div-free B: B = (∂y A, −∂x A, const) with A = cos(2πx)cos(2πy).
+    B_f = np.stack([
+        -np.cos(2 * np.pi * X) * np.sin(2 * np.pi * Y),
+        np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y),
+        0.3 * np.ones_like(X),
+    ], -1)
+    q = m.prim_to_cons(jnp.asarray(rho_f), jnp.asarray(v_f),
+                       jnp.asarray(0.8 * rho_f), jnp.asarray(B_f))
+    u = jnp.asarray(np.moveaxis(np.asarray(q), -1, solver.var_axis))
+    m0 = np.asarray(solver.total_mass(u))
+    dt = float(solver.cfl_dt(u)) * 0.8
+    out = jax.jit(lambda u: solver.run(u, 10, dt))(u)
+    m1 = np.asarray(solver.total_mass(out))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(m1[:8], m0[:8], rtol=1e-12, atol=1e-13)
+
+
+def test_rmhd_admissibility_hook():
+    from exahype_tpu.models import rmhd as m
+
+    good = m.prim_to_cons(
+        jnp.asarray([1.0]), jnp.asarray([[0.3, 0.0, 0.0]]),
+        jnp.asarray([0.5]), jnp.asarray([[0.2, 0.1, 0.0]]),
+    )
+    ok = m.rmhd_admissible()
+    assert bool(ok(good, 1)[0])
+    bad = good.at[0, 0].set(-1.0)  # negative D → unphysical recovery
+    assert not bool(ok(bad, 1)[0])
