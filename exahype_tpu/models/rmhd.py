@@ -118,6 +118,16 @@ def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 20,
 
     _, (W, p) = resid(z)
     v = (S + (sB / z)[..., None] * B) / (z + B2)[..., None]
+    # Subluminal clamp: on UNPHYSICAL inputs (the a-posteriori limiter
+    # evaluates physics on candidate/reconstructed states before rejecting
+    # them) the bracket can collapse to the floor and sB/z blows v up —
+    # the recovery must still return bounded primitives so the flux and
+    # eigenvalue stay finite.  Physical states are unaffected (|v| < 1
+    # already holds there).
+    v2 = jnp.sum(v * v, axis=-1)
+    scale = jnp.sqrt((1.0 - 1e-12) / jnp.maximum(v2, 1e-300))
+    v = v * jnp.minimum(1.0, scale)[..., None]
+    W = 1.0 / jnp.sqrt(1.0 - jnp.clip(v2, 0.0, 1.0 - 1e-12))
     rho = D / W
     return rho, v, p, W
 

@@ -161,3 +161,12 @@ def test_seismic_point_source(tmp_path, monkeypatch, capsys):
     run_example("seismic_point_source.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "P arrival" in out
+
+
+def test_rmhd_vortex(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["rmhd_vortex.py", "--cpu"])
+    run_example("rmhd_vortex.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "relativistic OT" in out

@@ -1181,3 +1181,72 @@ def test_rmhd_admissibility_hook():
     assert bool(ok(good, 1)[0])
     bad = good.at[0, 0].set(-1.0)  # negative D → unphysical recovery
     assert not bool(ok(bad, 1)[0])
+
+
+def test_rmhd_con2prim_bounded_on_garbage():
+    """The a-posteriori limiter evaluates physics on unphysical candidate
+    states BEFORE rejecting them; the recovery must return bounded
+    subluminal primitives (and finite fluxes) even then — regression for
+    the sB/z blow-up that destabilized the limited OT run."""
+    from exahype_tpu.models import rmhd as m
+
+    garbage = jnp.asarray([
+        [-1.0, 5.0, -3.0, 2.0, -10.0, 1.0, 2.0, 0.5, 0.1],   # D<0, E<0
+        [1e-8, 50.0, 0.0, 0.0, 1e-8, 3.0, 0.0, 0.0, 0.0],    # |S| >> E
+        [1.0, 0.0, 0.0, 0.0, -5.0, 0.0, 0.0, 1.0, 0.0],      # tau < -D
+    ])
+    rho, v, p, W = m.con2prim(garbage)
+    assert np.isfinite(np.asarray(v)).all()
+    assert np.all(np.sum(np.asarray(v) ** 2, axis=-1) < 1.0)
+    for axis in range(3):
+        f = np.asarray(m.rmhd_flux(garbage, axis))
+        lam = np.asarray(m.rmhd_eigenvalue(garbage, axis))
+        assert np.isfinite(f).all() and np.isfinite(lam).all()
+        assert np.all(lam <= 1.0 + 1e-14)
+
+
+def test_rmhd_limited_vortex_stable_and_conservative():
+    """Limited RMHD on the (under-resolved) relativistic OT setup: stays
+    bounded and conserves all 8 physical totals to rounding — the limiter
+    composition that exploded before the recovery clamp."""
+    from exahype_tpu.models import rmhd as m
+    from exahype_tpu.models.limiter import LimitedADERDG
+
+    GAMMA = 4.0 / 3.0
+    cells = 8
+    flux, eig = m.rmhd(gamma=GAMMA, c_h=1.0, iters=8)
+    solver = ADERDGSolver(
+        dim=2, order=3, n_vars=9, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+    )
+    limited = LimitedADERDG(
+        solver, admissible=m.rmhd_admissible(gamma=GAMMA, iters=8)
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    vmax = 0.7 / np.sqrt(2.0)
+    v = np.stack([-vmax * np.sin(2 * np.pi * Y),
+                  vmax * np.sin(2 * np.pi * X), np.zeros_like(X)], -1)
+    B = np.stack([-np.sin(2 * np.pi * Y), np.sin(4 * np.pi * X),
+                  np.zeros_like(X)], -1)
+    Q = jnp.asarray(np.moveaxis(np.asarray(m.prim_to_cons(
+        jnp.asarray(np.ones_like(X)), jnp.asarray(v),
+        jnp.asarray(10.0 * np.ones_like(X)), jnp.asarray(B), gamma=GAMMA,
+    )), -1, solver.var_axis))
+    dt = float(solver.cfl_dt(Q))
+    m0 = np.asarray(solver.total_mass(Q))
+
+    @jax.jit
+    def run(q):
+        def body(c, _):
+            return limited.step(c, dt), None
+        return jax.lax.scan(body, q, None, length=12)[0]
+
+    out = run(Q)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out).max()) < 1e3
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[:8], m0[:8], rtol=1e-12, atol=1e-12)
