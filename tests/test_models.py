@@ -1250,3 +1250,36 @@ def test_rmhd_limited_vortex_stable_and_conservative():
     assert float(jnp.abs(out).max()) < 1e3
     m1 = np.asarray(solver.total_mass(out))
     np.testing.assert_allclose(m1[:8], m0[:8], rtol=1e-12, atol=1e-12)
+
+
+def test_rmhd_fused_pallas_parity():
+    """RMHD runs on the fused Pallas predictor (interpret mode): the
+    AD-Newton con2prim inlines into the kernel body at 1e-12 parity."""
+    from exahype_tpu.models import rmhd as m
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    flux, eig = m.rmhd(c_h=1.0, iters=8)
+    cells = 4
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=9, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells,
+    )
+    fused = PallasADERDG(solver, interpret=True)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    rho = 1.0 + 0.2 * np.sin(2 * np.pi * (X + Y))
+    v = np.stack([0.3 * np.ones_like(X), -0.1 * np.ones_like(X),
+                  0.05 * np.ones_like(X)], -1)
+    B = np.stack([0.4 * np.ones_like(X), 0.2 * np.ones_like(X),
+                  -0.1 * np.ones_like(X)], -1)
+    u = jnp.asarray(np.moveaxis(np.asarray(m.prim_to_cons(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(0.8 * rho),
+        jnp.asarray(B),
+    )), -1, solver.var_axis))
+    dt = 1e-3
+    ref = np.asarray(solver.step(u, dt))
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
