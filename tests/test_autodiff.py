@@ -227,3 +227,38 @@ def test_grad_through_tree_amr_step():
     eps = 1e-6
     fd = (float(loss(Q0 + eps * probe)) - float(loss(Q0 - eps * probe))) / (2 * eps)
     np.testing.assert_allclose(directional, fd, rtol=1e-5)
+
+
+def test_grad_through_rmhd_con2prim():
+    """Reverse-mode AD through the RMHD step — including second-order AD
+    through the forward-mode (jvp) Newton inside con2prim — matches finite
+    differences."""
+    import numpy as np
+
+    from exahype_tpu.models import rmhd as m
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    flux, eig = m.rmhd(iters=8)
+    s = ADERDGSolver(
+        dim=2, order=2, n_vars=9, grid_shape=(4, 4),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=0.25,
+    )
+    no_var = (3, 3) + s.grid_shape
+    q0 = np.asarray(m.prim_to_cons(
+        jnp.asarray(1.0), jnp.asarray([0.2, -0.1, 0.05]),
+        jnp.asarray(0.8), jnp.asarray([0.3, 0.2, -0.1]),
+    ))
+    u = jnp.asarray(np.moveaxis(
+        np.broadcast_to(q0, no_var + (9,)), -1, s.var_axis
+    ))
+
+    def loss(amp):
+        out = s.step(u * (1.0 + 0.01 * amp), 1e-3)
+        return jnp.sum(out**2)
+
+    g = float(jax.grad(loss)(jnp.asarray(0.3)))
+    e = 1e-5
+    fd = float((loss(0.3 + e) - loss(0.3 - e)) / (2 * e))
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
