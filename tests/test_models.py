@@ -1283,3 +1283,34 @@ def test_rmhd_fused_pallas_parity():
     ref = np.asarray(solver.step(u, dt))
     got = np.asarray(fused.step(u, dt))
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_srhd_kernel_in_the_dsl():
+    """The reference's own spec language drives relativistic physics: the
+    FV Rusanov kernel built with SRHD callbacks (fixed-trip con2prim
+    inside the traced Flux/maxEigenvalue) runs and conserves."""
+    from exahype_tpu.backends.jax_backend import JAXPrinter
+    from exahype_tpu.models import srhd
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+
+    flux, eig = srhd.srhd(dim=2, gamma=5.0 / 3.0)
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=6, halo_size=1, n_real=4, n_aux=0, n_patches=2,
+        flux_impl=flux, eigenvalue_impl=eig,
+    )
+    step = JAXPrinter(kb).jit(donate_input=False)
+    rng = np.random.default_rng(4)
+    shape = kb.item_shape("Q")
+    rho = 1.0 + 0.3 * rng.random(shape[:-1])
+    vx = 0.4 * (rng.random(shape[:-1]) - 0.5)
+    vy = 0.4 * (rng.random(shape[:-1]) - 0.5)
+    p = 0.5 + 0.5 * rng.random(shape[:-1])
+    v = np.stack([vx, vy], -1)
+    Q = np.asarray(srhd.prim_to_cons(jnp.asarray(rho), jnp.asarray(v),
+                                     jnp.asarray(p)))
+    out = np.asarray(step(jnp.asarray(Q), 1e-3))
+    assert np.isfinite(out).all()
+    interior = (slice(None), slice(1, -1), slice(1, -1))
+    assert not np.allclose(out[interior], Q[interior])
+    # Halo untouched (kernel writes the interior only).
+    np.testing.assert_array_equal(out[:, 0, :], Q[:, 0, :])
