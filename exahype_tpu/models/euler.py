@@ -192,3 +192,39 @@ def flux_tpu_fn(dim: int = 2, n_real: int = 5, gamma: float = GAMMA):
 
 def max_eigenvalue_tpu_fn(dim: int = 2, gamma: float = GAMMA):
     return partial(max_eigenvalue_tpu, dim=dim, gamma=gamma)
+
+
+def gravity_source(dim: int, g, n_real: int | None = None):
+    """Uniform-gravity source for the conserved Euler state
+    ``[ρ, m_1..m_dim, E, (aux…)]``: ``∂t m_d = ρ g_d``, ``∂t E = m·g``.
+
+    Matches the ``ADERDGSolver.source_fn(q, var_axis)`` contract (and the
+    limiter fallbacks' source path).  ``g`` is a per-axis tuple or a
+    scalar applied to the LAST axis (the usual "downward" convention).
+    Aux slots beyond ``dim+2`` receive zero.
+    """
+    if not isinstance(g, (tuple, list)):
+        gv = [0.0] * dim
+        gv[dim - 1] = float(g)
+    else:
+        if len(g) != dim:
+            from exahype_tpu.utils.errors import SemanticError
+
+            raise SemanticError(f"gravity needs {dim} components, got {len(g)}")
+        gv = [float(c) for c in g]
+
+    def source(q, var_axis):
+        rho = _v(q, 0, var_axis)
+        parts = [jnp.zeros_like(rho)]
+        for d in range(dim):
+            parts.append(gv[d] * rho)
+        e = jnp.zeros_like(rho)
+        for d in range(dim):
+            e = e + gv[d] * _v(q, 1 + d, var_axis)
+        parts.append(e)
+        nv = q.shape[var_axis] if n_real is None else n_real
+        while len(parts) < nv:
+            parts.append(jnp.zeros_like(rho))
+        return jnp.stack(parts[:nv], axis=var_axis)
+
+    return source

@@ -1314,3 +1314,84 @@ def test_srhd_kernel_in_the_dsl():
     assert not np.allclose(out[interior], Q[interior])
     # Halo untouched (kernel writes the interior only).
     np.testing.assert_array_equal(out[:, 0, :], Q[:, 0, :])
+
+
+# ------------------------------------------------------------ Euler gravity
+
+
+def test_euler_gravity_exact_momentum_and_energy_budget():
+    """Uniform gravity on a uniform periodic state: the momentum total
+    grows as ρg·t EXACTLY and the energy as the time integral of m·g —
+    both polynomial in t, so the space-time predictor integrates them
+    exactly (machine-precision budget over many steps)."""
+    from exahype_tpu.models import euler
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+
+    dim = 2
+    gvec = (0.3, -9.81)
+    flux, eig = euler_physics(dim=dim, n_real=4)
+    solver = ADERDGSolver(
+        dim=dim, order=2, n_vars=4, grid_shape=(4, 4),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=0.25,
+        source_fn=euler.gravity_source(dim, gvec, n_real=4),
+    )
+    rho0, p0 = 1.3, 1.0
+    no_var = (3, 3) + solver.grid_shape
+    u = jnp.stack(
+        [jnp.full(no_var, rho0), jnp.zeros(no_var), jnp.zeros(no_var),
+         jnp.full(no_var, p0 / 0.4)],
+        axis=solver.var_axis,
+    )
+    m0 = np.asarray(solver.total_mass(u))
+    dt, n = 2e-3, 25
+    out = jax.jit(lambda u: solver.run(u, n, dt))(u)
+    m1 = np.asarray(solver.total_mass(out))
+    t = n * dt
+    vol = 1.0  # unit domain
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-13)        # mass
+    np.testing.assert_allclose(                                  # momentum
+        m1[1:3], m0[1:3] + rho0 * np.asarray(gvec) * t * vol, rtol=1e-12
+    )
+    # Energy: dE/dt = m·g with m(t) = ρ g t ⇒ E(t) = E0 + ½ρ|g|² t².
+    g2 = float(np.dot(gvec, gvec))
+    np.testing.assert_allclose(
+        m1[3], m0[3] + 0.5 * rho0 * g2 * t * t * vol, rtol=1e-11
+    )
+
+
+def test_euler_gravity_hydrostatic_residual_converges():
+    """An isothermal hydrostatic atmosphere (p = p0·e^{−y/H}, ρ = p/c²
+    with c² = gH) is a steady state; the discrete residual after a fixed
+    time must shrink at the scheme's order with resolution."""
+    from exahype_tpu.models import euler
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+
+    g0, H = 1.0, 1.0
+    c2 = g0 * H
+    errs = []
+    for cells in (4, 8):
+        flux, eig = euler_physics(dim=2, n_real=4)
+        solver = ADERDGSolver(
+            dim=2, order=3, n_vars=4, grid_shape=(cells, cells),
+            flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / cells,
+            source_fn=euler.gravity_source(2, (0.0, -g0), n_real=4),
+        )
+        coords = solver.nodes_meshgrid()
+        no_var = solver.state_shape[:2] + solver.state_shape[3:]
+        Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+        p = np.exp(-Y / H)
+        rho = p / c2
+        u = jnp.asarray(np.stack(
+            [rho, np.zeros_like(rho), np.zeros_like(rho), p / 0.4],
+            axis=solver.var_axis,
+        ))
+        # Reflective walls would suit better; periodic wrap breaks the
+        # balance at the y seam — measure the INTERIOR residual only.
+        dt = 2e-3
+        out = jax.jit(lambda u: solver.run(u, 10, dt))(u)
+        dv = np.asarray(jnp.take(out, 2, solver.var_axis)
+                        - jnp.take(u, 2, solver.var_axis))
+        interior = dv[..., :, cells // 4: -cells // 4]
+        errs.append(np.abs(interior).max())
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.0, (errs, rate)  # order-3 scheme → ≥ order-3 decay
