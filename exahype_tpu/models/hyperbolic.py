@@ -159,6 +159,24 @@ def _srhd(**kw):
     return srhd(**kw)
 
 
+def _rmhd(**kw):
+    from exahype_tpu.models.rmhd import rmhd
+
+    return rmhd(**kw)
+
+
+def _grhd(**kw):
+    from exahype_tpu.models.grhd import grhd
+
+    return grhd(**kw)
+
+
+def _elastic3d(**kw):
+    from exahype_tpu.models.elastic import elastic3d
+
+    return elastic3d(**kw)
+
+
 #: name -> factory returning (flux, max_eigenvalue) batch-native callbacks.
 REGISTRY: dict[str, Callable] = {
     "advection": advection,
@@ -168,4 +186,7 @@ REGISTRY: dict[str, Callable] = {
     "elastic": _elastic,
     "mhd": _mhd,
     "srhd": _srhd,
+    "rmhd": _rmhd,
+    "grhd": _grhd,
+    "elastic3d": _elastic3d,
 }
