@@ -308,3 +308,109 @@ class NestedTracerAdvector:
             body, (state, jnp.asarray(x)), None, length=n_steps
         )
         return state_out, x_out, xs, vals
+
+
+class FVTracerAdvector:
+    """Tracers over finite-volume `PatchGrid` states — the FV counterpart
+    of :class:`TracerAdvector` (ExaHyPE2's tracers run on FV solvers too).
+
+    Sampling is multilinear interpolation of cell means between the 2^dim
+    surrounding cell centres; each corner is gathered from its OWN
+    patch's interior (one flat gather per corner over the
+    ``[grid…, extent…, V]`` state), so no halo fill is required and the
+    sampler works on raw solver output.  Exact for fields linear per
+    axis (tested); RK2 advection and the scan recorder mirror the DG
+    advector.
+    """
+
+    def __init__(self, grid, dx, velocity_fn: Callable,
+                 boundary: str = "periodic"):
+        if boundary not in ("periodic", "clamp"):
+            raise SemanticError(
+                f"boundary must be 'periodic' or 'clamp', got {boundary!r}"
+            )
+        cfg = grid.config
+        self.grid = grid
+        self.velocity_fn = velocity_fn
+        self.boundary = boundary
+        self.dim = cfg.dim
+        if isinstance(dx, (tuple, list)):
+            self._dxs = tuple(float(v) for v in dx)
+        else:
+            self._dxs = (float(dx),) * self.dim
+        self._cells = tuple(
+            g * cfg.patch_size for g in grid.grid_shape
+        )  # global interior cells per axis
+
+    @property
+    def extents(self) -> tuple[float, ...]:
+        return tuple(n * d for n, d in zip(self._cells, self._dxs))
+
+    def _wrap(self, x):
+        ext = jnp.asarray(self.extents, x.dtype)
+        if self.boundary == "periodic":
+            return jnp.mod(x, ext)
+        eps = jnp.asarray(
+            [np.finfo(np.float32).eps * e for e in self.extents], x.dtype
+        )
+        return jnp.clip(x, 0.0, ext - eps)
+
+    def sample(self, Q, x):
+        """Interpolated values at ``x[P, dim]`` → ``[P, n_vars]``."""
+        cfg = self.grid.config
+        P, h, e = cfg.patch_size, cfg.halo_size, cfg.extent
+        x = self._wrap(jnp.asarray(x))
+        s = x / jnp.asarray(self._dxs, x.dtype) - 0.5
+        base = jnp.floor(s)
+        frac = (s - base).astype(Q.dtype)
+        base = base.astype(jnp.int32)
+        ncell = jnp.asarray(self._cells, jnp.int32)
+        flat_state = Q.reshape((-1, cfg.n_vars))
+        out = None
+        for corner in range(2**self.dim):
+            bits = [(corner >> d) & 1 for d in range(self.dim)]
+            gc = base + jnp.asarray(bits, jnp.int32)
+            if self.boundary == "periodic":
+                gc = jnp.mod(gc, ncell)
+            else:
+                gc = jnp.clip(gc, 0, ncell - 1)
+            flat = None
+            # patch-major then cell-major flat index, matching the
+            # [grid…, extent…, V] state layout.
+            for d in range(self.dim):
+                pd = gc[:, d] // P
+                flat = pd if flat is None else flat * self.grid.grid_shape[d] + pd
+            for d in range(self.dim):
+                ld = gc[:, d] % P + h
+                flat = flat * e + ld
+            vals = jnp.take(flat_state, flat, axis=0)  # [P, V]
+            w = jnp.ones(x.shape[:1], Q.dtype)
+            for d in range(self.dim):
+                w = w * (frac[:, d] if bits[d] else 1.0 - frac[:, d])
+            term = w[:, None] * vals
+            out = term if out is None else out + term
+        return out
+
+    def velocity(self, Q, x):
+        return self.velocity_fn(self.sample(Q, x))
+
+    def advect(self, Q, x, dt):
+        x = jnp.asarray(x)
+        v1 = self.velocity(Q, x)
+        xm = self._wrap((x + (0.5 * dt) * v1).astype(x.dtype))
+        v2 = self.velocity(Q, xm)
+        return self._wrap((x + dt * v2).astype(x.dtype))
+
+    def trajectories(self, step_fn, Q, x, dt, n_steps: int):
+        """Advance FV solver + tracers together (``step_fn(Q, dt) -> Q``)."""
+
+        def body(carry, _):
+            Q, x = carry
+            x_new = self.advect(Q, x, dt)
+            rec = self.sample(Q, x_new)
+            return (step_fn(Q, dt), x_new), (x_new, rec)
+
+        (Q_out, x_out), (xs, vals) = jax.lax.scan(
+            body, (Q, jnp.asarray(x)), None, length=n_steps
+        )
+        return Q_out, x_out, xs, vals

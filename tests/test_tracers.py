@@ -400,3 +400,109 @@ def test_sample_under_particle_sharding_matches():
     got_a = np.asarray(jax.jit(lambda u, x: adv.advect(u, x, 1e-2))(u, xs))
     np.testing.assert_allclose(got_s, ref_s, rtol=0, atol=1e-14)
     np.testing.assert_allclose(got_a, ref_a, rtol=0, atol=1e-14)
+
+
+# --------------------------------------------------------------- FV tracers
+
+
+def make_fv_grid(gx=3, gy=2, patch=4, halo=1, n_vars=3):
+    from exahype_tpu.parallel import PatchGrid
+    from exahype_tpu.utils.config import KernelConfig
+
+    cfg = KernelConfig(
+        dim=2, patch_size=patch, halo_size=halo, n_real=n_vars, n_aux=0,
+        n_patches=gx * gy,
+    )
+    return PatchGrid(config=cfg, grid_shape=(gx, gy))
+
+
+def fv_cell_field(grid, dx, fn):
+    """State whose INTERIOR cell means are fn(xc, yc); halos zeroed (the
+    sampler must not read them)."""
+    cfg = grid.config
+    h, P = cfg.halo_size, cfg.patch_size
+    Q = np.zeros(grid.state_shape)
+    for gx in range(grid.grid_shape[0]):
+        for gy in range(grid.grid_shape[1]):
+            for i in range(P):
+                for j in range(P):
+                    xc = (gx * P + i + 0.5) * dx
+                    yc = (gy * P + j + 0.5) * dx
+                    Q[gx, gy, h + i, h + j, :] = fn(xc, yc)
+    return jnp.asarray(Q)
+
+
+def test_fv_sample_exact_on_linear_fields():
+    """Multilinear interpolation of cell means reproduces per-axis-linear
+    fields exactly — including across patch boundaries and the periodic
+    wrap corner (corners gather from their own patches, so halos are
+    never read: they are zeroed here)."""
+    from exahype_tpu.models.tracers import FVTracerAdvector
+
+    grid = make_fv_grid()
+    NX, NY = 12, 8
+    dx = 1.0 / NX  # domain 1.0 × 2/3
+    f = lambda x, y: np.stack([2.0 + 3.0 * x, 1.0 - y, x + 0.0 * y], -1)
+    Q = fv_cell_field(grid, dx, f)
+    adv = FVTracerAdvector(grid, dx, lambda v: v[:, :2])
+    rng = np.random.default_rng(13)
+    # Stay a half-cell inside so the periodic wrap (where linear fields
+    # are discontinuous) is not sampled.
+    x = jnp.asarray(np.stack([
+        rng.uniform(0.5 * dx, 1.0 - 0.5 * dx, 40),
+        rng.uniform(0.5 * dx, 2.0 / 3.0 - 0.5 * dx, 40),
+    ], -1))
+    got = np.asarray(adv.sample(Q, x))
+    want = f(np.asarray(x)[:, 0], np.asarray(x)[:, 1])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_fv_constant_advection_trajectory():
+    """Uniform velocity field stored in the state: trajectories are exact,
+    including the periodic wrap."""
+    from exahype_tpu.models.tracers import FVTracerAdvector
+
+    grid = make_fv_grid(n_vars=2)
+    dx = 1.0 / 12
+    Q = fv_cell_field(grid, dx, lambda x, y: np.stack(
+        [0.6 + 0.0 * x, -0.4 + 0.0 * y], -1
+    ))
+    adv = FVTracerAdvector(grid, dx, lambda v: v)
+    x0 = jnp.asarray([[0.9, 0.1], [0.3, 0.55]])
+    dt, n = 0.05, 6
+    x = x0
+    for _ in range(n):
+        x = adv.advect(Q, x, dt)
+    ext = np.asarray(adv.extents)
+    want = np.mod(np.asarray(x0) + n * dt * np.asarray([0.6, -0.4]), ext)
+    np.testing.assert_allclose(np.asarray(x), want, atol=1e-12)
+
+
+def test_fv_trajectories_with_grid_solver():
+    """FV tracers + the spec-DSL GridSolver advance together in one scan."""
+    import jax
+
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+    from exahype_tpu.models.tracers import FVTracerAdvector, euler_velocity
+    from exahype_tpu.parallel import GridSolver
+
+    grid = make_fv_grid(gx=2, gy=2, patch=4, n_vars=4)
+    dx = 1.0 / 8
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=4, n_aux=0, n_patches=4,
+    )
+    solver = GridSolver(grid, kb, dx=dx)
+    rho, vx, vy, p = 1.0, 0.4, -0.2, 1.0
+    Q = fv_cell_field(grid, dx, lambda x, y: np.stack(
+        [rho + 0 * x, rho * vx + 0 * x, rho * vy + 0 * x,
+         p / 0.4 + 0.5 * rho * (vx**2 + vy**2) + 0 * x], -1
+    ))
+    adv = FVTracerAdvector(grid, dx, euler_velocity(2))
+    x0 = jnp.asarray([[0.25, 0.5], [0.7, 0.3]])
+    dt, n = 5e-3, 4
+    run = jax.jit(lambda q, x: adv.trajectories(solver.step, q, x, dt, n))
+    Q1, x1, xs, vals = run(Q, x0)
+    drift = np.asarray(x1) - np.asarray(x0)
+    np.testing.assert_allclose(
+        drift, np.broadcast_to([vx * n * dt, vy * n * dt], (2, 2)), atol=1e-7
+    )
