@@ -16,7 +16,8 @@ def __getattr__(name):
     # Lazy heavy solver modules.
     if name in ("aderdg", "aderdg_pallas", "aderdg_amr", "aderdg_pool",
                 "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd",
-                "muscl", "tracers", "point_source", "rmhd", "grhd", "riemann_sr"):
+                "muscl", "tracers", "point_source", "rmhd", "grhd", "grmhd",
+                "riemann_sr"):
         import importlib
 
         return importlib.import_module(f"exahype_tpu.models.{name}")

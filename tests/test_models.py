@@ -1505,3 +1505,122 @@ def test_grhd_causality_and_admissibility():
     assert bool(np.asarray(ok(Q, 1)).all())
     bad = Q.at[0, 4].set(-0.5)  # negative lapse
     assert not bool(np.asarray(ok(bad, 1))[0])
+
+
+# -------------------------------------------------------------------- GRMHD
+
+
+def test_grmhd_reduces_to_rmhd_at_unit_lapse():
+    from exahype_tpu.models import grmhd, rmhd
+
+    rng = np.random.default_rng(8)
+    n = 48
+    rho = rng.uniform(0.3, 2.0, n)
+    p = rng.uniform(0.2, 2.0, n)
+    v = 0.6 * rng.uniform(-1, 1, (n, 3)) / np.sqrt(3)
+    B = rng.standard_normal((n, 3))
+    Qr = np.asarray(rmhd.prim_to_cons(jnp.asarray(rho), jnp.asarray(v),
+                                      jnp.asarray(p), jnp.asarray(B)))
+    Qg = np.asarray(grmhd.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p), jnp.asarray(B),
+        1.0, np.zeros((n, 2)),
+    ))
+    for axis in range(2):
+        fg = np.asarray(grmhd.grmhd_flux(jnp.asarray(Qg), axis))
+        fr = np.asarray(rmhd.rmhd_flux(jnp.asarray(Qr), axis))
+        np.testing.assert_allclose(fg[:, :9], fr, atol=1e-13)
+        np.testing.assert_allclose(fg[:, 9:], 0.0, atol=1e-15)
+        np.testing.assert_allclose(
+            np.asarray(grmhd.grmhd_eigenvalue(jnp.asarray(Qg), axis)),
+            np.asarray(rmhd.rmhd_eigenvalue(jnp.asarray(Qr), axis)),
+            atol=1e-14,
+        )
+
+
+def test_grmhd_magnetized_tolman_equilibrium():
+    """A UNIFORM field shifts the Tolman equilibrium by a constant:
+    the flux carries magnetic pressure (+B²/2 ∂α after the product rule)
+    and the source −(τ+D)∂α carries field energy (−B²/2 ∂α moved across,
+    +B²/2 on the balance), so αp' = −(ρh + B²)α' and with ρh = kp the
+    exact magnetized profile is p = p₀α^{−k} − B²/k.  Residual converges
+    at the scheme's order, B and metric slots bitwise frozen, D
+    conserved."""
+    import jax
+
+    from exahype_tpu.models import grhd, grmhd
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    gamma = 5.0 / 3.0
+    c2 = 0.25
+    k = grhd.hydrostatic_exponent(c2, gamma)
+    errs = []
+    for cells in (8, 16):
+        flux, eig = grmhd.grmhd(dim=2, gamma=gamma, c_h=1.0)
+        solver = ADERDGSolver(
+            dim=2, order=3, n_vars=grmhd.n_vars(2), grid_shape=(cells, cells),
+            flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+            dx=1.0 / cells,
+            dissipation_mask=grmhd.grmhd_dissipation_mask(2),
+        )
+        solver.source_fn = grmhd.grmhd_source(2)
+        coords = solver.nodes_meshgrid()
+        no_var = solver.state_shape[:2] + solver.state_shape[3:]
+        X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+        alpha = 1.0 + 0.05 * np.sin(2 * np.pi * X)
+        dalpha = np.stack(
+            [0.05 * 2 * np.pi * np.cos(2 * np.pi * X), np.zeros_like(X)], -1
+        )
+        Bz = 0.3
+        p = 0.1 * alpha ** (-k) - Bz**2 / k
+        rho = p / c2
+        B = np.broadcast_to(np.asarray([0.0, 0.0, Bz]), no_var + (3,))
+        Qv = np.asarray(grmhd.pack_state(
+            jnp.asarray(rho), jnp.asarray(np.zeros(no_var + (3,))),
+            jnp.asarray(p), jnp.asarray(B), jnp.asarray(alpha),
+            jnp.asarray(dalpha), gamma=gamma,
+        ))
+        u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+        out = jax.jit(lambda u: solver.run(u, 10, 1e-3))(u)
+        dSx = np.asarray(jnp.take(out, 1, solver.var_axis)
+                         - jnp.take(u, 1, solver.var_axis))
+        errs.append(np.abs(dSx).max())
+        np.testing.assert_array_equal(  # metric slots bitwise frozen
+            np.take(np.asarray(out), [9, 10, 11], axis=solver.var_axis),
+            np.take(np.asarray(u), [9, 10, 11], axis=solver.var_axis),
+        )
+        # In-plane field/ψ stay exactly zero by symmetry; B_z is advected
+        # only by the residual-scale velocities (drifts WITH the residual).
+        np.testing.assert_array_equal(
+            np.take(np.asarray(out), [5, 6, 8], axis=solver.var_axis),
+            np.take(np.asarray(u), [5, 6, 8], axis=solver.var_axis),
+        )
+        dBz = np.abs(np.take(np.asarray(out), 7, axis=solver.var_axis)
+                     - np.take(np.asarray(u), 7, axis=solver.var_axis))
+        assert dBz.max() < 1e-4
+        m0 = np.asarray(solver.total_mass(u))
+        m1 = np.asarray(solver.total_mass(out))
+        np.testing.assert_allclose(m1[0], m0[0], rtol=1e-13)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.0, (errs, rate)
+
+
+def test_grmhd_causality_and_admissibility():
+    from exahype_tpu.models import grmhd
+
+    rng = np.random.default_rng(12)
+    n = 48
+    rho = rng.uniform(0.2, 2.0, n)
+    p = rng.uniform(0.1, 3.0, n)
+    v = 0.9 * rng.uniform(-1, 1, (n, 3)) / np.sqrt(3)
+    B = rng.standard_normal((n, 3))
+    alpha = rng.uniform(0.3, 1.0, n)
+    Q = grmhd.pack_state(jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+                         jnp.asarray(B), jnp.asarray(alpha),
+                         jnp.asarray(np.zeros((n, 2))))
+    for axis in range(2):
+        lam = np.asarray(grmhd.grmhd_eigenvalue(Q, axis))
+        assert np.all(lam <= alpha + 1e-14)
+    ok = grmhd.grmhd_admissible(2)
+    assert bool(np.asarray(ok(Q, 1)).all())
+    bad = Q.at[0, 9].set(-1.0)
+    assert not bool(np.asarray(ok(bad, 1))[0])
