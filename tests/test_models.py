@@ -1624,3 +1624,112 @@ def test_grmhd_causality_and_admissibility():
     assert bool(np.asarray(ok(Q, 1)).all())
     bad = Q.at[0, 9].set(-1.0)
     assert not bool(np.asarray(ok(bad, 1))[0])
+
+
+def _grmhd_lapse_blast_state(solver, grmhd):
+    """Magnetized jump under a varying lapse (trips the DMP at the front)."""
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    left = X < 0.5
+    rho = np.where(left, 1.0, 0.125)
+    p = np.where(left, 1.0, 0.1)
+    v = np.zeros(no_var + (3,))
+    B = np.broadcast_to(np.asarray([0.3, 0.2, 0.0]), no_var + (3,))
+    alpha = 1.0 + 0.05 * np.sin(2 * np.pi * X)
+    dalpha = np.stack(
+        [0.05 * 2 * np.pi * np.cos(2 * np.pi * X), np.zeros_like(X)], -1
+    )
+    Qv = np.asarray(grmhd.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p), jnp.asarray(B),
+        jnp.asarray(alpha), jnp.asarray(dalpha), gamma=4.0 / 3.0,
+    ))
+    return jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+
+
+def test_grmhd_fused_pallas_parity():
+    """GRMHD runs on the fused Pallas predictor (interpret mode): the
+    con2prim, geometric source, and frozen-metric dissipation mask all
+    inline into the kernel body at 1e-12 parity."""
+    from exahype_tpu.models import grmhd
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    GAMMA = 4.0 / 3.0
+    flux, eig = grmhd.grmhd(dim=2, gamma=GAMMA, c_h=1.0, iters=8)
+    cells = 4
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=grmhd.n_vars(2), grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, source_fn=grmhd.grmhd_source(2),
+        dissipation_mask=grmhd.grmhd_dissipation_mask(2),
+    )
+    fused = PallasADERDG(solver, interpret=True)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    rho = 1.0 + 0.2 * np.sin(2 * np.pi * (X + Y))
+    v = np.stack([0.3 * np.ones_like(X), -0.1 * np.ones_like(X),
+                  0.05 * np.ones_like(X)], -1)
+    B = np.stack([0.4 * np.ones_like(X), 0.2 * np.ones_like(X),
+                  -0.1 * np.ones_like(X)], -1)
+    alpha = 1.0 + 0.05 * np.cos(2 * np.pi * Y)
+    dalpha = np.stack(
+        [np.zeros_like(X), -0.05 * 2 * np.pi * np.sin(2 * np.pi * Y)], -1
+    )
+    u = jnp.asarray(np.moveaxis(np.asarray(grmhd.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(0.8 * rho),
+        jnp.asarray(B), jnp.asarray(alpha), jnp.asarray(dalpha),
+        gamma=GAMMA,
+    )), -1, solver.var_axis))
+    dt = 1e-3
+    ref = np.asarray(solver.step(u, dt))
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_row_gathered_sharded_grmhd_matches_single_device():
+    """The full production stack on the GR magnetized family: row-gathered
+    limited GRMHD (con2prim detection, geometric sources in the fallback
+    sweeps, frozen metric) sharded over the 8-device mesh matches
+    single-device to 1e-12."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.models import grmhd
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.limiter import LimitedADERDG
+    from exahype_tpu.parallel import make_mesh
+
+    GAMMA = 4.0 / 3.0
+    flux, eig = grmhd.grmhd(dim=2, gamma=GAMMA, c_h=1.0, iters=8)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=grmhd.n_vars(2), grid_shape=(8, 8),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / 8, source_fn=grmhd.grmhd_source(2),
+        dissipation_mask=grmhd.grmhd_dissipation_mask(2),
+    )
+    lim = LimitedADERDG(
+        solver, admissible=grmhd.grmhd_admissible(2, gamma=GAMMA, iters=8),
+        troubled_capacity=8, troubled_granularity="row",
+    )
+    Q0 = _grmhd_lapse_blast_state(solver, grmhd)
+    dt = 2e-3
+    ref = np.asarray(jax.jit(lambda q: lim.step(q, dt))(Q0))
+    assert np.isfinite(ref).all()
+
+    mesh = make_mesh(8)
+    ndim = len(solver.state_shape)
+    spec = [None] * ndim
+    spec[solver.grid_axis(0)] = "patches"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec))
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(
+        jax.jit(
+            lambda q: lim.step(q, dt),
+            in_shardings=(sharding,),
+            out_shardings=sharding,
+        )(Qs)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
