@@ -1626,6 +1626,166 @@ def test_grmhd_causality_and_admissibility():
     assert not bool(np.asarray(ok(bad, 1))[0])
 
 
+# ---------------------------------------------------------------- GRHD-CFC
+
+
+def test_grhd_cfc_reduces_to_srhd_at_flat_metric():
+    from exahype_tpu.models import grhd_cfc, srhd
+
+    rng = np.random.default_rng(3)
+    n, dim = 48, 2
+    rho = rng.uniform(0.3, 2.0, n)
+    p = rng.uniform(0.2, 2.0, n)
+    v = 0.6 * rng.uniform(-1, 1, (n, dim)) / np.sqrt(dim)
+    Qf = np.asarray(srhd.prim_to_cons(jnp.asarray(rho), jnp.asarray(v),
+                                      jnp.asarray(p)))
+    Qc = np.asarray(grhd_cfc.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+        1.0, 1.0, np.zeros((n, dim)), np.zeros((n, dim)),
+    ))
+    np.testing.assert_allclose(Qc[:, :dim + 2], Qf, atol=1e-14)
+    for axis in range(dim):
+        fc = np.asarray(grhd_cfc.grhd_cfc_flux(jnp.asarray(Qc), axis))
+        ff = np.asarray(srhd.srhd_flux(jnp.asarray(Qf), axis))
+        np.testing.assert_allclose(fc[:, :dim + 2], ff, atol=1e-13)
+        np.testing.assert_allclose(fc[:, dim + 2:], 0.0, atol=1e-15)
+        np.testing.assert_allclose(
+            np.asarray(grhd_cfc.grhd_cfc_eigenvalue(jnp.asarray(Qc), axis)),
+            np.asarray(srhd.srhd_eigenvalue(jnp.asarray(Qf), axis)),
+            atol=1e-14,
+        )
+
+
+def test_grhd_cfc_reduces_to_grhd_at_unit_conformal_factor():
+    """ψ ≡ 1 recovers the independent lapse-only module (fluxes,
+    eigenvalues, AND geometric sources)."""
+    from exahype_tpu.models import grhd, grhd_cfc
+
+    rng = np.random.default_rng(5)
+    n, dim = 48, 2
+    rho = rng.uniform(0.3, 2.0, n)
+    p = rng.uniform(0.2, 2.0, n)
+    v = 0.5 * rng.uniform(-1, 1, (n, dim)) / np.sqrt(dim)
+    alpha = rng.uniform(0.4, 1.2, n)
+    dalpha = rng.standard_normal((n, dim))
+    Ql = np.asarray(grhd.pack_state(jnp.asarray(rho), jnp.asarray(v),
+                                    jnp.asarray(p), jnp.asarray(alpha),
+                                    jnp.asarray(dalpha)))
+    Qc = np.asarray(grhd_cfc.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+        jnp.asarray(alpha), 1.0, jnp.asarray(dalpha), np.zeros((n, dim)),
+    ))
+    nh = dim + 2
+    for axis in range(dim):
+        fc = np.asarray(grhd_cfc.grhd_cfc_flux(jnp.asarray(Qc), axis))
+        fl = np.asarray(grhd.grhd_flux(jnp.asarray(Ql), axis))
+        np.testing.assert_allclose(fc[:, :nh], fl[:, :nh], atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(grhd_cfc.grhd_cfc_eigenvalue(jnp.asarray(Qc), axis)),
+            np.asarray(grhd.grhd_eigenvalue(jnp.asarray(Ql), axis)),
+            atol=1e-14,
+        )
+    sc = np.asarray(grhd_cfc.grhd_cfc_source(dim)(jnp.asarray(Qc), 1))
+    sl = np.asarray(grhd.grhd_source(dim)(jnp.asarray(Ql), 1))
+    np.testing.assert_allclose(sc[:, :nh], sl[:, :nh], atol=1e-12)
+
+
+def test_grhd_cfc_curved_tolman_equilibrium():
+    """The conformal-trace source cancels ∂√γ from the pressure flux
+    EXACTLY, so the Tolman profile p = p₀α^{−k} (ρ = p/c²) is an exact
+    equilibrium for ANY static (α, ψ): residual converging above the
+    scheme's order, metric slots bitwise frozen, D* conserved."""
+    import jax
+
+    from exahype_tpu.models import grhd, grhd_cfc
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    gamma = 5.0 / 3.0
+    c2 = 0.25
+    k = grhd.hydrostatic_exponent(c2, gamma)
+    dim = 2
+    errs = []
+    for cells in (8, 16):
+        flux, eig = grhd_cfc.grhd_cfc(dim=dim, gamma=gamma)
+        solver = ADERDGSolver(
+            dim=dim, order=3, n_vars=grhd_cfc.n_vars(dim),
+            grid_shape=(cells, cells),
+            flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+            dx=1.0 / cells,
+            dissipation_mask=grhd_cfc.grhd_cfc_dissipation_mask(dim),
+        )
+        solver.source_fn = grhd_cfc.grhd_cfc_source(dim, gamma=gamma)
+        coords = solver.nodes_meshgrid()
+        no_var = solver.state_shape[:2] + solver.state_shape[3:]
+        X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+        alpha = 1.0 + 0.05 * np.sin(2 * np.pi * X)
+        dalpha = np.stack(
+            [0.05 * 2 * np.pi * np.cos(2 * np.pi * X), np.zeros_like(X)], -1
+        )
+        psi = 1.0 + 0.08 * np.cos(2 * np.pi * X)
+        dpsi = np.stack(
+            [-0.08 * 2 * np.pi * np.sin(2 * np.pi * X), np.zeros_like(X)], -1
+        )
+        p = 0.1 * alpha ** (-k)
+        rho = p / c2
+        Qv = np.asarray(grhd_cfc.pack_state(
+            jnp.asarray(rho), jnp.asarray(np.zeros(no_var + (dim,))),
+            jnp.asarray(p), jnp.asarray(alpha), jnp.asarray(psi),
+            jnp.asarray(dalpha), jnp.asarray(dpsi), gamma=gamma,
+        ))
+        u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+        out = jax.jit(lambda u: solver.run(u, 10, 1e-3))(u)
+        dSx = np.asarray(jnp.take(out, 1, solver.var_axis)
+                         - jnp.take(u, 1, solver.var_axis))
+        errs.append(np.abs(dSx).max())
+        nh = dim + 2
+        metric_slots = list(range(nh, grhd_cfc.n_vars(dim)))
+        np.testing.assert_array_equal(
+            np.take(np.asarray(out), metric_slots, axis=solver.var_axis),
+            np.take(np.asarray(u), metric_slots, axis=solver.var_axis),
+        )
+        m0 = np.asarray(solver.total_mass(u))
+        m1 = np.asarray(solver.total_mass(out))
+        np.testing.assert_allclose(m1[0], m0[0], rtol=1e-13)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.0, (errs, rate)
+
+
+def test_grhd_cfc_schwarzschild_causality_and_roundtrip():
+    """On the actual isotropic-Schwarzschild exterior metric: con2prim
+    round-trips the packed state, the characteristic speed respects the
+    conformal light cone λ ≤ αψ⁻², and the admissibility hook accepts
+    physical states / rejects a negative conformal factor."""
+    from exahype_tpu.models import grhd_cfc
+
+    rng = np.random.default_rng(7)
+    n, dim = 48, 2
+    r = rng.uniform(1.5, 10.0, n)  # exterior, away from the horizon (r=M/2)
+    alpha, psi, dalpha_r, dpsi_r = (np.asarray(x) for x in
+                                    grhd_cfc.schwarzschild_isotropic(r))
+    rho = rng.uniform(0.3, 2.0, n)
+    p = rng.uniform(0.2, 2.0, n)
+    # physical speed limit is |v| < ψ⁻² (coordinate light cone)
+    v = (0.7 * psi[:, None] ** (-2.0)
+         * rng.uniform(-1, 1, (n, dim)) / np.sqrt(dim))
+    dal = np.stack([dalpha_r, np.zeros(n)], -1)
+    dps = np.stack([dpsi_r, np.zeros(n)], -1)
+    Q = grhd_cfc.pack_state(jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+                            jnp.asarray(alpha), jnp.asarray(psi),
+                            jnp.asarray(dal), jnp.asarray(dps))
+    r2, v2, p2, _ = grhd_cfc.con2prim(Q, dim=dim)
+    np.testing.assert_allclose(np.asarray(r2), rho, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p2), p, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v2), v, rtol=1e-9, atol=1e-12)
+    for axis in range(dim):
+        lam = np.asarray(grhd_cfc.grhd_cfc_eigenvalue(Q, axis))
+        assert np.all(lam <= alpha * psi ** (-2.0) + 1e-14)
+    ok = grhd_cfc.grhd_cfc_admissible(dim)
+    assert bool(np.asarray(ok(Q, 1)).all())
+    bad = Q.at[0, dim + 3].set(-1.0)
+    assert not bool(np.asarray(ok(bad, 1))[0])
+
+
 def _grmhd_lapse_blast_state(solver, grmhd):
     """Magnetized jump under a varying lapse (trips the DMP at the front)."""
     coords = solver.nodes_meshgrid()
