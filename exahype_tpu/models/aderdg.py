@@ -189,6 +189,24 @@ class ADERDGSolver:
     #: conservative system written as NCP (B=∂F/∂Q linear) to rounding.
     #: Periodic boundaries only.
     ncp_fn: Callable | None = None
+    #: Optional viscous (gradient-dependent) flux ``visc_flux_fn(Q, grads,
+    #: axis, var_axis) -> F_v`` with ``grads`` the tuple of PHYSICAL
+    #: gradients (∂Q/∂x_e for every e, each the same shape as Q): solves
+    #: ∂t Q + ∇·(F(Q) + F_v(Q, ∇Q)) = S — the advection–diffusion class
+    #: (compressible Navier–Stokes).  Treatment follows Gassner, Lörcher
+    #: & Munz's diffusive generalized Riemann solver as used by ExaHyPE's
+    #: Navier–Stokes application: the predictor and the time-averaged
+    #: fluxes evaluate F_v on the space-time polynomial's own gradient, so
+    #: the corrector's face average ½(F⁻+F⁺) is the central diffusive flux
+    #: with one-sided gradients, and the Rusanov dissipation speed gains
+    #: the grad-jump penalty 2(2N+1)/dx · κ (``visc_eigenvalue_fn``).
+    #: Requires periodic boundaries.
+    visc_flux_fn: Callable | None = None
+    #: Max diffusion eigenvalue ``visc_eigenvalue_fn(Q, axis, var_axis) ->
+    #: κ`` (cellwise scalar, e.g. max(4ν/3, γν/Pr) for Navier–Stokes):
+    #: enters the face penalty and the parabolic dt limit.  Required with
+    #: ``visc_flux_fn``.
+    visc_eigenvalue_fn: Callable | None = None
     #: Reuse the last Picard iteration's fluxes for the time-averaged
     #: fluxes (they belong to q_{K-1}; the difference is bounded by the
     #: Picard residual, O(dt^{N+2}), one order below the scheme error).
@@ -216,6 +234,14 @@ class ADERDGSolver:
         if self.ncp_fn is not None and self.boundary != "periodic":
             raise SemanticError(
                 "non-conservative products support periodic boundaries only"
+            )
+        if (self.visc_flux_fn is None) != (self.visc_eigenvalue_fn is None):
+            raise SemanticError(
+                "visc_flux_fn and visc_eigenvalue_fn must be set together"
+            )
+        if self.visc_flux_fn is not None and self.boundary != "periodic":
+            raise SemanticError(
+                "viscous fluxes support periodic boundaries only"
             )
         if self.wall_axes is not None:
             if self.boundary != "reflective":
@@ -282,13 +308,26 @@ class ADERDGSolver:
             (self.n_nodes,) + (1,) * u.ndim
         )
 
+        def _grads(x, base_axis):
+            """Physical gradients (∂x/∂x_e)_e from the DG polynomial."""
+            return tuple(
+                _apply(ops.D, x, axis=base_axis + self.node_axis(e))
+                / self._dxs[e]
+                for e in range(self.dim)
+            )
+
         last_fluxes = None
         for _ in range(self.picard_iters):
             rhs = f0u
             last_fluxes = []
+            grads = (
+                _grads(q, 1) if self.visc_flux_fn is not None else None
+            )
             for d in range(self.dim):
                 lam = dt / self._dxs[d]
                 F = self.flux_fn(q, d, va)
+                if grads is not None:
+                    F = F + self.visc_flux_fn(q, grads, d, va)
                 last_fluxes.append(F)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
                 rhs = rhs - lam * w_t * dF
@@ -308,10 +347,15 @@ class ADERDGSolver:
                 jnp.tensordot(wvec, F, axes=([0], [0])) for F in last_fluxes
             ]
         else:
-            fbar = [
-                jnp.tensordot(wvec, self.flux_fn(q, d, va), axes=([0], [0]))
-                for d in range(self.dim)
-            ]
+            grads = (
+                _grads(q, 1) if self.visc_flux_fn is not None else None
+            )
+            fbar = []
+            for d in range(self.dim):
+                F = self.flux_fn(q, d, va)
+                if grads is not None:
+                    F = F + self.visc_flux_fn(q, grads, d, va)
+                fbar.append(jnp.tensordot(wvec, F, axes=([0], [0])))
         if self.source_fn is not None:
             sbar = jnp.tensordot(
                 wvec, self.source_fn(q, va), axes=([0], [0])
@@ -443,6 +487,17 @@ class ADERDGSolver:
             ),
             face_va,
         )
+        if self.visc_eigenvalue_fn is not None:
+            # Gassner diffusive-GRP penalty: the gradient jump enters as
+            # an extra dissipation speed 2(2N+1)/dx · κ (f_hi/f_plus
+            # already carry the one-sided central viscous fluxes).
+            kappa = jnp.maximum(
+                self.visc_eigenvalue_fn(q_hi, d, face_va),
+                self.visc_eigenvalue_fn(q_plus, d, face_va),
+            )
+            s_hi = s_hi + jnp.expand_dims(
+                2.0 * (2 * self.order + 1) / self._dxs[d] * kappa, face_va
+            )
         dq = q_plus - q_hi
         if self.dissipation_mask is not None:
             mshape = [1] * dq.ndim
@@ -516,10 +571,17 @@ class ADERDGSolver:
         if cfl is None:
             cfl = min(0.4, 1.5 / (self.order + 2))
         r = 0.0
+        rv = 0.0
         for d in range(self.dim):
             s_d = jnp.max(self.max_eigenvalue_fn(u, d, self.var_axis))
             r = jnp.maximum(r, s_d / self._dxs[d])
-        return cfl / (r * (2 * self.order + 1))
+            if self.visc_eigenvalue_fn is not None:
+                k_d = jnp.max(self.visc_eigenvalue_fn(u, d, self.var_axis))
+                rv = jnp.maximum(rv, k_d / self._dxs[d] ** 2)
+        # Advective + parabolic limits combined (ExaHyPE's NS application
+        # pattern): dt = cfl / ((2N+1)·λ/dx + 2(2N+1)²·κ/dx²).
+        denom = r * (2 * self.order + 1) + 2.0 * rv * (2 * self.order + 1) ** 2
+        return cfl / denom
 
     def run(self, u, n_steps: int, dt):
         def body(carry, _):

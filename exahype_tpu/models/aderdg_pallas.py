@@ -53,6 +53,13 @@ class PallasADERDG:
             # The in-kernel face wraps assume periodicity; with walls every
             # axis goes through the (boundary-aware) XLA epilogue instead.
             fuse_interior_riemann = False
+        if getattr(solver, "visc_flux_fn", None) is not None:
+            from exahype_tpu.utils.errors import SemanticError
+
+            raise SemanticError(
+                "PallasADERDG does not support viscous fluxes yet — run "
+                "advection–diffusion solvers on the XLA ADERDGSolver path"
+            )
         self.solver = solver
         self.interpret = interpret
         #: Run Picard iterations 1.. as a real ``lax.fori_loop`` instead of

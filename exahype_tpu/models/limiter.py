@@ -161,6 +161,11 @@ class LimitedADERDG:
                 "its DMP/ghost helpers assume walls on every axis "
                 "(use all-axis reflective or periodic solvers)"
             )
+        if getattr(self.solver, "visc_flux_fn", None) is not None:
+            raise SemanticError(
+                "LimitedADERDG does not support viscous fluxes yet: the "
+                "subcell FV fallback has no diffusive-flux discretization"
+            )
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
         if self.fallback_order not in (1, 2):

@@ -1,0 +1,178 @@
+"""Compressible Navier–Stokes / viscous-flux ADER-DG tests.
+
+Anchors: pure-diffusion Fourier-mode decay at exactly κ(2π)² (validates
+the Gassner diffusive treatment in isolation), the transverse shear mode
+decaying at exactly ν(2π)² (full NS system), exact conservation, and the
+bitwise Euler reduction at μ = 0.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models import euler, navier_stokes as ns
+from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+from exahype_tpu.utils.errors import SemanticError
+
+
+def make_ns_solver(cells=16, order=3, mu=1e-2, prandtl=0.7, dim=2):
+    f, e, vf, ve = ns.navier_stokes(dim=dim, mu=mu, prandtl=prandtl)
+    return ADERDGSolver(
+        dim=dim, order=order, n_vars=dim + 2, grid_shape=(cells,) * dim,
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve),
+        dx=1.0 / cells,
+    )
+
+
+def shear_state(solver, V=1e-3):
+    """Uniform (ρ=1, p=1) + transverse shear v_y = V sin(2πx)."""
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    rho = np.ones_like(X)
+    my = V * np.sin(2 * np.pi * X)
+    p = np.ones_like(X)
+    E = p / (euler.GAMMA - 1.0) + 0.5 * my**2
+    Qv = np.stack([rho, np.zeros_like(X), my, E], axis=-1)
+    return jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+
+
+def test_zero_viscosity_reduces_to_euler():
+    """μ = 0: the viscous solver's step equals the plain Euler solver's."""
+    cells, order = 8, 3
+    visc = make_ns_solver(cells=cells, order=order, mu=0.0)
+    plain = ADERDGSolver(
+        dim=2, order=order, n_vars=4, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(euler.flux_v_fn(dim=2, n_real=4)),
+        max_eigenvalue_fn=wrap_var_last(euler.max_eigenvalue_v_fn(dim=2)),
+        dx=1.0 / cells,
+    )
+    rng = np.random.default_rng(0)
+    no_var = visc.state_shape[:2] + visc.state_shape[3:]
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    m = 0.2 * rng.standard_normal(no_var + (2,))
+    p = 1.0 + 0.2 * rng.random(no_var)
+    E = p / (euler.GAMMA - 1) + 0.5 * (m**2).sum(-1) / rho
+    Qv = np.concatenate([rho[..., None], m, E[..., None]], -1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, visc.var_axis))
+    dt = 1e-3
+    np.testing.assert_allclose(
+        np.asarray(visc.step(u, dt)), np.asarray(plain.step(u, dt)),
+        rtol=0, atol=0,
+    )
+
+
+def test_pure_diffusion_fourier_decay_rate_converges():
+    """Scalar heat equation through the viscous machinery alone (zero
+    hyperbolic flux): u = sin(2πx) decays at exactly κ(2π)²; the measured
+    rate converges to it with resolution."""
+    kappa = 0.02
+    errs = []
+    for cells in (4, 8):
+        solver = ADERDGSolver(
+            dim=2, order=3, n_vars=1, grid_shape=(cells, cells),
+            flux_fn=lambda Q, d, va: jnp.zeros_like(Q),
+            max_eigenvalue_fn=lambda Q, d, va: jnp.zeros(
+                Q.shape[:va] + Q.shape[va + 1:], Q.dtype
+            ),
+            visc_flux_fn=lambda Q, grads, d, va: -kappa * grads[d],
+            visc_eigenvalue_fn=lambda Q, d, va: jnp.full(
+                Q.shape[:va] + Q.shape[va + 1:], kappa, Q.dtype
+            ),
+            dx=1.0 / cells,
+        )
+        coords = solver.nodes_meshgrid()
+        X = np.broadcast_to(
+            np.squeeze(coords[0], solver.var_axis),
+            solver.state_shape[:2] + solver.state_shape[3:],
+        )
+        u = jnp.asarray(np.sin(2 * np.pi * X)[
+            (slice(None),) * 2 + (None,) + (slice(None),) * 2
+        ])
+        dt = float(solver.cfl_dt(u))
+        n_steps = max(1, int(round(0.5 / dt)))
+        T = n_steps * dt
+        out = jax.jit(lambda u: solver.run(u, n_steps, dt))(u)
+        n0 = float(jnp.sqrt(jnp.mean(u * u)))
+        n1 = float(jnp.sqrt(jnp.mean(out * out)))
+        rate = np.log(n0 / n1) / T
+        exact = kappa * (2 * np.pi) ** 2
+        errs.append(abs(rate - exact) / exact)
+    assert errs[0] < 0.05, errs
+    assert errs[1] < errs[0] / 4, errs  # better than 2nd-order decay
+    assert errs[1] < 5e-3, errs
+
+
+def test_ns_shear_mode_decay_rate():
+    """Transverse shear v_y = V sin(2πx) at uniform (ρ, p): exact NS
+    solution (to O(V²)) decaying at ν(2π)²."""
+    mu = 0.01
+    solver = make_ns_solver(cells=8, order=3, mu=mu)
+    u = shear_state(solver, V=1e-3)
+    dt = float(solver.cfl_dt(u))
+    n_steps = max(1, int(round(0.4 / dt)))
+    T = n_steps * dt
+    out = jax.jit(lambda u: solver.run(u, n_steps, dt))(u)
+
+    def vy_norm(q):
+        vy = jnp.take(q, 2, solver.var_axis) / jnp.take(q, 0, solver.var_axis)
+        return float(jnp.sqrt(jnp.mean(vy * vy)))
+
+    rate = np.log(vy_norm(u) / vy_norm(out)) / T
+    exact = mu * (2 * np.pi) ** 2
+    assert abs(rate - exact) / exact < 5e-3, (rate, exact)
+
+
+def test_ns_viscous_conservation():
+    """The viscous flux is a pure divergence: mass, momentum, AND total
+    energy (including viscous heating) conserved to rounding."""
+    solver = make_ns_solver(cells=8, order=2, mu=0.05)
+    rng = np.random.default_rng(3)
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    rho = 1.0 + 0.3 * rng.random(no_var)
+    m = 0.3 * rng.standard_normal(no_var + (2,))
+    p = 1.0 + 0.3 * rng.random(no_var)
+    E = p / (euler.GAMMA - 1) + 0.5 * (m**2).sum(-1) / rho
+    Qv = np.concatenate([rho[..., None], m, E[..., None]], -1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+    dt = float(solver.cfl_dt(u))
+    out = jax.jit(lambda u: solver.run(u, 20, dt))(u)
+    assert np.isfinite(np.asarray(out)).all()
+    m0 = np.asarray(solver.total_mass(u))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12, atol=1e-14)
+
+
+def test_viscous_guards():
+    solver = make_ns_solver(cells=4, order=2)
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.models.limiter import LimitedADERDG
+
+    with pytest.raises(SemanticError, match="viscous"):
+        PallasADERDG(solver, interpret=True)
+    with pytest.raises(SemanticError, match="viscous"):
+        LimitedADERDG(solver, admissible=lambda Q, va: jnp.ones(
+            Q.shape[:va] + Q.shape[va + 1:], bool
+        ))
+    f, e, vf, ve = ns.navier_stokes(dim=2)
+    with pytest.raises(SemanticError, match="together"):
+        ADERDGSolver(
+            dim=2, order=2, n_vars=4, grid_shape=(4, 4),
+            flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+            visc_flux_fn=ns.wrap_visc_var_last(vf),
+        )
+    from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
+
+    with pytest.raises(SemanticError, match="periodic"):
+        ADERDGSolver(
+            dim=2, order=2, n_vars=4, grid_shape=(4, 4),
+            flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+            visc_flux_fn=ns.wrap_visc_var_last(vf),
+            visc_eigenvalue_fn=wrap_var_last(ve),
+            boundary="reflective",
+            reflect_fn=euler_reflect(2),
+            reflect_flux_fn=euler_reflect_flux(2),
+        )
