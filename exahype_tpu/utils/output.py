@@ -14,8 +14,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from exahype_tpu.parallel.grid import PatchGrid, TpuPatchGrid
-
 
 def assemble_global(grid, Q) -> np.ndarray:
     """Strip halos and tile patches into one global array ``[*cells, n_vars]``.
@@ -23,6 +21,9 @@ def assemble_global(grid, Q) -> np.ndarray:
     Accepts AoS :class:`PatchGrid` state or SoA-P :class:`TpuPatchGrid`
     state (converted).
     """
+    # Deferred: parallel.refine imports this module (circular otherwise).
+    from exahype_tpu.parallel.grid import TpuPatchGrid
+
     cfg = grid.config
     h, P = cfg.halo_size, cfg.patch_size
     if isinstance(grid, TpuPatchGrid):
@@ -52,6 +53,8 @@ def disassemble_global(grid, Q, global_arr):
     cell field back into the interiors of the patch state (halos untouched).
     Works on jnp arrays (returns an updated copy)."""
     import jax.numpy as jnp
+
+    from exahype_tpu.parallel.grid import TpuPatchGrid
 
     cfg = grid.config
     if isinstance(grid, TpuPatchGrid):
@@ -174,3 +177,91 @@ def write_seismograms(
     arrays.update(extra)
     np.savez_compressed(path, **arrays)
     return pathlib.Path(path)
+
+
+# --------------------------------------------------------------- ADER-DG
+
+
+def aderdg_cell_means(solver, u) -> np.ndarray:
+    """Quadrature cell means of an :class:`ADERDGSolver` state →
+    ``[*grid, n_vars]`` (the FV-style field the VTK writer consumes)."""
+    w = np.asarray(solver.ops.weights)
+    out = np.asarray(u)
+    for d in reversed(range(solver.dim)):
+        out = np.tensordot(w, out, axes=([0], [solver.node_axis(d)]))
+    # out: [n_vars, *grid] -> [*grid, n_vars]
+    return np.moveaxis(out, 0, -1)
+
+
+def aderdg_resample(solver, u, points_per_cell: int) -> np.ndarray:
+    """Sample the DG polynomial on a uniform sub-grid (``points_per_cell``
+    equispaced points per cell per axis, cell-centered) →
+    ``[*grid·points_per_cell, n_vars]``.  The high-resolution plotting
+    export (ExaHyPE's plotter-resolution analogue): unlike cell means this
+    shows the intra-cell polynomial structure."""
+    from exahype_tpu.models.dg import lagrange_eval
+
+    nodes = np.asarray(solver.ops.nodes)
+    s = points_per_cell
+    xs = (np.arange(s) + 0.5) / s
+    L = np.stack([lagrange_eval(nodes, float(x)) for x in xs])  # [s, n]
+    out = np.asarray(u)
+    # Replace each node axis by a sample axis, then interleave with grid.
+    for d in range(solver.dim):
+        out = np.moveaxis(
+            np.tensordot(L, out, axes=([1], [d])), 0, d
+        )
+    # out: [s.., n_vars, *grid]
+    var_ax = solver.dim
+    order = []
+    for d in range(solver.dim):
+        order += [var_ax + 1 + d, d]  # grid-major, sample-minor
+    order.append(var_ax)
+    out = np.transpose(out, order)
+    shape = tuple(g * s for g in solver.grid_shape) + (solver.n_vars,)
+    return out.reshape(shape)
+
+
+def write_vtk_aderdg(
+    path,
+    solver,
+    u,
+    var_names: Optional[Sequence[str]] = None,
+    points_per_cell: int = 1,
+    origin: Sequence[float] = (0.0, 0.0, 0.0),
+):
+    """Legacy-VTK STRUCTURED_POINTS of an ADER-DG state: cell means
+    (``points_per_cell=1``) or the polynomial resampled at
+    ``points_per_cell`` samples/cell/axis."""
+    if points_per_cell == 1:
+        data = aderdg_cell_means(solver, u)
+    else:
+        data = aderdg_resample(solver, u, points_per_cell)
+    dims = data.shape[:-1]
+    n_vars = data.shape[-1]
+    names = list(var_names or [f"var{i}" for i in range(n_vars)])
+    if len(names) != n_vars:
+        raise ValueError(f"{len(names)} names for {n_vars} variables")
+    dxs = tuple(
+        solver._dxs[d] / points_per_cell for d in range(solver.dim)
+    ) + (1.0,) * (3 - solver.dim)
+    vtk_dims = tuple(dims) + (1,) * (3 - solver.dim)
+    n_points = int(np.prod(vtk_dims))
+    lines = [
+        "# vtk DataFile Version 3.0",
+        "exahype_tpu ADER-DG solution",
+        "ASCII",
+        "DATASET STRUCTURED_POINTS",
+        f"DIMENSIONS {vtk_dims[0]} {vtk_dims[1]} {vtk_dims[2]}",
+        f"ORIGIN {origin[0]} {origin[1]} {origin[2]}",
+        f"SPACING {dxs[0]} {dxs[1]} {dxs[2]}",
+        f"POINT_DATA {n_points}",
+    ]
+    for i, name in enumerate(names):
+        flat = np.transpose(data[..., i]).reshape(-1)
+        lines.append(f"SCALARS {name} double 1")
+        lines.append("LOOKUP_TABLE default")
+        lines.extend(f"{v:.17g}" for v in flat)
+    out = pathlib.Path(path)
+    out.write_text("\n".join(lines) + "\n")
+    return out

@@ -188,6 +188,65 @@ def test_output_writers(tmp_path):
     assert first == glob[0, 0, 0]
 
 
+def test_aderdg_output_writers(tmp_path):
+    """Cell means are exact quadrature integrals; the polynomial resample
+    reproduces a polynomial of the scheme's degree exactly; the VTK file
+    round-trips values in x-fastest order."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.utils.output import (
+        aderdg_cell_means,
+        aderdg_resample,
+        write_vtk_aderdg,
+    )
+
+    order, cells = 2, 3
+    solver = ADERDGSolver(
+        dim=2, order=order, n_vars=2, grid_shape=(cells, cells),
+        flux_fn=lambda Q, d, va: jnp.zeros_like(Q),
+        max_eigenvalue_fn=lambda Q, d, va: jnp.zeros(
+            Q.shape[:va] + Q.shape[va + 1:], Q.dtype
+        ),
+        dx=1.0 / cells,
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    # degree-2 polynomial: exactly representable AND exactly integrable
+    f0 = X * X + 2.0 * Y
+    f1 = X * Y
+    u = jnp.asarray(np.stack([f0, f1], axis=solver.var_axis))
+
+    means = aderdg_cell_means(solver, u)
+    assert means.shape == (cells, cells, 2)
+    # exact integral of x²+2y over cell (i,j) / cell volume
+    dx = 1.0 / cells
+    i, j = 1, 2
+    lo_x, lo_y = i * dx, j * dx
+    exact = ((lo_x + dx) ** 3 - lo_x**3) / (3 * dx) + 2 * (lo_y + dx / 2)
+    np.testing.assert_allclose(means[i, j, 0], exact, rtol=1e-13)
+
+    s = 4
+    res = aderdg_resample(solver, u, s)
+    assert res.shape == (cells * s, cells * s, 2)
+    xs = (np.arange(cells * s) + 0.5) / (cells * s)
+    Xs, Ys = np.meshgrid(xs, xs, indexing="ij")
+    np.testing.assert_allclose(res[..., 0], Xs**2 + 2 * Ys, atol=1e-13)
+    np.testing.assert_allclose(res[..., 1], Xs * Ys, atol=1e-13)
+
+    vtk = write_vtk_aderdg(tmp_path / "dg.vtk", solver, u,
+                           var_names=["a", "b"], points_per_cell=s)
+    text = vtk.read_text()
+    assert f"DIMENSIONS {cells * s} {cells * s} 1" in text
+    first = float(text.split("LOOKUP_TABLE default\n")[1].split("\n")[0])
+    np.testing.assert_allclose(first, res[0, 0, 0])
+    # means variant too
+    vtk1 = write_vtk_aderdg(tmp_path / "dg1.vtk", solver, u)
+    assert f"DIMENSIONS {cells} {cells} 1" in vtk1.read_text()
+
+
 def test_driver_with_tpu_layout_pallas_solver(tmp_path):
     """The production driver runs the Pallas/SoA-P solver end to end."""
     from exahype_tpu.parallel import TpuPatchGrid
