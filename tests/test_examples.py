@@ -170,3 +170,12 @@ def test_rmhd_vortex(tmp_path, monkeypatch, capsys):
     run_example("rmhd_vortex.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "relativistic OT" in out
+
+
+def test_navier_stokes_vortex(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["navier_stokes_vortex.py", "--cpu"])
+    run_example("navier_stokes_vortex.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "KE decay rate" in out
