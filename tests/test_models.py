@@ -1626,6 +1626,155 @@ def test_grmhd_causality_and_admissibility():
     assert not bool(np.asarray(ok(bad, 1))[0])
 
 
+# --------------------------------------------------------------- GRMHD-CFC
+
+
+def test_grmhd_cfc_reduces_to_rmhd_and_grmhd():
+    """α=ψ=1 recovers flat `rmhd`; ψ=1 recovers the lapse-only `grmhd`
+    (fluxes, eigenvalues AND geometric sources)."""
+    from exahype_tpu.models import grmhd, grmhd_cfc, rmhd
+
+    rng = np.random.default_rng(11)
+    n, dim = 48, 2
+    rho = rng.uniform(0.3, 2.0, n)
+    p = rng.uniform(0.2, 2.0, n)
+    v = 0.5 * rng.uniform(-1, 1, (n, 3)) / np.sqrt(3)
+    B = rng.standard_normal((n, 3))
+    alpha = rng.uniform(0.4, 1.2, n)
+    dalpha = rng.standard_normal((n, dim))
+    zeros2 = np.zeros((n, dim))
+
+    Qf = np.asarray(rmhd.prim_to_cons(jnp.asarray(rho), jnp.asarray(v),
+                                      jnp.asarray(p), jnp.asarray(B)))
+    Qc = np.asarray(grmhd_cfc.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p), jnp.asarray(B),
+        1.0, 1.0, zeros2, zeros2,
+    ))
+    np.testing.assert_allclose(Qc[:, :9], Qf, atol=1e-14)
+    for axis in range(dim):
+        fc = np.asarray(grmhd_cfc.grmhd_cfc_flux(jnp.asarray(Qc), axis))
+        ff = np.asarray(rmhd.rmhd_flux(jnp.asarray(Qf), axis))
+        np.testing.assert_allclose(fc[:, :9], ff, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(grmhd_cfc.grmhd_cfc_eigenvalue(jnp.asarray(Qc), axis)),
+            np.asarray(rmhd.rmhd_eigenvalue(jnp.asarray(Qf), axis)),
+            atol=1e-13,
+        )
+
+    Ql = np.asarray(grmhd.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p), jnp.asarray(B),
+        jnp.asarray(alpha), jnp.asarray(dalpha),
+    ))
+    Qc = np.asarray(grmhd_cfc.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p), jnp.asarray(B),
+        jnp.asarray(alpha), 1.0, jnp.asarray(dalpha), zeros2,
+    ))
+    for axis in range(dim):
+        fc = np.asarray(grmhd_cfc.grmhd_cfc_flux(jnp.asarray(Qc), axis))
+        fl = np.asarray(grmhd.grmhd_flux(jnp.asarray(Ql), axis))
+        np.testing.assert_allclose(fc[:, :9], fl[:, :9], atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(grmhd_cfc.grmhd_cfc_eigenvalue(jnp.asarray(Qc), axis)),
+            np.asarray(grmhd.grmhd_eigenvalue(jnp.asarray(Ql), axis)),
+            atol=1e-13,
+        )
+    sc = np.asarray(grmhd_cfc.grmhd_cfc_source(dim)(jnp.asarray(Qc), 1))
+    sl = np.asarray(grmhd.grmhd_source(dim)(jnp.asarray(Ql), 1))
+    np.testing.assert_allclose(sc[:, :9], sl[:, :9], atol=1e-11)
+
+
+def test_grmhd_cfc_con2prim_roundtrip():
+    from exahype_tpu.models import grmhd_cfc
+
+    rng = np.random.default_rng(13)
+    n = 48
+    rho = rng.uniform(0.3, 2.0, n)
+    p = rng.uniform(0.2, 2.0, n)
+    psi = rng.uniform(0.8, 1.3, n)
+    alpha = rng.uniform(0.4, 1.0, n)
+    # physical |v| limit: γ_ij v^i v^j = ψ⁴|v|² < 1
+    v = (0.5 * psi[:, None] ** (-2.0)
+         * rng.uniform(-1, 1, (n, 3)) / np.sqrt(3))
+    B = 0.5 * psi[:, None] ** (-2.0) * rng.standard_normal((n, 3))
+    z2 = np.zeros((n, 2))
+    Q = grmhd_cfc.pack_state(jnp.asarray(rho), jnp.asarray(v),
+                             jnp.asarray(p), jnp.asarray(B),
+                             jnp.asarray(alpha), jnp.asarray(psi), z2, z2)
+    r2, v2, p2, _, B2 = grmhd_cfc.con2prim(Q)
+    np.testing.assert_allclose(np.asarray(r2), rho, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p2), p, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v2), v, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(B2), B, rtol=1e-12, atol=1e-14)
+    for axis in range(2):
+        lam = np.asarray(grmhd_cfc.grmhd_cfc_eigenvalue(Q, axis))
+        assert np.all(lam <= alpha * psi ** (-2.0) + 1e-13)
+    ok = grmhd_cfc.grmhd_cfc_admissible(2)
+    assert bool(np.asarray(ok(Q, 1)).all())
+    bad = Q.at[0, 10].set(-1.0)  # negative conformal factor (slot ψ)
+    assert not bool(np.asarray(ok(bad, 1))[0])
+
+
+def test_grmhd_cfc_magnetized_curved_equilibrium():
+    """With α ≡ 1 and a uniform out-of-plane hatted field B̂ẑ, the static
+    balance closes exactly: ψ∂p = −2B̂²∂ψ ⇒ p = p₀ − 2B̂²lnψ (ρ free).
+    Residual converges above the scheme's order; in-plane field, GLM
+    scalar, and metric slots exactly frozen; D* conserved."""
+    import jax
+
+    from exahype_tpu.models import grmhd_cfc
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    gamma = 5.0 / 3.0
+    Bhat = 0.3
+    errs = []
+    for cells in (8, 16):
+        flux, eig = grmhd_cfc.grmhd_cfc(dim=2, gamma=gamma, c_h=1.0)
+        solver = ADERDGSolver(
+            dim=2, order=3, n_vars=grmhd_cfc.n_vars(2),
+            grid_shape=(cells, cells),
+            flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+            dx=1.0 / cells,
+            dissipation_mask=grmhd_cfc.grmhd_cfc_dissipation_mask(2),
+        )
+        solver.source_fn = grmhd_cfc.grmhd_cfc_source(2, gamma=gamma)
+        coords = solver.nodes_meshgrid()
+        no_var = solver.state_shape[:2] + solver.state_shape[3:]
+        X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+        psi = 1.0 + 0.08 * np.cos(2 * np.pi * X)
+        dpsi = np.stack(
+            [-0.08 * 2 * np.pi * np.sin(2 * np.pi * X), np.zeros_like(X)], -1
+        )
+        p = 0.5 - 2.0 * Bhat**2 * np.log(psi)
+        rho = np.ones_like(X)
+        # physical contravariant field of the uniform HATTED B̂ẑ
+        Bz = Bhat * psi ** (-2.0)
+        B = np.stack([np.zeros_like(X), np.zeros_like(X), Bz], -1)
+        z2 = np.zeros(no_var + (2,))
+        Qv = np.asarray(grmhd_cfc.pack_state(
+            jnp.asarray(rho), jnp.asarray(np.zeros(no_var + (3,))),
+            jnp.asarray(p), jnp.asarray(B), 1.0, jnp.asarray(psi),
+            jnp.asarray(z2), jnp.asarray(dpsi), gamma=gamma,
+        ))
+        u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+        out = jax.jit(lambda u: solver.run(u, 10, 1e-3))(u)
+        dSx = np.asarray(jnp.take(out, 1, solver.var_axis)
+                         - jnp.take(u, 1, solver.var_axis))
+        errs.append(np.abs(dSx).max())
+        frozen = [5, 6, 8] + list(range(9, grmhd_cfc.n_vars(2)))
+        np.testing.assert_array_equal(
+            np.take(np.asarray(out), frozen, axis=solver.var_axis),
+            np.take(np.asarray(u), frozen, axis=solver.var_axis),
+        )
+        dBz = np.abs(np.take(np.asarray(out), 7, axis=solver.var_axis)
+                     - np.take(np.asarray(u), 7, axis=solver.var_axis))
+        assert dBz.max() < 1e-4
+        m0 = np.asarray(solver.total_mass(u))
+        m1 = np.asarray(solver.total_mass(out))
+        np.testing.assert_allclose(m1[0], m0[0], rtol=1e-13)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.0, (errs, rate)
+
+
 # ---------------------------------------------------------------- GRHD-CFC
 
 
