@@ -179,3 +179,12 @@ def test_navier_stokes_vortex(tmp_path, monkeypatch, capsys):
     run_example("navier_stokes_vortex.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "KE decay rate" in out
+
+
+def test_grmhd_curved_blast(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["grmhd_curved_blast.py", "--cpu"])
+    run_example("grmhd_curved_blast.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "limited GRMHD-CFC blast" in out
