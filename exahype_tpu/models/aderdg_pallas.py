@@ -53,13 +53,6 @@ class PallasADERDG:
             # The in-kernel face wraps assume periodicity; with walls every
             # axis goes through the (boundary-aware) XLA epilogue instead.
             fuse_interior_riemann = False
-        if getattr(solver, "visc_flux_fn", None) is not None:
-            from exahype_tpu.utils.errors import SemanticError
-
-            raise SemanticError(
-                "PallasADERDG does not support viscous fluxes yet — run "
-                "advection–diffusion solvers on the XLA ADERDGSolver path"
-            )
         self.solver = solver
         self.interpret = interpret
         #: Run Picard iterations 1.. as a real ``lax.fori_loop`` instead of
@@ -226,6 +219,21 @@ class PallasADERDG:
             hi = jax.lax.slice_in_dim(x, (-sh) % n, n, axis=axis)
             return jnp.concatenate([hi, lo], axis=axis)
 
+        def rusanov_speed(q_a, q_b, d):
+            """Face dissipation speed: hyperbolic bound + (for viscous
+            solvers) the Gassner gradient-jump penalty 2(2N+1)κ/dx."""
+            s = jnp.maximum(
+                sol.max_eigenvalue_fn(q_a, d, face_va),
+                sol.max_eigenvalue_fn(q_b, d, face_va),
+            )
+            if sol.visc_eigenvalue_fn is not None:
+                k = jnp.maximum(
+                    sol.visc_eigenvalue_fn(q_a, d, face_va),
+                    sol.visc_eigenvalue_fn(q_b, d, face_va),
+                )
+                s = s + 2.0 * (2 * sol.order + 1) / sol._dxs[d] * k
+            return jnp.expand_dims(s, face_va)
+
         def surface_update(new, q_lo, q_hi, f_lo, f_hi, d, lam, shift=None):
             """Rusanov face solve + surface corrector for direction ``d``
             (shape-agnostic: used on full arrays in the XLA epilogue, where
@@ -240,13 +248,7 @@ class PallasADERDG:
             node_ax = sol.node_axis(d)
             q_plus = shift(q_lo, -1, face_grid_ax)
             f_plus = shift(f_lo, -1, face_grid_ax)
-            s_hi = jnp.expand_dims(
-                jnp.maximum(
-                    sol.max_eigenvalue_fn(q_hi, d, face_va),
-                    sol.max_eigenvalue_fn(q_plus, d, face_va),
-                ),
-                face_va,
-            )
+            s_hi = rusanov_speed(q_hi, q_plus, d)
             dq = q_plus - q_hi
             if sol.dissipation_mask is not None:
                 parts = [
@@ -294,6 +296,24 @@ class PallasADERDG:
                 cols.append(acc)
             return jnp.stack(cols, axis=axis)
 
+        def grads_of(q_s):
+            """Physical gradients (∂q/∂x_e)_e from the block's polynomial
+            (None for inviscid solvers) — same D application and division
+            as the XLA predictor, so both paths round identically."""
+            if sol.visc_flux_fn is None:
+                return None
+            return tuple(
+                mat_apply(D, q_s, sol.node_axis(e)) / sol._dxs[e]
+                for e in range(dim)
+            )
+
+        def full_flux(q_s, d, grads):
+            """Hyperbolic + (when enabled) viscous flux along ``d``."""
+            F = sol.flux_fn(q_s, d, va)
+            if grads is not None:
+                F = F + sol.visc_flux_fn(q_s, grads, d, va)
+            return F
+
         def vec_project(vec, x, axis):
             slices = [
                 jax.lax.index_in_dim(x, j, axis, keepdims=False) for j in range(nn)
@@ -322,9 +342,10 @@ class PallasADERDG:
                 rhs = []
                 for s in range(nn):
                     r = PHI0[s] * u
+                    g_s = grads_of(q[s])
                     for d in lam_axes:
                         dF = mat_apply(
-                            D, sol.flux_fn(q[s], d, va), sol.node_axis(d)
+                            D, full_flux(q[s], d, g_s), sol.node_axis(d)
                         )
                         r = r - lams[d] * W[s] * dF
                         if sol.ncp_fn is not None:
@@ -359,9 +380,10 @@ class PallasADERDG:
                 traced slice index — the same ops/fold order as the
                 unrolled form."""
                 r = dyn_scalar(PHI0, s) * u
+                g_s = grads_of(q_s)
                 for d in lam_axes:
                     dF = mat_apply(
-                        D, sol.flux_fn(q_s, d, va), sol.node_axis(d)
+                        D, full_flux(q_s, d, g_s), sol.node_axis(d)
                     )
                     r = r - lams[d] * dyn_scalar(W, s) * dF
                     if sol.ncp_fn is not None:
@@ -430,8 +452,9 @@ class PallasADERDG:
                     q_s = qs_rot[0]
                     w_s = dyn_scalar(W, s)
                     qbar_acc = carry[1] + w_s * q_s
+                    g_s = grads_of(q_s)
                     fbar_acc = tuple(
-                        f + w_s * sol.flux_fn(q_s, d, va)
+                        f + w_s * full_flux(q_s, d, g_s)
                         for d, f in zip(lam_axes, carry[2])
                     )
                     out = (rot(qs_rot), qbar_acc, fbar_acc)
@@ -465,8 +488,9 @@ class PallasADERDG:
                     # identical).  Measured perf-neutral on a v5e — the
                     # compiler already CSEs the identical expressions — but
                     # the dedup is guaranteed here instead of relied upon.
+                    g0 = grads_of(u)
                     dF = [
-                        mat_apply(D, sol.flux_fn(u, d, va), sol.node_axis(d))
+                        mat_apply(D, full_flux(u, d, g0), sol.node_axis(d))
                         for d in lam_axes
                     ]
                     derivs = [[dF[d]] * nn for d in lam_axes]
@@ -529,12 +553,15 @@ class PallasADERDG:
             # solver).  Streamed per slice — same left-fold order as the
             # list form (bitwise equal), one live flux transient.
             qbar = sum(W[s] * q[s] for s in range(nn))
-            fbar = []
-            for d in lam_axes:
-                acc = W[0] * sol.flux_fn(q[0], d, va)
-                for s in range(1, nn):
-                    acc = acc + W[s] * sol.flux_fn(q[s], d, va)
-                fbar.append(acc)
+            fbar = None
+            for s in range(nn):
+                g_s = grads_of(q[s])
+                fs = [full_flux(q[s], d, g_s) for d in lam_axes]
+                fbar = (
+                    [W[0] * f for f in fs]
+                    if fbar is None
+                    else [a + W[s] * f for a, f in zip(fbar, fs)]
+                )
 
             if sol.source_fn is not None:
                 sbar = sum(
@@ -591,13 +618,7 @@ class PallasADERDG:
                 lo_q = jax.lax.slice_in_dim(q_lo0, 1, tile0, axis=fgax)
                 hi_f = jax.lax.slice_in_dim(f_hi0, 0, tile0 - 1, axis=fgax)
                 lo_f = jax.lax.slice_in_dim(f_lo0, 1, tile0, axis=fgax)
-                s = jnp.expand_dims(
-                    jnp.maximum(
-                        sol.max_eigenvalue_fn(hi_q, 0, face_va),
-                        sol.max_eigenvalue_fn(lo_q, 0, face_va),
-                    ),
-                    face_va,
-                )
+                s = rusanov_speed(hi_q, lo_q, 0)
                 dq = lo_q - hi_q
                 if sol.dissipation_mask is not None:
                     parts = [
@@ -730,13 +751,7 @@ class PallasADERDG:
             lam0 = dtv / sol._dxs[0]
             q_plus = jnp.roll(q_lo_first, -1, axis=fgax)
             f_plus = jnp.roll(f_lo_first, -1, axis=fgax)
-            s = jnp.expand_dims(
-                jnp.maximum(
-                    sol.max_eigenvalue_fn(q_hi_last, 0, face_va),
-                    sol.max_eigenvalue_fn(q_plus, 0, face_va),
-                ),
-                face_va,
-            )
+            s = rusanov_speed(q_hi_last, q_plus, 0)
             dq = q_plus - q_hi_last
             if sol.dissipation_mask is not None:
                 mshape = [1] * dq.ndim

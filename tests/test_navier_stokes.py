@@ -146,13 +146,133 @@ def test_ns_viscous_conservation():
     np.testing.assert_allclose(m1, m0, rtol=1e-12, atol=1e-14)
 
 
+def test_ns_3d_shear_decay_and_conservation():
+    """The viscous machinery is dim-generic: a 3-D shear mode
+    v_z = V sin(2πx) decays at ν(2π)² and everything conserves."""
+    mu = 0.02
+    dim = 3
+    f, e, vf, ve = ns.navier_stokes(dim=dim, mu=mu)
+    solver = ADERDGSolver(
+        dim=dim, order=2, n_vars=dim + 2, grid_shape=(6, 4, 4),
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve),
+        dx=(1.0 / 6, 1.0 / 4, 1.0 / 4),
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:dim] + solver.state_shape[dim + 1:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    V = 1e-3
+    mz = V * np.sin(2 * np.pi * X)
+    rho = np.ones_like(X)
+    p = np.ones_like(X)
+    E = p / (euler.GAMMA - 1.0) + 0.5 * mz**2
+    Qv = np.stack(
+        [rho, np.zeros_like(X), np.zeros_like(X), mz, E], axis=-1
+    )
+    u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+    dt = float(solver.cfl_dt(u))
+    n_steps = max(1, int(round(0.25 / dt)))
+    T = n_steps * dt
+    out = jax.jit(lambda u: solver.run(u, n_steps, dt))(u)
+
+    def vz_norm(q):
+        vz = jnp.take(q, 3, solver.var_axis) / jnp.take(q, 0, solver.var_axis)
+        return float(jnp.sqrt(jnp.mean(vz * vz)))
+
+    rate = np.log(vz_norm(u) / vz_norm(out)) / T
+    exact = mu * (2 * np.pi) ** 2
+    assert abs(rate - exact) / exact < 2e-2, (rate, exact)
+    m0 = np.asarray(solver.total_mass(u))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12, atol=1e-14)
+
+
+def test_ns_sharded_matches_single_device():
+    """GSPMD-sharded viscous step (grid axis 0 over the 8-device mesh):
+    the gradient evaluation is cell-local and the face exchange partitions
+    into collectives, so parity vs single device is 1e-12."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel import make_mesh
+
+    solver = make_ns_solver(cells=8, order=2, mu=0.02)
+    rng = np.random.default_rng(9)
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    rho = 1.0 + 0.3 * rng.random(no_var)
+    m = 0.3 * rng.standard_normal(no_var + (2,))
+    p = 1.0 + 0.3 * rng.random(no_var)
+    E = p / (euler.GAMMA - 1) + 0.5 * (m**2).sum(-1) / rho
+    Qv = np.concatenate([rho[..., None], m, E[..., None]], -1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+    dt = 5e-4
+    ref = np.asarray(jax.jit(lambda q: solver.step(q, dt))(u))
+
+    mesh = make_mesh(8)
+    spec = [None] * len(solver.state_shape)
+    spec[solver.grid_axis(0)] = "patches"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec))
+    us = jax.device_put(u, sharding)
+    got = np.asarray(
+        jax.jit(lambda q: solver.step(q, dt),
+                in_shardings=(sharding,), out_shardings=sharding)(us)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def _smooth_ns_state(solver):
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    rho = 1.0 + 0.2 * np.sin(2 * np.pi * (X + Y))
+    mx = 0.2 * np.cos(2 * np.pi * X)
+    my = -0.1 * np.sin(2 * np.pi * Y)
+    p = 1.0 + 0.2 * np.cos(2 * np.pi * Y)
+    E = p / (euler.GAMMA - 1) + 0.5 * (mx**2 + my**2) / rho
+    Qv = np.stack([rho, mx, my, E], axis=-1)
+    return jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+
+
+def test_ns_fused_pallas_parity():
+    """Navier–Stokes on the fused Pallas predictor (interpret mode): the
+    in-kernel gradient evaluation, viscous flux, and Gassner face penalty
+    match the XLA solver to 1e-12 — on the unrolled, iteration-looped,
+    and doubly-streamed kernel variants."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = make_ns_solver(cells=4, order=2, mu=0.02)
+    u = _smooth_ns_state(solver)
+    dt = 5e-4
+    ref = np.asarray(solver.step(u, dt))
+    for kw in ({}, {"picard_loop": True},
+               {"picard_loop": True, "slice_loop": True}):
+        fused = PallasADERDG(solver, interpret=True, **kw)
+        got = np.asarray(fused.step(u, dt))
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14,
+                                   err_msg=str(kw))
+
+
+def test_ns_fused_bfo_parity():
+    """boundary_faces_only (the bench fast path) also carries the viscous
+    terms: intra-tile and tile-boundary penalties match the XLA step."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = make_ns_solver(cells=8, order=2, mu=0.02)
+    u = _smooth_ns_state(solver)
+    dt = 5e-4
+    ref = np.asarray(solver.step(u, dt))
+    fused = PallasADERDG(solver, interpret=True, tile0=4,
+                         boundary_faces_only=True)
+    assert fused.boundary_faces_only
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
 def test_viscous_guards():
     solver = make_ns_solver(cells=4, order=2)
-    from exahype_tpu.models.aderdg_pallas import PallasADERDG
     from exahype_tpu.models.limiter import LimitedADERDG
 
-    with pytest.raises(SemanticError, match="viscous"):
-        PallasADERDG(solver, interpret=True)
     with pytest.raises(SemanticError, match="viscous"):
         LimitedADERDG(solver, admissible=lambda Q, va: jnp.ones(
             Q.shape[:va] + Q.shape[va + 1:], bool
