@@ -1775,6 +1775,53 @@ def test_grmhd_cfc_magnetized_curved_equilibrium():
     assert rate > 3.0, (errs, rate)
 
 
+def test_grmhd_cfc_fused_pallas_parity():
+    """The curved magnetized family runs on the fused Pallas predictor:
+    hat-map con2prim, row-scaled fluxes, geometric sources, and the
+    frozen-metric mask all inline at 1e-12 parity."""
+    from exahype_tpu.models import grmhd_cfc
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    GAMMA = 4.0 / 3.0
+    flux, eig = grmhd_cfc.grmhd_cfc(dim=2, gamma=GAMMA, iters=8)
+    cells = 4
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=grmhd_cfc.n_vars(2), grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, source_fn=grmhd_cfc.grmhd_cfc_source(2, gamma=GAMMA,
+                                                             iters=8),
+        dissipation_mask=grmhd_cfc.grmhd_cfc_dissipation_mask(2),
+    )
+    fused = PallasADERDG(solver, interpret=True)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    rho = 1.0 + 0.2 * np.sin(2 * np.pi * (X + Y))
+    v = np.stack([0.2 * np.ones_like(X), -0.1 * np.ones_like(X),
+                  0.05 * np.ones_like(X)], -1)
+    B = np.stack([0.3 * np.ones_like(X), 0.15 * np.ones_like(X),
+                  -0.1 * np.ones_like(X)], -1)
+    alpha = 1.0 + 0.05 * np.cos(2 * np.pi * Y)
+    dalpha = np.stack(
+        [np.zeros_like(X), -0.05 * 2 * np.pi * np.sin(2 * np.pi * Y)], -1
+    )
+    psi = 1.0 + 0.04 * np.sin(2 * np.pi * X)
+    dpsi = np.stack(
+        [0.04 * 2 * np.pi * np.cos(2 * np.pi * X), np.zeros_like(X)], -1
+    )
+    u = jnp.asarray(np.moveaxis(np.asarray(grmhd_cfc.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(0.8 * rho),
+        jnp.asarray(B), jnp.asarray(alpha), jnp.asarray(psi),
+        jnp.asarray(dalpha), jnp.asarray(dpsi), gamma=GAMMA,
+    )), -1, solver.var_axis))
+    dt = 1e-3
+    ref = np.asarray(solver.step(u, dt))
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
 # ---------------------------------------------------------------- GRHD-CFC
 
 
