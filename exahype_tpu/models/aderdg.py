@@ -156,10 +156,14 @@ class ADERDGSolver:
     #: Cell spacing: a scalar, or a per-axis tuple for anisotropic grids.
     dx: float | tuple = 1.0
     picard_iters: int | None = None
-    #: Domain boundary: "periodic" (default) or "reflective" walls.
+    #: Domain boundary: "periodic" (default), "reflective" walls, or
+    #: "outflow" (zero-gradient/absorbing walls: the ghost is the cell's
+    #: own face state, so the wall Riemann flux collapses to the exact
+    #: upwind flux f(q̄_face) — waves exit without reflection).
     #: Reflective needs ``reflect_fn(Q, axis, var_axis)`` (mirror ghost
     #: state) and ``reflect_flux_fn(F, axis, var_axis)`` (mirror ghost flux)
-    #: — see :func:`euler_reflect` / :func:`euler_reflect_flux`.
+    #: — see :func:`euler_reflect` / :func:`euler_reflect_flux`; outflow
+    #: needs nothing (identity ghosts are installed automatically).
     boundary: str = "periodic"
     reflect_fn: Callable | None = None
     reflect_flux_fn: Callable | None = None
@@ -223,7 +227,7 @@ class ADERDGSolver:
         self.ops = DGOperators(self.order)
         if self.picard_iters is None:
             self.picard_iters = self.order + 1
-        if self.boundary not in ("periodic", "reflective"):
+        if self.boundary not in ("periodic", "reflective", "outflow"):
             raise SemanticError(f"unknown boundary {self.boundary!r}")
         if self.boundary == "reflective" and (
             self.reflect_fn is None or self.reflect_flux_fn is None
@@ -231,6 +235,12 @@ class ADERDGSolver:
             raise SemanticError(
                 "reflective boundary requires reflect_fn and reflect_flux_fn"
             )
+        if self.boundary == "outflow":
+            # Zero-gradient ghosts through the same wall plumbing: the
+            # ghost state/flux IS the cell's own face state/flux, so the
+            # wall Rusanov flux is exactly the upwind f(q̄_face).
+            self.reflect_fn = lambda Q, axis, var_axis: Q
+            self.reflect_flux_fn = lambda F, axis, var_axis: F
         if self.ncp_fn is not None and self.boundary != "periodic":
             raise SemanticError(
                 "non-conservative products support periodic boundaries only"
@@ -244,8 +254,10 @@ class ADERDGSolver:
                 "viscous fluxes support periodic boundaries only"
             )
         if self.wall_axes is not None:
-            if self.boundary != "reflective":
-                raise SemanticError("wall_axes requires boundary='reflective'")
+            if self.boundary not in ("reflective", "outflow"):
+                raise SemanticError(
+                    "wall_axes requires boundary='reflective' or 'outflow'"
+                )
             self.wall_axes = tuple(int(d) for d in self.wall_axes)
             if not self.wall_axes or any(
                 d < 0 or d >= self.dim for d in self.wall_axes
@@ -282,9 +294,9 @@ class ADERDGSolver:
         return self.dim + 1 + d
 
     def is_wall(self, d: int) -> bool:
-        """Whether grid axis ``d`` carries a reflective wall (axes outside
-        ``wall_axes`` stay periodic)."""
-        return self.boundary == "reflective" and (
+        """Whether grid axis ``d`` carries a domain wall (reflective or
+        outflow; axes outside ``wall_axes`` stay periodic)."""
+        return self.boundary in ("reflective", "outflow") and (
             self.wall_axes is None or d in self.wall_axes
         )
 

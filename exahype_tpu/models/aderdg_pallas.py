@@ -196,7 +196,9 @@ class PallasADERDG:
         PHI1W = [float(v) for v in np.asarray(ops.phi1 / ops.weights)]
         va = sol.var_axis  # var axis of per-time-slice arrays
         face_va = sol.var_axis - 1  # var axis of face-projected arrays
-        reflective = sol.boundary == "reflective"
+        # Any non-periodic boundary routes the epilogue axes through the
+        # base solver's boundary-aware face_update (reflective OR outflow).
+        reflective = sol.boundary != "periodic"
         if self._epilogue_override is not None and self.fuse_interior_riemann:
             epilogue_axes = self._epilogue_override
             fused_axes = tuple(d for d in lam_axes if d not in epilogue_axes)

@@ -161,6 +161,12 @@ class LimitedADERDG:
                 "its DMP/ghost helpers assume walls on every axis "
                 "(use all-axis reflective or periodic solvers)"
             )
+        if self.solver.boundary == "outflow":
+            raise SemanticError(
+                "LimitedADERDG does not support outflow boundaries yet: "
+                "the DMP/subcell ghost helpers implement periodic and "
+                "reflective contracts only"
+            )
         if getattr(self.solver, "visc_flux_fn", None) is not None:
             raise SemanticError(
                 "LimitedADERDG does not support viscous fluxes yet: the "

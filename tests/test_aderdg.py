@@ -332,6 +332,83 @@ def test_reflective_walls_conserve_mass_and_energy():
     assert abs(m1[1] - m0[1]) > 1e-6
 
 
+def test_outflow_walls_uniform_flow_exact_and_bump_exits():
+    """Outflow (zero-gradient) walls: a UNIFORM supersonic flow through
+    the domain is an exact steady state (periodic trivially, reflective
+    would bounce — this discriminates the BC); a compact density bump
+    advects OUT of the domain leaving the uniform background, with no
+    periodic wrap-around and no visible reflection."""
+    from exahype_tpu.models import euler
+
+    dim = 2
+    flux, eig = euler_physics(dim=dim, n_real=4)
+    solver = ADERDGSolver(
+        dim=dim, order=3, n_vars=4, grid_shape=(8, 4),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 8,
+        boundary="outflow", wall_axes=(0,),  # outflow in x, periodic in y
+    )
+    sel = lambda k: (slice(None),) * solver.var_axis + (k,)
+
+    # Uniform supersonic flow (u = 2, c = sqrt(1.4) ≈ 1.18): exact.
+    uni = np.zeros(solver.state_shape)
+    uni[sel(0)] = 1.0
+    uni[sel(1)] = 2.0
+    uni[sel(3)] = 1.0 / (euler.GAMMA - 1) + 0.5 * 2.0**2
+    out = solver.run(jnp.asarray(uni), 10, dt=1e-3)
+    np.testing.assert_allclose(np.asarray(out), uni, rtol=0, atol=1e-12)
+
+    # Compact bump rides out through the high-x wall.
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:dim] + solver.state_shape[dim + 1:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    bump = 0.3 * np.exp(-((X - 0.7) / 0.08) ** 2)
+    rho = 1.0 + bump
+    Q0 = np.zeros(solver.state_shape)
+    Q0[sel(0)] = rho
+    Q0[sel(1)] = 2.0 * rho
+    p = 1.0 + 0.0 * rho
+    Q0[sel(3)] = p / (euler.GAMMA - 1) + 0.5 * (2.0 * rho) ** 2 / rho
+    dt = float(solver.cfl_dt(jnp.asarray(Q0)))
+    # travel distance > domain remainder (0.3) plus slack
+    n_steps = int(np.ceil(0.6 / (2.0 * dt)))
+    Q = np.asarray(solver.run(jnp.asarray(Q0), n_steps, dt))
+    assert np.isfinite(Q).all()
+    # The bump is gone through the EXIT side: in the downstream half the
+    # density is back to the background to ~1e-3 (periodic would have
+    # wrapped the bump there; reflective would have bounced it).  The
+    # INFLOW side (x=0) develops the well-known zero-gradient drift
+    # (inflow characteristics are undetermined under outflow BCs) — it
+    # stays small and bounded but is not asserted clean.
+    rho_out = Q[sel(0)]
+    right = rho_out[(slice(None),) * dim + (slice(4, None),)]
+    assert np.abs(right - 1.0).max() < 5e-3, np.abs(right - 1.0).max()
+    assert np.abs(rho_out - 1.0).max() < 0.06
+    # Mass accounting: background mass is 1.0 × vol(1.0 × 0.5) = 0.5;
+    # the exit removed the bump's integral (within the inflow drift).
+    m0 = np.asarray(solver.total_mass(jnp.asarray(Q0)))
+    m1 = np.asarray(solver.total_mass(jnp.asarray(Q)))
+    bump_mass = m0[0] - 0.5
+    assert bump_mass > 0.01  # the bump was resolvable to begin with
+    lost = m0[0] - m1[0]
+    assert 0.8 * bump_mass < lost < 1.3 * bump_mass, (bump_mass, lost)
+
+
+def test_outflow_guards():
+    from exahype_tpu.models.limiter import LimitedADERDG
+    from exahype_tpu.utils.errors import SemanticError
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(4, 4),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=0.25,
+        boundary="outflow",
+    )
+    with pytest.raises(SemanticError, match="outflow"):
+        LimitedADERDG(solver, admissible=lambda Q, va: jnp.ones(
+            Q.shape[:va] + Q.shape[va + 1:], bool
+        ))
+
+
 # ------------------------------------------------------------- source terms
 
 
