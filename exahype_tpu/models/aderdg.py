@@ -156,15 +156,22 @@ class ADERDGSolver:
     #: Cell spacing: a scalar, or a per-axis tuple for anisotropic grids.
     dx: float | tuple = 1.0
     picard_iters: int | None = None
-    #: Domain boundary: "periodic" (default), "reflective" walls, or
-    #: "outflow" (zero-gradient/absorbing walls: the ghost is the cell's
-    #: own face state, so the wall Riemann flux collapses to the exact
-    #: upwind flux f(q̄_face) — waves exit without reflection).
+    #: Domain boundary: "periodic" (default), "reflective" walls,
+    #: "outflow" (zero-gradient/absorbing: the ghost is the cell's own
+    #: face state, so the wall Riemann flux collapses to the exact upwind
+    #: flux f(q̄_face) — waves exit without reflection; NOTE inflow
+    #: characteristics are undetermined under outflow — use "farfield"
+    #: there), or "farfield" (the ExaHyPE "exact"-BC pattern: the ghost
+    #: is the prescribed constant ``farfield_state``, the wall Riemann
+    #: problem is solved against it — supersonic inflow is imposed
+    #: exactly, outgoing waves are absorbed up to the Rusanov jump).
     #: Reflective needs ``reflect_fn(Q, axis, var_axis)`` (mirror ghost
     #: state) and ``reflect_flux_fn(F, axis, var_axis)`` (mirror ghost flux)
     #: — see :func:`euler_reflect` / :func:`euler_reflect_flux`; outflow
-    #: needs nothing (identity ghosts are installed automatically).
+    #: and farfield install their ghost hooks automatically.
     boundary: str = "periodic"
+    #: Constant ghost state (length ``n_vars``) for ``boundary="farfield"``.
+    farfield_state: tuple | None = None
     reflect_fn: Callable | None = None
     reflect_flux_fn: Callable | None = None
     #: With ``boundary="reflective"``: which grid axes carry walls
@@ -227,7 +234,7 @@ class ADERDGSolver:
         self.ops = DGOperators(self.order)
         if self.picard_iters is None:
             self.picard_iters = self.order + 1
-        if self.boundary not in ("periodic", "reflective", "outflow"):
+        if self.boundary not in ("periodic", "reflective", "outflow", "farfield"):
             raise SemanticError(f"unknown boundary {self.boundary!r}")
         if self.boundary == "reflective" and (
             self.reflect_fn is None or self.reflect_flux_fn is None
@@ -241,6 +248,27 @@ class ADERDGSolver:
             # wall Rusanov flux is exactly the upwind f(q̄_face).
             self.reflect_fn = lambda Q, axis, var_axis: Q
             self.reflect_flux_fn = lambda F, axis, var_axis: F
+        if self.boundary == "farfield":
+            if self.farfield_state is None or (
+                len(self.farfield_state) != self.n_vars
+            ):
+                raise SemanticError(
+                    "boundary='farfield' requires farfield_state with one "
+                    f"entry per variable ({self.n_vars})"
+                )
+            _ff = tuple(float(v) for v in self.farfield_state)
+
+            def _ghost(Q, axis, var_axis):
+                st = jnp.asarray(_ff, Q.dtype)
+                shape = [1] * Q.ndim
+                shape[var_axis] = self.n_vars
+                return jnp.broadcast_to(st.reshape(shape), Q.shape)
+
+            self.reflect_fn = _ghost
+            self.reflect_flux_fn = (
+                lambda F, axis, var_axis:
+                self.flux_fn(_ghost(F, axis, var_axis), axis, var_axis)
+            )
         if self.ncp_fn is not None and self.boundary != "periodic":
             raise SemanticError(
                 "non-conservative products support periodic boundaries only"
@@ -254,9 +282,10 @@ class ADERDGSolver:
                 "viscous fluxes support periodic boundaries only"
             )
         if self.wall_axes is not None:
-            if self.boundary not in ("reflective", "outflow"):
+            if self.boundary not in ("reflective", "outflow", "farfield"):
                 raise SemanticError(
-                    "wall_axes requires boundary='reflective' or 'outflow'"
+                    "wall_axes requires a wall boundary "
+                    "('reflective', 'outflow', or 'farfield')"
                 )
             self.wall_axes = tuple(int(d) for d in self.wall_axes)
             if not self.wall_axes or any(
@@ -296,7 +325,7 @@ class ADERDGSolver:
     def is_wall(self, d: int) -> bool:
         """Whether grid axis ``d`` carries a domain wall (reflective or
         outflow; axes outside ``wall_axes`` stay periodic)."""
-        return self.boundary in ("reflective", "outflow") and (
+        return self.boundary in ("reflective", "outflow", "farfield") and (
             self.wall_axes is None or d in self.wall_axes
         )
 

@@ -393,6 +393,45 @@ def test_outflow_walls_uniform_flow_exact_and_bump_exits():
     assert 0.8 * bump_mass < lost < 1.3 * bump_mass, (bump_mass, lost)
 
 
+def test_farfield_walls_hold_inflow_and_absorb_exit():
+    """Farfield ('exact') BCs: the ghost is the prescribed constant state.
+    A uniform supersonic flow equal to the farfield is exactly steady, and
+    a compact bump exits while the INFLOW side is held at the farfield —
+    the final state returns to the background EVERYWHERE (the drift that
+    zero-gradient outflow leaves at the inflow side is gone)."""
+    from exahype_tpu.models import euler
+
+    dim = 2
+    flux, eig = euler_physics(dim=dim, n_real=4)
+    ff = (1.0, 2.0, 0.0, 1.0 / (euler.GAMMA - 1) + 0.5 * 2.0**2)
+    solver = ADERDGSolver(
+        dim=dim, order=3, n_vars=4, grid_shape=(8, 4),
+        flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / 8,
+        boundary="farfield", farfield_state=ff, wall_axes=(0,),
+    )
+    sel = lambda k: (slice(None),) * solver.var_axis + (k,)
+
+    uni = np.zeros(solver.state_shape)
+    for k, v in enumerate(ff):
+        uni[sel(k)] = v
+    out = solver.run(jnp.asarray(uni), 10, dt=1e-3)
+    np.testing.assert_allclose(np.asarray(out), uni, rtol=0, atol=1e-12)
+
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:dim] + solver.state_shape[dim + 1:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    rho = 1.0 + 0.3 * np.exp(-((X - 0.7) / 0.08) ** 2)
+    Q0 = np.zeros(solver.state_shape)
+    Q0[sel(0)] = rho
+    Q0[sel(1)] = 2.0 * rho
+    Q0[sel(3)] = 1.0 / (euler.GAMMA - 1) + 0.5 * (2.0 * rho) ** 2 / rho
+    dt = float(solver.cfl_dt(jnp.asarray(Q0)))
+    n_steps = int(np.ceil(0.6 / (2.0 * dt)))
+    Q = np.asarray(solver.run(jnp.asarray(Q0), n_steps, dt))
+    assert np.isfinite(Q).all()
+    assert np.abs(Q[sel(0)] - 1.0).max() < 5e-3, np.abs(Q[sel(0)] - 1.0).max()
+
+
 def test_outflow_guards():
     from exahype_tpu.models.limiter import LimitedADERDG
     from exahype_tpu.utils.errors import SemanticError
