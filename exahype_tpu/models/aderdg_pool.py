@@ -100,6 +100,12 @@ class ADERDGPoolRefinement:
         # (The box path, aderdg_amr, remains periodic-only.)
         if self.capacity < 1:
             raise SemanticError("capacity must be >= 1")
+        if c.boundary not in ("periodic", "reflective"):
+            raise SemanticError(
+                f"the ADER-DG pool does not support {c.boundary} "
+                "boundaries: its ghost tables implement the periodic and "
+                "mirror-wall contracts only"
+            )
         if getattr(c, "wall_axes", None) is not None:
             raise SemanticError(
                 "the ADER-DG pool does not support per-axis wall_axes: "

@@ -161,11 +161,11 @@ class LimitedADERDG:
                 "its DMP/ghost helpers assume walls on every axis "
                 "(use all-axis reflective or periodic solvers)"
             )
-        if self.solver.boundary == "outflow":
+        if self.solver.boundary in ("outflow", "farfield"):
             raise SemanticError(
-                "LimitedADERDG does not support outflow boundaries yet: "
-                "the DMP/subcell ghost helpers implement periodic and "
-                "reflective contracts only"
+                f"LimitedADERDG does not support {self.solver.boundary} "
+                "boundaries yet: the DMP/subcell ghost helpers implement "
+                "periodic and reflective contracts only"
             )
         if getattr(self.solver, "visc_flux_fn", None) is not None:
             raise SemanticError(
