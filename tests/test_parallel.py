@@ -377,6 +377,36 @@ def test_sharded_aderdg_reflective_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
 
 
+def test_sharded_aderdg_outflow_and_farfield_match_single_device():
+    """The wall plumbing is boundary-agnostic: outflow and farfield ghost
+    hooks flow through the same per-shard wall gating as reflective, so
+    the sharded fused path matches single-device for both."""
+    from exahype_tpu.models import euler
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    ff = (1.0, 2.0, 0.0, 0.0, 1.0 / (euler.GAMMA - 1) + 2.0)
+    for kw in (
+        dict(boundary="outflow"),
+        dict(boundary="farfield", farfield_state=ff),
+    ):
+        solver = ADERDGSolver(
+            dim=3, order=2, n_vars=5, grid_shape=(8, 4, 4), flux_fn=flux,
+            max_eigenvalue_fn=eig, dx=1.0 / 8, wall_axes=(0,), **kw,
+        )
+        Q0 = _aderdg_euler_state(solver)
+        ref = np.asarray(jax.jit(solver.step)(Q0, 1e-3))
+        mesh = make_mesh(8)
+        step, sharding = make_sharded_aderdg_step(
+            solver, mesh, interpret=True, tile0=1
+        )
+        Qs = jax.device_put(Q0, sharding)
+        got = np.asarray(jax.jit(step)(Qs, 1e-3))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12,
+                                   err_msg=str(kw))
+
+
 def test_sharded_aderdg_unfused_periodic_matches_single_device():
     """fuse_interior_riemann=False (the documented setting when interior
     grid axes are sharded) forwarded through make_sharded_aderdg_step: the
