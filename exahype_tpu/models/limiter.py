@@ -168,10 +168,27 @@ class LimitedADERDG:
                 "periodic and reflective contracts only"
             )
         if getattr(self.solver, "visc_flux_fn", None) is not None:
-            raise SemanticError(
-                "LimitedADERDG does not support viscous fluxes yet: the "
-                "subcell FV fallback has no diffusive-flux discretization"
-            )
+            # Viscous solvers are supported on the whole-grid first-order
+            # paths: the subcell fallback adds central-difference diffusive
+            # face fluxes (and the means fallback likewise on cell means),
+            # so DG/FV interface fluxes stay matched and conservation
+            # exact.  Not yet ported: the MUSCL (order-2) sweep, the
+            # gathered (troubled_capacity) paths, and the Pallas sweeps.
+            if self.fallback_order == 2:
+                raise SemanticError(
+                    "viscous solvers require fallback_order=1 (the MUSCL "
+                    "subcell sweep has no diffusive fluxes yet)"
+                )
+            if self.troubled_capacity is not None:
+                raise SemanticError(
+                    "viscous solvers are not supported on the gathered "
+                    "(troubled_capacity) fallback paths yet"
+                )
+            if getattr(self, "subcell_pallas", False):
+                raise SemanticError(
+                    "viscous solvers are not supported by the Pallas "
+                    "subcell sweeps yet"
+                )
         if self.fallback not in ("subcell", "means"):
             raise ValueError(f"unknown fallback {self.fallback!r}")
         if self.fallback_order not in (1, 2):
@@ -360,6 +377,39 @@ class LimitedADERDG:
             s_lo = jnp.maximum(eig(dn), eig(means))[None]
             fhat_hi = 0.5 * (flux(means) + flux(up)) - 0.5 * s_hi * self._masked_jump(up - means, 0)
             fhat_lo = 0.5 * (flux(dn) + flux(means)) - 0.5 * s_lo * self._masked_jump(means - dn, 0)
+            if sol.visc_flux_fn is not None:
+                # Central-difference diffusive face fluxes on the cell
+                # means (same construction as the subcell path, h = dx).
+                G = [
+                    (self._shift_reflect(means, -1, 1 + e, e, 0)
+                     - self._shift_reflect(means, 1, 1 + e, e, 0))
+                    / (2.0 * sol._dxs[e])
+                    for e in range(sol.dim)
+                ]
+                G_up = [
+                    self._shift_reflect(G[e], -1, ax, d, 0)
+                    for e in range(sol.dim)
+                ]
+                G_dn = [
+                    self._shift_reflect(G[e], 1, ax, d, 0)
+                    for e in range(sol.dim)
+                ]
+                grads_hi = tuple(
+                    (up - means) / sol._dxs[d] if e == d
+                    else 0.5 * (G[e] + G_up[e])
+                    for e in range(sol.dim)
+                )
+                grads_lo = tuple(
+                    (means - dn) / sol._dxs[d] if e == d
+                    else 0.5 * (G_dn[e] + G[e])
+                    for e in range(sol.dim)
+                )
+                fhat_hi = fhat_hi + sol.visc_flux_fn(
+                    0.5 * (means + up), grads_hi, d, 0
+                )
+                fhat_lo = fhat_lo + sol.visc_flux_fn(
+                    0.5 * (dn + means), grads_lo, d, 0
+                )
             new = new - lam * (fhat_hi - fhat_lo)
             if sol.ncp_fn is not None:
                 # First-order path-conservative fluctuations: the volume
@@ -472,6 +522,42 @@ class LimitedADERDG:
             )
             fhat_hi = 0.5 * (F + F_plus) - 0.5 * s_hi * self._masked_jump(u_plus - s, va)
             fhat_lo = 0.5 * (F_minus + F) - 0.5 * s_lo * self._masked_jump(s - u_minus, va)
+            if sol.visc_flux_fn is not None:
+                # Central-difference diffusive face fluxes on the subcell
+                # grid: exact two-point normal derivative, cell-centered
+                # central differences averaged to the face for the
+                # transverse components.  fhat_hi(i) == fhat_lo(i+1) by
+                # construction, so conservation telescopes exactly.
+                hs = [sol._dxs[e] / n_sub for e in range(sol.dim)]
+                G = [
+                    (self._sub_shift(s, -1, e, va)
+                     - self._sub_shift(s, 1, e, va)) / (2.0 * hs[e])
+                    for e in range(sol.dim)
+                ]
+                G_plus = [
+                    self._sub_shift(G[e], -1, d, va, negate_ghost=(e == d))
+                    for e in range(sol.dim)
+                ]
+                G_minus = [
+                    self._sub_shift(G[e], 1, d, va, negate_ghost=(e == d))
+                    for e in range(sol.dim)
+                ]
+                grads_hi = tuple(
+                    (u_plus - s) / hs[d] if e == d
+                    else 0.5 * (G[e] + G_plus[e])
+                    for e in range(sol.dim)
+                )
+                grads_lo = tuple(
+                    (s - u_minus) / hs[d] if e == d
+                    else 0.5 * (G_minus[e] + G[e])
+                    for e in range(sol.dim)
+                )
+                fhat_hi = fhat_hi + sol.visc_flux_fn(
+                    0.5 * (s + u_plus), grads_hi, d, va
+                )
+                fhat_lo = fhat_lo + sol.visc_flux_fn(
+                    0.5 * (u_minus + s), grads_lo, d, va
+                )
             if sol.ncp_fn is not None:
                 half_hi = 0.5 * sol.ncp_fn(0.5 * (s + u_plus), u_plus - s, d, va)
                 half_lo = 0.5 * sol.ncp_fn(0.5 * (u_minus + s), s - u_minus, d, va)

@@ -1947,6 +1947,61 @@ def test_grhd_cfc_curved_tolman_equilibrium():
     assert rate > 3.0, (errs, rate)
 
 
+def test_grhd_cfc_3d_curved_tolman_equilibrium():
+    """dim=3 exercises the dimension-dependent conformal exponents
+    (√γ = ψ⁶, 3-D stress trace): the Tolman profile stays the exact
+    equilibrium and the residual converges above the scheme's order."""
+    import jax
+
+    from exahype_tpu.models import grhd, grhd_cfc
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    gamma = 5.0 / 3.0
+    c2 = 0.25
+    k = grhd.hydrostatic_exponent(c2, gamma)
+    dim = 3
+    errs = []
+    for cells in (6, 12):  # 4 cells/wavelength is pre-asymptotic at p2
+        flux, eig = grhd_cfc.grhd_cfc(dim=dim, gamma=gamma)
+        solver = ADERDGSolver(
+            dim=dim, order=2, n_vars=grhd_cfc.n_vars(dim),
+            grid_shape=(cells,) * dim,
+            flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+            dx=1.0 / cells,
+            dissipation_mask=grhd_cfc.grhd_cfc_dissipation_mask(dim),
+        )
+        solver.source_fn = grhd_cfc.grhd_cfc_source(dim, gamma=gamma)
+        coords = solver.nodes_meshgrid()
+        no_var = solver.state_shape[:dim] + solver.state_shape[dim + 1:]
+        X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+        zeros = np.zeros_like(X)
+        alpha = 1.0 + 0.05 * np.sin(2 * np.pi * X)
+        dalpha = np.stack(
+            [0.05 * 2 * np.pi * np.cos(2 * np.pi * X), zeros, zeros], -1
+        )
+        psi = 1.0 + 0.08 * np.cos(2 * np.pi * X)
+        dpsi = np.stack(
+            [-0.08 * 2 * np.pi * np.sin(2 * np.pi * X), zeros, zeros], -1
+        )
+        p = 0.1 * alpha ** (-k)
+        rho = p / c2
+        Qv = np.asarray(grhd_cfc.pack_state(
+            jnp.asarray(rho), jnp.asarray(np.zeros(no_var + (dim,))),
+            jnp.asarray(p), jnp.asarray(alpha), jnp.asarray(psi),
+            jnp.asarray(dalpha), jnp.asarray(dpsi), gamma=gamma,
+        ))
+        u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+        out = jax.jit(lambda u: solver.run(u, 5, 1e-3))(u)
+        dSx = np.asarray(jnp.take(out, 1, solver.var_axis)
+                         - jnp.take(u, 1, solver.var_axis))
+        errs.append(np.abs(dSx).max())
+        m0 = np.asarray(solver.total_mass(u))
+        m1 = np.asarray(solver.total_mass(out))
+        np.testing.assert_allclose(m1[0], m0[0], rtol=1e-13)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.0, (errs, rate)
+
+
 def test_grhd_cfc_schwarzschild_causality_and_roundtrip():
     """On the actual isotropic-Schwarzschild exterior metric: con2prim
     round-trips the packed state, the characteristic speed respects the

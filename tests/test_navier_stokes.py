@@ -269,14 +269,116 @@ def test_ns_fused_bfo_parity():
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
 
 
+def test_limited_ns_untroubled_equals_plain_step():
+    """Limited viscous step with nothing troubled returns the DG candidate
+    unchanged."""
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    solver = make_ns_solver(cells=8, order=2, mu=0.02)
+    limited = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    u = shear_state(solver, V=1e-3)  # near-uniform: genuinely untroubled
+    dt = 2e-4
+    assert not bool(np.asarray(
+        limited.troubled_mask(u, solver.step(u, dt))
+    ).any())
+    np.testing.assert_allclose(
+        np.asarray(limited.step(u, dt)), np.asarray(solver.step(u, dt)),
+        rtol=0, atol=0,
+    )
+
+
+def test_limited_ns_all_troubled_conserves_and_decays():
+    """Force every cell troubled: the viscous subcell fallback conserves
+    mass/momentum/energy to rounding (diffusive face fluxes telescope) and
+    the shear mode still decays at ~the physical rate (ν dominates the
+    first-order numerical diffusion at this μ)."""
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    mu = 0.05
+    solver = make_ns_solver(cells=8, order=2, mu=mu)
+    limited = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    u = shear_state(solver, V=1e-3)
+    dt = float(solver.cfl_dt(u))
+    n_steps = max(1, int(round(0.1 / dt)))
+    T = n_steps * dt
+
+    force_all = lambda t: jnp.ones_like(t)
+
+    @jax.jit
+    def run(q):
+        def body(c, _):
+            return limited.step(c, dt, troubled_transform=force_all), None
+        return jax.lax.scan(body, q, None, length=n_steps)[0]
+
+    out = run(u)
+    assert np.isfinite(np.asarray(out)).all()
+    m0 = np.asarray(solver.total_mass(u))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12, atol=1e-13)
+
+    def vy_norm(q):
+        vy = jnp.take(q, 2, solver.var_axis) / jnp.take(q, 0, solver.var_axis)
+        return float(jnp.sqrt(jnp.mean(vy * vy)))
+
+    rate = np.log(vy_norm(u) / vy_norm(out)) / T
+    exact = mu * (2 * np.pi) ** 2
+    assert 0.7 * exact < rate < 1.5 * exact, (rate, exact)
+    # The means overflow/fallback variant conserves too.
+    lim_means = LimitedADERDG(solver, admissible=euler_admissible(dim=2),
+                              fallback="means")
+    out2 = lim_means.step(u, dt, troubled_transform=force_all)
+    m2 = np.asarray(solver.total_mass(out2))
+    np.testing.assert_allclose(m2, m0, rtol=1e-12, atol=1e-13)
+
+
+def test_limited_ns_viscous_shock_stable():
+    """A strong viscous shock tube under the limiter: finite, conservative,
+    admissible — the ExaHyPE CompressibleNavierStokes shock configuration."""
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    solver = make_ns_solver(cells=12, order=3, mu=2e-3)
+    limited = LimitedADERDG(solver, admissible=euler_admissible(dim=2))
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    left = (X > 0.25) & (X < 0.75)
+    rho = np.where(left, 1.0, 0.125)
+    p = np.where(left, 1.0, 0.1)
+    E = p / (euler.GAMMA - 1.0)
+    Qv = np.stack([rho, np.zeros_like(X), np.zeros_like(X), E], -1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+    dt = float(solver.cfl_dt(u)) * 0.5
+    cand = solver.step(u, dt)
+    assert bool(np.asarray(limited.troubled_mask(u, cand)).any())
+
+    @jax.jit
+    def run(q):
+        def body(c, _):
+            return limited.step(c, dt), None
+        return jax.lax.scan(body, q, None, length=15)[0]
+
+    out = run(u)
+    assert np.isfinite(np.asarray(out)).all()
+    m0 = np.asarray(solver.total_mass(u))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12, atol=1e-13)
+    from exahype_tpu.models.limiter import euler_admissible as ea
+    ok = ea(dim=2)(out, solver.var_axis)
+    assert bool(np.asarray(ok).all())
+
+
 def test_viscous_guards():
     solver = make_ns_solver(cells=4, order=2)
     from exahype_tpu.models.limiter import LimitedADERDG
 
-    with pytest.raises(SemanticError, match="viscous"):
-        LimitedADERDG(solver, admissible=lambda Q, va: jnp.ones(
-            Q.shape[:va] + Q.shape[va + 1:], bool
-        ))
+    adm = lambda Q, va: jnp.ones(Q.shape[:va] + Q.shape[va + 1:], bool)
+    with pytest.raises(SemanticError, match="fallback_order"):
+        LimitedADERDG(solver, admissible=adm, fallback_order=2)
+    with pytest.raises(SemanticError, match="gathered"):
+        LimitedADERDG(solver, admissible=adm, troubled_capacity=4,
+                      troubled_granularity="row")
+    with pytest.raises(SemanticError, match="Pallas"):
+        LimitedADERDG(solver, admissible=adm, subcell_pallas=True)
     f, e, vf, ve = ns.navier_stokes(dim=2)
     with pytest.raises(SemanticError, match="together"):
         ADERDGSolver(
