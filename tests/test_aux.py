@@ -556,6 +556,68 @@ def test_adaptive_driver_checkpoint_resume(tmp_path, caplog):
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f_ref))
 
 
+def test_export_step_new_families_roundtrip():
+    """The serving path covers the round-3 families: a viscous
+    Navier–Stokes step and a curved-GRMHD step export to StableHLO and
+    reproduce the live step."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exahype_tpu.models import euler, grmhd_cfc
+    from exahype_tpu.models import navier_stokes as ns
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.utils.serialize import export_step, load_step
+
+    f, e, vf, ve = ns.navier_stokes(dim=2, mu=0.02)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(4, 4),
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve), dx=0.25,
+    )
+    rng = np.random.default_rng(0)
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    m = 0.2 * rng.standard_normal(no_var + (2,))
+    p = 1.0 + 0.2 * rng.random(no_var)
+    E = p / (euler.GAMMA - 1) + 0.5 * (m**2).sum(-1) / rho
+    Q = jnp.asarray(np.moveaxis(
+        np.concatenate([rho[..., None], m, E[..., None]], -1), -1,
+        solver.var_axis,
+    ))
+    dt = jnp.asarray(1e-3, jnp.float64)
+    blob = export_step(solver.step, solver.state_shape, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(load_step(blob)(Q, dt)), np.asarray(solver.step(Q, dt)),
+        rtol=0, atol=1e-13,
+    )
+
+    flux, eig = grmhd_cfc.grmhd_cfc(dim=2, iters=6)
+    gsolver = ADERDGSolver(
+        dim=2, order=2, n_vars=grmhd_cfc.n_vars(2), grid_shape=(4, 4),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=0.25, source_fn=grmhd_cfc.grmhd_cfc_source(2, iters=6),
+        dissipation_mask=grmhd_cfc.grmhd_cfc_dissipation_mask(2),
+    )
+    no_var = gsolver.state_shape[:2] + gsolver.state_shape[3:]
+    rho = 1.0 + 0.1 * rng.random(no_var)
+    pg = 0.5 + 0.1 * rng.random(no_var)
+    v = 0.1 * rng.standard_normal(no_var + (3,))
+    B = 0.2 * rng.standard_normal(no_var + (3,))
+    alpha = 0.9 + 0.05 * rng.random(no_var)
+    psi = 1.0 + 0.05 * rng.random(no_var)
+    z2 = np.zeros(no_var + (2,))
+    Qg = jnp.asarray(np.moveaxis(np.asarray(grmhd_cfc.pack_state(
+        jnp.asarray(rho), jnp.asarray(v), jnp.asarray(pg), jnp.asarray(B),
+        jnp.asarray(alpha), jnp.asarray(psi), z2, z2,
+    )), -1, gsolver.var_axis))
+    blob = export_step(gsolver.step, gsolver.state_shape, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(load_step(blob)(Qg, dt)), np.asarray(gsolver.step(Qg, dt)),
+        rtol=0, atol=1e-12,
+    )
+
+
 def test_export_step_roundtrip(tmp_path):
     """AOT serving artifact: the ADER-DG step exports to StableHLO bytes,
     reloads in a context with no solver object, and reproduces the live
