@@ -130,6 +130,53 @@ def euler_reflect_flux(dim: int):
     return reflect
 
 
+def make_dirichlet_fn(state_fn: Callable, *, dim: int, order: int,
+                      grid_shape: tuple, dx, wall_axes: tuple | None = None):
+    """Build ``dirichlet_fn(axis, side)`` for ``boundary="dirichlet"`` from
+    a coordinate function ``state_fn(*coords) -> var-LAST state`` (NumPy,
+    evaluated once per wall at the wall-face node positions: the
+    wall-normal coordinate is the wall plane, the others are the usual
+    quadrature-node positions).  The exact-solution-BC pattern (e.g. a
+    Tolman atmosphere on a Schwarzschild window).  Standalone (takes the
+    solver's geometry arguments, not the solver: the solver ctor needs
+    the returned fn)."""
+    n_nodes = order + 1
+    nodes = np.asarray(DGOperators(order).nodes)
+    dxs = (tuple(float(v) for v in dx) if isinstance(dx, (tuple, list))
+           else (float(dx),) * dim)
+    axes = tuple(range(dim)) if wall_axes is None else tuple(wall_axes)
+    rows = {}
+    for d in axes:
+        for side in (0, 1):
+            # Face-row axes: node axes minus d, var axis, grid axes with
+            # grid_shape[d] -> 1.
+            no_var = [n_nodes] * (dim - 1) + [
+                1 if e == d else grid_shape[e] for e in range(dim)
+            ]
+            coords = []
+            for e in range(dim):
+                if e == d:
+                    x = np.full(no_var, side * grid_shape[d] * dxs[e])
+                else:
+                    node_pos = e if e < d else e - 1
+                    grid_pos = (dim - 1) + e
+                    c = (nodes[:, None]
+                         + np.arange(grid_shape[e])[None, :]) * dxs[e]
+                    shape = [1] * len(no_var)
+                    shape[node_pos] = n_nodes
+                    shape[grid_pos] = grid_shape[e]
+                    x = np.broadcast_to(c.reshape(shape), no_var)
+                coords.append(x)
+            row = np.asarray(state_fn(*coords))
+            # var-last -> var axis at position dim-1 (face-row convention)
+            rows[(d, side)] = np.moveaxis(row, -1, dim - 1)
+
+    def dirichlet_fn(axis, side):
+        return rows[(int(axis), int(side))]
+
+    return dirichlet_fn
+
+
 def wrap_var_last(batch_fn: Callable):
     """Adapt a var-axis-last callback (models/hyperbolic.py style) to the
     (Q, axis, var_axis) contract (correct for any layout; costs moveaxes)."""
@@ -172,6 +219,15 @@ class ADERDGSolver:
     boundary: str = "periodic"
     #: Constant ghost state (length ``n_vars``) for ``boundary="farfield"``.
     farfield_state: tuple | None = None
+    #: For ``boundary="dirichlet"`` (exact-solution BCs with SPATIALLY
+    #: VARYING ghost data — the Schwarzschild-window pattern):
+    #: ``dirichlet_fn(axis, side) -> ghost row`` broadcastable to the
+    #: face-row shape (node axes minus ``axis``, var axis, grid axes with
+    #: ``axis`` sliced to 1).  Side 0 = low wall (x_axis = 0), side 1 =
+    #: high wall (x_axis = domain length).  Build one from a coordinate
+    #: function with :func:`make_dirichlet_fn`.  The ghost flux is the
+    #: flux of the ghost state (exact for stationary boundary data).
+    dirichlet_fn: Callable | None = None
     reflect_fn: Callable | None = None
     reflect_flux_fn: Callable | None = None
     #: With ``boundary="reflective"``: which grid axes carry walls
@@ -234,8 +290,13 @@ class ADERDGSolver:
         self.ops = DGOperators(self.order)
         if self.picard_iters is None:
             self.picard_iters = self.order + 1
-        if self.boundary not in ("periodic", "reflective", "outflow", "farfield"):
+        if self.boundary not in ("periodic", "reflective", "outflow",
+                                 "farfield", "dirichlet"):
             raise SemanticError(f"unknown boundary {self.boundary!r}")
+        if self.boundary == "dirichlet" and self.dirichlet_fn is None:
+            raise SemanticError(
+                "boundary='dirichlet' requires dirichlet_fn(axis, side)"
+            )
         if self.boundary == "reflective" and (
             self.reflect_fn is None or self.reflect_flux_fn is None
         ):
@@ -282,10 +343,11 @@ class ADERDGSolver:
                 "viscous fluxes support periodic boundaries only"
             )
         if self.wall_axes is not None:
-            if self.boundary not in ("reflective", "outflow", "farfield"):
+            if self.boundary not in ("reflective", "outflow", "farfield",
+                                     "dirichlet"):
                 raise SemanticError(
-                    "wall_axes requires a wall boundary "
-                    "('reflective', 'outflow', or 'farfield')"
+                    "wall_axes requires a wall boundary ('reflective', "
+                    "'outflow', 'farfield', or 'dirichlet')"
                 )
             self.wall_axes = tuple(int(d) for d in self.wall_axes)
             if not self.wall_axes or any(
@@ -325,12 +387,33 @@ class ADERDGSolver:
     def is_wall(self, d: int) -> bool:
         """Whether grid axis ``d`` carries a domain wall (reflective or
         outflow; axes outside ``wall_axes`` stay periodic)."""
-        return self.boundary in ("reflective", "outflow", "farfield") and (
+        return self.boundary in ("reflective", "outflow", "farfield",
+                                 "dirichlet") and (
             self.wall_axes is None or d in self.wall_axes
         )
 
     def dofs(self) -> int:
         return int(np.prod(self.grid_shape)) * self.n_nodes**self.dim * self.n_vars
+
+    # ----------------------------------------------------------- wall ghosts
+
+    def _wall_ghost(self, row, d: int, side: int, var_axis: int):
+        """Ghost STATE for the wall Riemann problem at ``(axis d, side)``
+        given the interior face row — reflect hooks, or the prescribed
+        Dirichlet row."""
+        if self.boundary == "dirichlet":
+            g = jnp.asarray(self.dirichlet_fn(d, side), row.dtype)
+            return jnp.broadcast_to(g, row.shape)
+        return self.reflect_fn(row, d, var_axis)
+
+    def _wall_ghost_flux(self, frow, d: int, side: int, var_axis: int):
+        """Ghost FLUX at the wall: transformed interior flux (reflect
+        hooks) or the flux of the prescribed Dirichlet state."""
+        if self.boundary == "dirichlet":
+            g = jnp.asarray(self.dirichlet_fn(d, side), frow.dtype)
+            g = jnp.broadcast_to(g, frow.shape)
+            return self.flux_fn(g, d, var_axis)
+        return self.reflect_flux_fn(frow, d, var_axis)
 
     # ------------------------------------------------------------- predictor
 
@@ -506,11 +589,14 @@ class ADERDGSolver:
                 f_hi, -1, face_grid_ax, keepdims=True
             )
             ghost = _gate(
-                holds_hi_wall, self.reflect_fn(last, d, face_va), q_plus, -1
+                holds_hi_wall,
+                self._wall_ghost(last, d, 1, face_va),
+                q_plus,
+                -1,
             )
             ghost_f = _gate(
                 holds_hi_wall,
-                self.reflect_flux_fn(f_last, d, face_va),
+                self._wall_ghost_flux(f_last, d, 1, face_va),
                 f_plus,
                 -1,
             )
@@ -555,7 +641,7 @@ class ADERDGSolver:
             # the mirror ghost (left) and my own low-face state (right).
             first = jax.lax.index_in_dim(q_lo, 0, face_grid_ax, keepdims=True)
             f_first = jax.lax.index_in_dim(f_lo, 0, face_grid_ax, keepdims=True)
-            ghost = self.reflect_fn(first, d, face_va)
+            ghost = self._wall_ghost(first, d, 0, face_va)
             s_w = jnp.expand_dims(
                 jnp.maximum(
                     self.max_eigenvalue_fn(first, d, face_va),
@@ -564,7 +650,7 @@ class ADERDGSolver:
                 face_va,
             )
             wall = 0.5 * (
-                self.reflect_flux_fn(f_first, d, face_va) + f_first
+                self._wall_ghost_flux(f_first, d, 0, face_va) + f_first
             ) - 0.5 * s_w * (first - ghost)
             wall = _gate(holds_lo_wall, wall, fhat_lo, 0)
             fhat_lo = jax.lax.dynamic_update_slice_in_dim(

@@ -161,7 +161,7 @@ class LimitedADERDG:
                 "its DMP/ghost helpers assume walls on every axis "
                 "(use all-axis reflective or periodic solvers)"
             )
-        if self.solver.boundary in ("outflow", "farfield"):
+        if self.solver.boundary in ("outflow", "farfield", "dirichlet"):
             raise SemanticError(
                 f"LimitedADERDG does not support {self.solver.boundary} "
                 "boundaries yet: the DMP/subcell ghost helpers implement "

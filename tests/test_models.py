@@ -2002,6 +2002,82 @@ def test_grhd_cfc_3d_curved_tolman_equilibrium():
     assert rate > 2.0, (errs, rate)
 
 
+def test_grhd_cfc_schwarzschild_window_atmosphere():
+    """The real astro geometry, no periodic fakery: a Tolman atmosphere on
+    a WINDOW of the isotropic-Schwarzschild exterior (metric varying
+    radially in both coordinates), held by Dirichlet exact-solution
+    boundaries on all four walls.  The residual converges above the
+    scheme's order and D* is bitwise-stationary nowhere-trivially (the
+    fluxes are nonzero; their divergence cancels the sources)."""
+    import jax
+
+    from exahype_tpu.models import grhd, grhd_cfc
+    from exahype_tpu.models.aderdg import (
+        ADERDGSolver,
+        make_dirichlet_fn,
+        wrap_var_last,
+    )
+
+    gamma = 5.0 / 3.0
+    c2 = 1.0
+    k = grhd.hydrostatic_exponent(c2, gamma)  # 1/c² + γ/(γ−1)
+    M = 1.0
+    center = (-3.5, -3.5)
+
+    def exact_state(x, y):
+        rx, ry = x - center[0], y - center[1]
+        r = np.sqrt(rx * rx + ry * ry)
+        alpha, psi, dadr, dpdr = (
+            np.asarray(v) for v in grhd_cfc.schwarzschild_isotropic(r, M)
+        )
+        nx, ny = rx / r, ry / r
+        dalpha = np.stack([dadr * nx, dadr * ny], -1)
+        dpsi = np.stack([dpdr * nx, dpdr * ny], -1)
+        p = 0.2 * alpha ** (-k)
+        rho = p / c2
+        v = np.zeros(r.shape + (2,))
+        return np.asarray(grhd_cfc.pack_state(
+            jnp.asarray(rho), jnp.asarray(v), jnp.asarray(p),
+            jnp.asarray(alpha), jnp.asarray(psi), jnp.asarray(dalpha),
+            jnp.asarray(dpsi), gamma=gamma,
+        ))
+
+    errs = []
+    for cells in (8, 16):
+        flux, eig = grhd_cfc.grhd_cfc(dim=2, gamma=gamma)
+        solver = ADERDGSolver(
+            dim=2, order=3, n_vars=grhd_cfc.n_vars(2),
+            grid_shape=(cells, cells),
+            flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+            dx=1.0 / cells,
+            dissipation_mask=grhd_cfc.grhd_cfc_dissipation_mask(2),
+            boundary="dirichlet",
+            dirichlet_fn=make_dirichlet_fn(
+                exact_state, dim=2, order=3, grid_shape=(cells, cells),
+                dx=1.0 / cells,
+            ),
+        )
+        solver.source_fn = grhd_cfc.grhd_cfc_source(2, gamma=gamma)
+        coords = solver.nodes_meshgrid()
+        no_var = solver.state_shape[:2] + solver.state_shape[3:]
+        X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+        Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+        Qv = exact_state(X, Y)
+        u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+        out = jax.jit(lambda u: solver.run(u, 10, 1e-3))(u)
+        assert np.isfinite(np.asarray(out)).all()
+        dS = np.asarray(
+            jnp.take(out, jnp.asarray([1, 2]), solver.var_axis)
+            - jnp.take(u, jnp.asarray([1, 2]), solver.var_axis)
+        )
+        errs.append(np.abs(dS).max())
+        # the flux field itself is genuinely nonzero (non-trivial balance)
+        f = grhd_cfc.grhd_cfc_flux(jnp.asarray(Qv), 0)
+        assert float(jnp.abs(f[..., 1]).max()) > 0.01
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.0, (errs, rate)
+
+
 def test_grhd_cfc_schwarzschild_causality_and_roundtrip():
     """On the actual isotropic-Schwarzschild exterior metric: con2prim
     round-trips the packed state, the characteristic speed respects the
