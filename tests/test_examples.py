@@ -188,3 +188,12 @@ def test_grmhd_curved_blast(tmp_path, monkeypatch, capsys):
     run_example("grmhd_curved_blast.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "limited GRMHD-CFC blast" in out
+
+
+def test_schwarzschild_atmosphere(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["schwarzschild_atmosphere.py", "--cpu"])
+    run_example("schwarzschild_atmosphere.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "convergence rate" in out
