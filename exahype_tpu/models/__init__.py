@@ -17,7 +17,8 @@ def __getattr__(name):
     if name in ("aderdg", "aderdg_pallas", "aderdg_amr", "aderdg_pool",
                 "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd",
                 "muscl", "tracers", "point_source", "rmhd", "grhd", "grmhd",
-                "grhd_cfc", "grmhd_cfc", "navier_stokes", "riemann_sr"):
+                "grhd_cfc", "grmhd_cfc", "michel", "navier_stokes",
+                "riemann_sr"):
         import importlib
 
         return importlib.import_module(f"exahype_tpu.models.{name}")
