@@ -168,17 +168,12 @@ class LimitedADERDG:
                 "periodic and reflective contracts only"
             )
         if getattr(self.solver, "visc_flux_fn", None) is not None:
-            # Viscous solvers are supported on the whole-grid first-order
-            # paths: the subcell fallback adds central-difference diffusive
-            # face fluxes (and the means fallback likewise on cell means),
-            # so DG/FV interface fluxes stay matched and conservation
-            # exact.  Not yet ported: the MUSCL (order-2) sweep, the
-            # gathered (troubled_capacity) paths, and the Pallas sweeps.
-            if self.fallback_order == 2:
-                raise SemanticError(
-                    "viscous solvers require fallback_order=1 (the MUSCL "
-                    "subcell sweep has no diffusive fluxes yet)"
-                )
+            # Viscous solvers are supported on the whole-grid paths
+            # (first-order subcell, order-2 MUSCL, and means fallbacks all
+            # add central-difference diffusive face fluxes), so DG/FV
+            # interface fluxes stay matched and conservation exact.  Not
+            # yet ported: the gathered (troubled_capacity) paths and the
+            # Pallas sweeps.
             if self.troubled_capacity is not None:
                 raise SemanticError(
                     "viscous solvers are not supported on the gathered "
@@ -1274,6 +1269,41 @@ class LimitedADERDG:
 
             fhat_hi = rusanov(qL_hi, qR_hi)
             fhat_lo = rusanov(qL_lo, qR_lo)
+            if sol.visc_flux_fn is not None:
+                # Same central-difference diffusive face fluxes as the
+                # first-order path (the two-point normal derivative is
+                # centered at the face — already 2nd order), evaluated on
+                # the stage state; conservation telescopes identically.
+                hs = [sol._dxs[e] / n_sub for e in range(sol.dim)]
+                G = [
+                    (self._sub_shift(s, -1, e, va)
+                     - self._sub_shift(s, 1, e, va)) / (2.0 * hs[e])
+                    for e in range(sol.dim)
+                ]
+                G_plus = [
+                    self._sub_shift(G[e], -1, d, va, negate_ghost=(e == d))
+                    for e in range(sol.dim)
+                ]
+                G_minus = [
+                    self._sub_shift(G[e], 1, d, va, negate_ghost=(e == d))
+                    for e in range(sol.dim)
+                ]
+                grads_hi = tuple(
+                    (u_plus - s) / hs[d] if e == d
+                    else 0.5 * (G[e] + G_plus[e])
+                    for e in range(sol.dim)
+                )
+                grads_lo = tuple(
+                    (s - u_minus) / hs[d] if e == d
+                    else 0.5 * (G_minus[e] + G[e])
+                    for e in range(sol.dim)
+                )
+                fhat_hi = fhat_hi + sol.visc_flux_fn(
+                    0.5 * (s + u_plus), grads_hi, d, va
+                )
+                fhat_lo = fhat_lo + sol.visc_flux_fn(
+                    0.5 * (u_minus + s), grads_lo, d, va
+                )
             out = out - lam * (fhat_hi - fhat_lo)
             if sol.ncp_fn is not None:
                 half_hi = 0.5 * sol.ncp_fn(

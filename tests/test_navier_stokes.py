@@ -329,6 +329,23 @@ def test_limited_ns_all_troubled_conserves_and_decays():
     out2 = lim_means.step(u, dt, troubled_transform=force_all)
     m2 = np.asarray(solver.total_mass(out2))
     np.testing.assert_allclose(m2, m0, rtol=1e-12, atol=1e-13)
+    # And the order-2 MUSCL fallback: conserves, and its all-troubled
+    # decay rate is CLOSER to the physical one than first order's.
+    lim2 = LimitedADERDG(solver, admissible=euler_admissible(dim=2),
+                         fallback_order=2)
+
+    @jax.jit
+    def run2(q):
+        def body(c, _):
+            return lim2.step(c, dt, troubled_transform=force_all), None
+        return jax.lax.scan(body, q, None, length=n_steps)[0]
+
+    out2 = run2(u)
+    m2 = np.asarray(solver.total_mass(out2))
+    np.testing.assert_allclose(m2, m0, rtol=1e-12, atol=1e-13)
+    rate2 = np.log(vy_norm(u) / vy_norm(out2)) / T
+    assert abs(rate2 - exact) <= abs(rate - exact) + 1e-12, (rate2, rate)
+    assert abs(rate2 - exact) / exact < 0.25, (rate2, exact)
 
 
 def test_limited_ns_viscous_shock_stable():
@@ -372,8 +389,6 @@ def test_viscous_guards():
     from exahype_tpu.models.limiter import LimitedADERDG
 
     adm = lambda Q, va: jnp.ones(Q.shape[:va] + Q.shape[va + 1:], bool)
-    with pytest.raises(SemanticError, match="fallback_order"):
-        LimitedADERDG(solver, admissible=adm, fallback_order=2)
     with pytest.raises(SemanticError, match="gathered"):
         LimitedADERDG(solver, admissible=adm, troubled_capacity=4,
                       troubled_granularity="row")
