@@ -385,8 +385,9 @@ class ADERDGSolver:
         return self.dim + 1 + d
 
     def is_wall(self, d: int) -> bool:
-        """Whether grid axis ``d`` carries a domain wall (reflective or
-        outflow; axes outside ``wall_axes`` stay periodic)."""
+        """Whether grid axis ``d`` carries a domain wall (reflective,
+        outflow, farfield, or dirichlet; axes outside ``wall_axes`` stay
+        periodic)."""
         return self.boundary in ("reflective", "outflow", "farfield",
                                  "dirichlet") and (
             self.wall_axes is None or d in self.wall_axes
@@ -649,9 +650,20 @@ class ADERDGSolver:
                 ),
                 face_va,
             )
+            dq_w = first - ghost
+            if self.dissipation_mask is not None:
+                # Same masking as the interior/hi-wall jump: without it,
+                # frozen (masked) slots receive spurious dissipation flux
+                # at low walls whenever the ghost differs there (mirror
+                # ghosts hid this; dirichlet/farfield ghosts exposed it).
+                mshape = [1] * dq_w.ndim
+                mshape[face_va] = len(self.dissipation_mask)
+                dq_w = dq_w * jnp.asarray(
+                    self.dissipation_mask, dq_w.dtype
+                ).reshape(mshape)
             wall = 0.5 * (
                 self._wall_ghost_flux(f_first, d, 0, face_va) + f_first
-            ) - 0.5 * s_w * (first - ghost)
+            ) - 0.5 * s_w * dq_w
             wall = _gate(holds_lo_wall, wall, fhat_lo, 0)
             fhat_lo = jax.lax.dynamic_update_slice_in_dim(
                 fhat_lo, wall, 0, face_grid_ax

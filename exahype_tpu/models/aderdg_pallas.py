@@ -196,8 +196,9 @@ class PallasADERDG:
         PHI1W = [float(v) for v in np.asarray(ops.phi1 / ops.weights)]
         va = sol.var_axis  # var axis of per-time-slice arrays
         face_va = sol.var_axis - 1  # var axis of face-projected arrays
-        # Any non-periodic boundary routes the epilogue axes through the
-        # base solver's boundary-aware face_update (reflective OR outflow).
+        # Any non-periodic boundary (reflective/outflow/farfield/
+        # dirichlet) routes the epilogue axes through the base solver's
+        # boundary-aware face_update.
         reflective = sol.boundary != "periodic"
         if self._epilogue_override is not None and self.fuse_interior_riemann:
             epilogue_axes = self._epilogue_override

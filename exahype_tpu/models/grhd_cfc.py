@@ -38,7 +38,6 @@ from __future__ import annotations
 
 from functools import partial
 
-import jax
 import jax.numpy as jnp
 
 from exahype_tpu.models import srhd

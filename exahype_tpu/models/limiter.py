@@ -356,6 +356,15 @@ class LimitedADERDG:
         sol = self.solver
         means = self.cell_means(u)  # [V, *grid]; var axis 0
         new = means
+        if sol.visc_flux_fn is not None:
+            # Direction-independent central-difference gradients of the
+            # cell means, computed once.
+            G = [
+                (self._shift_reflect(means, -1, 1 + e, e, 0)
+                 - self._shift_reflect(means, 1, 1 + e, e, 0))
+                / (2.0 * sol._dxs[e])
+                for e in range(sol.dim)
+            ]
         for d in range(sol.dim):
             lam = dt / sol._dxs[d]
             ax = 1 + d
@@ -375,12 +384,6 @@ class LimitedADERDG:
             if sol.visc_flux_fn is not None:
                 # Central-difference diffusive face fluxes on the cell
                 # means (same construction as the subcell path, h = dx).
-                G = [
-                    (self._shift_reflect(means, -1, 1 + e, e, 0)
-                     - self._shift_reflect(means, 1, 1 + e, e, 0))
-                    / (2.0 * sol._dxs[e])
-                    for e in range(sol.dim)
-                ]
                 G_up = [
                     self._shift_reflect(G[e], -1, ax, d, 0)
                     for e in range(sol.dim)
@@ -1240,6 +1243,15 @@ class LimitedADERDG:
         n_sub = self.n_sub
         out = s
         face_fluxes = []
+        if sol.visc_flux_fn is not None:
+            # Cell-centered central-difference gradients of the stage
+            # state: direction-independent, computed once per stage.
+            hs = [sol._dxs[e] / n_sub for e in range(sol.dim)]
+            G = [
+                (self._sub_shift(s, -1, e, va)
+                 - self._sub_shift(s, 1, e, va)) / (2.0 * hs[e])
+                for e in range(sol.dim)
+            ]
         for d in range(sol.dim):
             lam = dt / (sol._dxs[d] / n_sub)
             sub_ax = sol.node_axis(d)
@@ -1274,12 +1286,6 @@ class LimitedADERDG:
                 # first-order path (the two-point normal derivative is
                 # centered at the face — already 2nd order), evaluated on
                 # the stage state; conservation telescopes identically.
-                hs = [sol._dxs[e] / n_sub for e in range(sol.dim)]
-                G = [
-                    (self._sub_shift(s, -1, e, va)
-                     - self._sub_shift(s, 1, e, va)) / (2.0 * hs[e])
-                    for e in range(sol.dim)
-                ]
                 G_plus = [
                     self._sub_shift(G[e], -1, d, va, negate_ghost=(e == d))
                     for e in range(sol.dim)

@@ -417,6 +417,14 @@ def make_sharded_aderdg_step(
     """
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
+    if solver.boundary == "dirichlet" and (
+        solver.wall_axes is None or any(d != 0 for d in solver.wall_axes)
+    ):
+        raise SemanticError(
+            "sharded dirichlet walls are supported on grid axis 0 only: "
+            "rows for unsharded wall axes are built for the GLOBAL grid "
+            "and do not broadcast to the shard-local face arrays"
+        )
     n_shards = mesh.shape[axis_name]
     if solver.grid_shape[0] % n_shards != 0:
         raise SemanticError(

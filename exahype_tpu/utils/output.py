@@ -93,7 +93,10 @@ def write_vtk(
     dx: float = 1.0,
     origin: Sequence[float] = (0.0, 0.0, 0.0),
 ):
-    """Legacy-VTK STRUCTURED_POINTS file of the assembled global field."""
+    """Legacy-VTK STRUCTURED_POINTS file of the assembled global field.
+
+    ``origin`` is the DOMAIN origin; the written VTK ORIGIN is offset by
+    half a spacing so the cell-centered values render at cell centers."""
     data = assemble_global(grid, Q)
     cfg = grid.config
     dims = data.shape[:-1]
@@ -102,6 +105,9 @@ def write_vtk(
 
     vtk_dims = tuple(dims) + (1,) * (3 - cfg.dim)
     n_points = int(np.prod(vtk_dims))
+    org = [
+        origin[i] + (0.5 * dx if i < cfg.dim else 0.0) for i in range(3)
+    ]
 
     lines = [
         "# vtk DataFile Version 3.0",
@@ -109,7 +115,7 @@ def write_vtk(
         "ASCII",
         "DATASET STRUCTURED_POINTS",
         f"DIMENSIONS {vtk_dims[0]} {vtk_dims[1]} {vtk_dims[2]}",
-        f"ORIGIN {origin[0]} {origin[1]} {origin[2]}",
+        f"ORIGIN {org[0]} {org[1]} {org[2]}",
         f"SPACING {dx} {dx} {dx}",
         f"POINT_DATA {n_points}",
     ]
@@ -247,13 +253,18 @@ def write_vtk_aderdg(
     ) + (1.0,) * (3 - solver.dim)
     vtk_dims = tuple(dims) + (1,) * (3 - solver.dim)
     n_points = int(np.prod(vtk_dims))
+    # samples are cell-/subcell-centered: offset ORIGIN by half a spacing
+    org = [
+        origin[i] + (0.5 * dxs[i] if i < solver.dim else 0.0)
+        for i in range(3)
+    ]
     lines = [
         "# vtk DataFile Version 3.0",
         "exahype_tpu ADER-DG solution",
         "ASCII",
         "DATASET STRUCTURED_POINTS",
         f"DIMENSIONS {vtk_dims[0]} {vtk_dims[1]} {vtk_dims[2]}",
-        f"ORIGIN {origin[0]} {origin[1]} {origin[2]}",
+        f"ORIGIN {org[0]} {org[1]} {org[2]}",
         f"SPACING {dxs[0]} {dxs[1]} {dxs[2]}",
         f"POINT_DATA {n_points}",
     ]

@@ -2,7 +2,7 @@
 GRMHD on a conformally-flat static background (Cowling).
 
 The deepest model configuration in the framework, end to end: the
-16-variable GRMHD-CFC system (`models/grmhd_cfc.py` — Valencia
+15-variable (2-D) GRMHD-CFC system (`models/grmhd_cfc.py` — Valencia
 variables, AD-Newton con2prim through the exact conformal hat-map, GLM
 cleaning at the curved characteristic speed αψ⁻²c_h, geometric sources
 with the magnetized stress trace) under the a-posteriori MOOD limiter

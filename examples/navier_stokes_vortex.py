@@ -81,7 +81,7 @@ m1 = np.asarray(solver.total_mass(out))
 drift = np.abs(m1 - m0).max()
 
 vtk = write_vtk_aderdg(
-    tempfile.mktemp(suffix=".vtk"), solver, out,
+    tempfile.NamedTemporaryFile(suffix=".vtk", delete=False).name, solver, out,
     var_names=["rho", "mx", "my", "E"], points_per_cell=2,
 )
 

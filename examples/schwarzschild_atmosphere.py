@@ -98,7 +98,7 @@ for cells in resolutions:
 
 rate = np.log2(errs[0] / errs[1])
 vtk = write_vtk_aderdg(
-    tempfile.mktemp(suffix=".vtk"), solver, out,
+    tempfile.NamedTemporaryFile(suffix=".vtk", delete=False).name, solver, out,
     var_names=[f"q{i}" for i in range(grhd_cfc.n_vars(2))],
     points_per_cell=2,
 )
