@@ -197,3 +197,12 @@ def test_schwarzschild_atmosphere(tmp_path, monkeypatch, capsys):
     run_example("schwarzschild_atmosphere.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "convergence rate" in out
+
+
+def test_viscous_shock(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["viscous_shock.py", "--cpu"])
+    run_example("viscous_shock.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "viscosity acted" in out
