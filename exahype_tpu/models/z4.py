@@ -1,0 +1,495 @@
+"""First-order Z4: dynamic-spacetime general relativity (vacuum).
+
+The GR family so far (``grhd``/``grmhd``/``*_cfc``) evolves matter on a
+FROZEN metric (the Cowling approximation).  This module adds the missing
+rung — evolving the spacetime itself — the capability the downstream
+ExaHyPE astrophysics programme (ExaGRyPE) is built around: a first-order
+reformulation of the Einstein equations solved as a fluxless
+non-conservative hyperbolic system by ADER-DG (reference-family parity:
+the reference repo bundles only Euler physics,
+``Unit test/Functions.cpp:9-62``; the downstream family's flagship system
+is first-order CCZ4 run exactly this way — pure NCP + algebraic source).
+
+The system is the Z4 formulation (the covariant parent of CCZ4: Einstein's
+equations with the algebraic constraints embedded in a four-vector
+Z_μ = (Θ, Z_i) that propagates and — with the κ₁/κ₂ terms — damps
+constraint violations), in vacuum, with zero shift and Bona–Masso slicing
+
+    ∂_t α = −α² g(α) (K − m Θ),   g = f (harmonic) or 2/α (1+log).
+
+First-order reduction variables (38 in 3-D tensor algebra; the grid may
+still be 2-D — fields constant along the absent axis):
+
+    α (1), γ_ij (6), K_ij (6), Θ (1), Z_i (3),
+    A_k = ∂_k ln α (3),  D_kij = ½ ∂_k γ_ij (18).
+
+Design: ONE tensor-algebra function :func:`z4_rhs` computes the complete
+right-hand side from the state and its spatial derivatives using
+``einsum`` over honest (i, j, k) tensor indices — no per-component
+expansion.  Because every PDE right-hand side is AFFINE in the first
+derivatives, the solver's split follows exactly by linearity:
+
+    source(Q)        = z4_rhs(Q, 0)
+    B_d(Q)·∂_d Q     = z4_rhs(Q, 0) − z4_rhs(Q, ∂_d Q only)
+
+so the NCP/source pair fed to :class:`~exahype_tpu.models.aderdg.
+ADERDGSolver` (``ncp_fn``/``source_fn``, the SWE pattern) shares a single
+source of truth.  ``tests/test_z4.py`` verifies that truth against a
+fully independent oracle: analytic metric fields differentiated with
+nested ``jax.jacfwd`` (Ricci from autodiff Christoffels, no D variables
+anywhere), plus the standard Apples-with-Apples anchors (flat-space
+stationarity, gauge-wave convergence at the scheme order, robust
+stability) and ADM constraint monitoring.
+
+Equations (vacuum, zero shift; Alic et al. 2012's Z4 damping scheme):
+
+    ∂_t γ_ij = −2 α K_ij
+    ∂_t K_ij = −∇_i∇_j α + α [R_ij + ∇_i Z_j + ∇_j Z_i − 2 K_ik K^k_j
+               + (K − 2Θ) K_ij] − κ₁(1+κ₂) α γ_ij Θ
+    ∂_t Θ    = α/2 [R + 2∇_k Z^k + (K − 2Θ)K − K_ij K^ij]
+               − Z^k ∂_k α − κ₁(2+κ₂) α Θ
+    ∂_t Z_i  = α [∇_j (K_i^j − δ_i^j K) + ∂_i Θ − 2 K_i^j Z_j]
+               − Θ ∂_i α − κ₁ α Z_i
+    ∂_t A_k  = −∂_k [α g (K − m Θ)]
+    ∂_t D_kij= −∂_k (α K_ij)
+
+with every metric/lapse derivative written through the evolved D/A
+(∂_k γ_ij → 2 D_kij, ∂_k α → α A_k, ∂_k γ^ab → −2 γ^ac γ^bd D_kcd).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+#: Packed symmetric-pair order for 3×3 symmetric tensors.
+SYM6 = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+N_VARS = 38
+
+# Variable slots.
+_AL = 0
+_G = slice(1, 7)
+_K = slice(7, 13)
+_TH = 13
+_Z = slice(14, 17)
+_A = slice(17, 20)
+_D = slice(20, 38)
+
+
+def sym_to_mat(s):
+    """[..., 6] packed symmetric → [..., 3, 3]."""
+    rows = [[None] * 3 for _ in range(3)]
+    for slot, (i, j) in enumerate(SYM6):
+        rows[i][j] = s[..., slot]
+        rows[j][i] = s[..., slot]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
+
+
+def mat_to_sym(m):
+    """[..., 3, 3] (symmetrized) → [..., 6] packed."""
+    m = 0.5 * (m + jnp.swapaxes(m, -1, -2))
+    return jnp.stack([m[..., i, j] for (i, j) in SYM6], axis=-1)
+
+
+def inv3(m):
+    """Closed-form batched 3×3 inverse: (inverse, det)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * h
+    cb = f * g - d * i
+    cc = d * h - e * g
+    det = a * ca + b * cb + c * cc
+    adj = jnp.stack(
+        [
+            jnp.stack([ca, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([cb, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([cc, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None], det
+
+
+def unpack(q):
+    """q[..., 38] → (α, γ[3,3], K[3,3], Θ, Z[3], A[3], D[3,3,3])."""
+    al = q[..., _AL]
+    g = sym_to_mat(q[..., _G])
+    K = sym_to_mat(q[..., _K])
+    th = q[..., _TH]
+    Z = q[..., _Z]
+    A = q[..., _A]
+    D = sym_to_mat(q[..., _D].reshape(q.shape[:-1] + (3, 6)))
+    return al, g, K, th, Z, A, D
+
+
+def pack(al, g, K, th, Z, A, D):
+    """Inverse of :func:`unpack` (tensor args symmetrized)."""
+    Ds = mat_to_sym(D).reshape(D.shape[:-3] + (18,))
+    return jnp.concatenate(
+        [
+            al[..., None],
+            mat_to_sym(g),
+            mat_to_sym(K),
+            th[..., None],
+            Z,
+            A,
+            Ds,
+        ],
+        axis=-1,
+    )
+
+
+def _slicing(slicing: str, f: float):
+    """(g(α), d(αg)/dα) as callables of α."""
+    if slicing == "harmonic":
+        return (lambda al: jnp.full_like(al, f)), (
+            lambda al: jnp.full_like(al, f)
+        )
+    if slicing == "1+log":
+        # αg = 2 exactly, so d(αg)/dα = 0.
+        return (lambda al: 2.0 / al), (lambda al: jnp.zeros_like(al))
+    raise ValueError(f"unknown slicing {slicing!r}")
+
+
+def z4_rhs(
+    q,
+    dq3,
+    *,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+):
+    """The COMPLETE vacuum Z4 right-hand side ∂_t Q.
+
+    ``q``: state [..., 38]; ``dq3``: spatial derivatives [..., 3, 38]
+    (∂_k Q for k = x, y, z; zero-fill the axes a lower-dimensional grid
+    does not have).  Affine in ``dq3`` — the solver NCP/source split in
+    :func:`z4_system` relies on that.
+    """
+    al, g, K, th, Z, A, D = unpack(q)
+    dK = sym_to_mat(dq3[..., _K])  # [..., k, 3, 3] = ∂_k K_ij
+    dth = dq3[..., _TH]  # [..., k]
+    dZ = dq3[..., _Z]  # [..., k, i] = ∂_k Z_i
+    dA = dq3[..., _A]  # [..., k, i] = ∂_k A_i
+    dD = sym_to_mat(
+        dq3[..., _D].reshape(dq3.shape[:-1] + (3, 6))
+    )  # [..., k, l, 3, 3] = ∂_k D_lij
+
+    gi, _ = inv3(g)
+    # ∂_k γ^lm = −2 γ^la γ^mb D_kab
+    dgi = -2.0 * jnp.einsum("...la,...mb,...kab->...klm", gi, gi, D)
+
+    # Christoffels from D: Γ_lij = D_ijl + D_jil − D_lij; Γ^k_ij = γ^kl Γ_lij
+    Glow = (
+        jnp.einsum("...ijl->...lij", D)
+        + jnp.einsum("...jil->...lij", D)
+        - D
+    )
+    Gam = jnp.einsum("...kl,...lij->...kij", gi, Glow)
+    # Γ^k_kj = γ^kl D_jkl  (= ∂_j ln √γ)
+    Gtr = jnp.einsum("...kl,...jkl->...j", gi, D)
+
+    # Ricci: R_ij = ∂_kΓ^k_ij − ∂_iΓ^k_kj + Γ^k_kl Γ^l_ij − Γ^k_li Γ^l_kj
+    dGlow = (
+        jnp.einsum("...kijl->...klij", dD)
+        + jnp.einsum("...kjil->...klij", dD)
+        - dD
+    )
+    ric = (
+        jnp.einsum("...kkl,...lij->...ij", dgi, Glow)
+        + jnp.einsum("...kl,...klij->...ij", gi, dGlow)
+        - jnp.einsum("...ikl,...jkl->...ij", dgi, D)
+        - jnp.einsum("...kl,...ijkl->...ij", gi, dD)
+        + jnp.einsum("...l,...lij->...ij", Gtr, Gam)
+        - jnp.einsum("...kli,...lkj->...ij", Gam, Gam)
+    )
+    ric = 0.5 * (ric + jnp.swapaxes(ric, -1, -2))
+
+    # ∇_i∇_j α / α  (∂α = αA substituted; dA symmetrized)
+    hess = (
+        0.5 * (dA + jnp.swapaxes(dA, -1, -2))
+        + jnp.einsum("...i,...j->...ij", A, A)
+        - jnp.einsum("...kij,...k->...ij", Gam, A)
+    )
+    covZ = dZ - jnp.einsum("...kij,...k->...ij", Gam, Z)
+
+    trK = jnp.einsum("...ij,...ij->...", gi, K)
+    Kup = jnp.einsum("...ia,...jb,...ab->...ij", gi, gi, K)
+    K2 = jnp.einsum("...ij,...ij->...", K, Kup)
+    KK = jnp.einsum("...il,...lm,...mj->...ij", K, gi, K)
+    Kmix = jnp.einsum("...jl,...il->...ij", gi, K)  # K_i^j
+    # ∇_j K_i^j = γ^jl (∂_j K_il − Γ^m_ji K_ml − Γ^m_jl K_im)
+    divKi = (
+        jnp.einsum("...jl,...jil->...i", gi, dK)
+        - jnp.einsum("...jl,...mji,...ml->...i", gi, Gam, K)
+        - jnp.einsum("...jl,...mjl,...im->...i", gi, Gam, K)
+    )
+    # ∂_i (tr K) = (∂_i γ^kl) K_kl + γ^kl ∂_i K_kl
+    dtrK = jnp.einsum("...ikl,...kl->...i", dgi, K) + jnp.einsum(
+        "...kl,...ikl->...i", gi, dK
+    )
+    Rs = jnp.einsum("...ij,...ij->...", gi, ric)
+    divZ = jnp.einsum("...ij,...ij->...", gi, covZ)
+    Zup = jnp.einsum("...ij,...j->...i", gi, Z)
+
+    g_of, dag_of = _slicing(slicing, f)
+    gal = g_of(al)
+    ag = al * gal
+    dag = dag_of(al)
+    Kmth = trK - m * th
+
+    alx = al[..., None]
+    alxx = al[..., None, None]
+    r_al = -ag * al * Kmth
+    r_g = -2.0 * alxx * K
+    r_K = (
+        -alxx * hess
+        + alxx
+        * (
+            ric
+            + covZ
+            + jnp.swapaxes(covZ, -1, -2)
+            - 2.0 * KK
+            + (trK - 2.0 * th)[..., None, None] * K
+        )
+        - kappa1 * (1.0 + kappa2) * alxx * th[..., None, None] * g
+    )
+    r_th = (
+        0.5 * al * (Rs + 2.0 * divZ + (trK - 2.0 * th) * trK - K2)
+        - al * jnp.einsum("...i,...i->...", Zup, A)
+        - kappa1 * (2.0 + kappa2) * al * th
+    )
+    r_Z = (
+        alx
+        * (divKi - dtrK + dth - 2.0 * jnp.einsum("...ij,...j->...i", Kmix, Z))
+        - alx * th[..., None] * A
+        - kappa1 * alx * Z
+    )
+    r_A = -dag[..., None] * al[..., None] * A * Kmth[..., None] - ag[
+        ..., None
+    ] * (dtrK - m * dth)
+    r_D = (
+        -alxx[..., None] * jnp.einsum("...k,...ij->...kij", A, K)
+        - al[..., None, None, None] * dK
+    )
+    return pack(r_al, r_g, r_K, r_th, r_Z, r_A, r_D)
+
+
+def z4_system(
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+):
+    """(flux_fn, max_eigenvalue_fn, ncp_fn, source_fn) in the solver's
+    ``(Q, axis, var_axis)`` contract — a fluxless pure-NCP system, the
+    shape the downstream family's FO-CCZ4 application uses.
+
+    The characteristic cones are the light cone (speed α√γ^dd along axis
+    d) and the gauge cone (α√(g γ^dd)); the Rusanov bound takes the wider.
+    """
+    kw = dict(slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2)
+    g_of, _ = _slicing(slicing, f)
+
+    def flux(Q, axis, va):
+        return jnp.zeros_like(Q)
+
+    def eig(Q, axis, va):
+        q = jnp.moveaxis(Q, va, -1)
+        al = q[..., _AL]
+        gi, _ = inv3(sym_to_mat(q[..., _G]))
+        gdd = gi[..., axis, axis]
+        return al * jnp.sqrt(jnp.maximum(g_of(al), 1.0) * gdd)
+
+    def _rhs(q, dq3):
+        return z4_rhs(q, dq3, **kw)
+
+    def source(Q, va):
+        q = jnp.moveaxis(Q, va, -1)
+        dq3 = jnp.zeros(q.shape[:-1] + (3, N_VARS), q.dtype)
+        return jnp.moveaxis(_rhs(q, dq3), -1, va)
+
+    def ncp(Q, dQ, axis, va):
+        # rhs is affine in the derivatives: B_d·∂_dQ = rhs(Q,0) − rhs(Q,∂_d)
+        q = jnp.moveaxis(Q, va, -1)
+        dq = jnp.moveaxis(dQ, va, -1)
+        zeros = jnp.zeros(q.shape[:-1] + (3, N_VARS), q.dtype)
+        dq3 = zeros.at[..., axis, :].set(dq)
+        out = _rhs(q, zeros) - _rhs(q, dq3)
+        return jnp.moveaxis(out, -1, va)
+
+    return flux, eig, ncp, source
+
+
+def flat_state_values() -> np.ndarray:
+    """Minkowski in Cartesian coordinates (the robust-stability base)."""
+    v = np.zeros(N_VARS)
+    v[_AL] = 1.0
+    v[1] = v[4] = v[6] = 1.0  # γ = identity (xx, yy, zz slots)
+    return v
+
+
+def z4_flat_state(solver) -> jnp.ndarray:
+    """Flat-space nodal state broadcast to ``solver.state_shape``."""
+    v = flat_state_values()
+    shape = [1] * len(solver.state_shape)
+    shape[solver.var_axis] = N_VARS
+    return jnp.asarray(
+        np.broadcast_to(v.reshape(shape), solver.state_shape).copy()
+    )
+
+
+def gauge_wave_values(x, t, amplitude=0.01, wavelength=1.0):
+    """The Apples-with-Apples gauge wave, var-last values at positions x.
+
+    ds² = −H dt² + H dx² + dy² + dz², H = 1 − a sin(2π(x−t)/L): flat
+    spacetime in a wavelike harmonic gauge — the canonical exact solution
+    for dynamic-GR evolution codes (harmonic slicing f=1, zero shift,
+    Θ = Z = 0).  Every first-order variable is exact-analytic here.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    k = 2.0 * np.pi / wavelength
+    s = np.sin(k * (x - t))
+    c = np.cos(k * (x - t))
+    H = 1.0 - amplitude * s
+    dH = -amplitude * k * c  # ∂_x H  (= −∂_t H)
+    al = np.sqrt(H)
+    out = np.zeros(x.shape + (N_VARS,))
+    out[..., _AL] = al
+    out[..., 1] = H  # γ_xx
+    out[..., 4] = 1.0  # γ_yy
+    out[..., 6] = 1.0  # γ_zz
+    # K_xx = −∂_t γ_xx / (2α) = −(−dH)/(2√H) ... ∂_t H = −∂_x H·(−1)?  With
+    # H(x−t): ∂_t H = −dH·(−1)?  d/dt sin(k(x−t)) = −k c ⇒ ∂_t H = +a k c
+    # = −dH.  K_xx = −∂_tγ_xx/(2α) = dH/(2√H).
+    out[..., 7] = dH / (2.0 * al)
+    out[..., 17] = dH / (2.0 * H)  # A_x = ∂_x ln α = ∂_x H/(2H)
+    out[..., 20] = 0.5 * dH  # D_xxx = ½ ∂_x γ_xx
+    return out
+
+
+def gauge_wave_state(solver, t=0.0, amplitude=0.01, wavelength=None):
+    """Exact gauge-wave nodal state on ``solver`` (wave along grid axis 0;
+    default wavelength = the axis-0 domain length, so the state is
+    periodic)."""
+    coords = solver.nodes_meshgrid()
+    if wavelength is None:
+        wavelength = solver.grid_shape[0] * solver._dxs[0]
+    x = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), axis=solver.var_axis),
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :],
+    )
+    vals = gauge_wave_values(x, t, amplitude, wavelength)
+    return jnp.asarray(np.moveaxis(vals, -1, solver.var_axis))
+
+
+def make_z4_solver(
+    dim: int,
+    order: int,
+    grid_shape: tuple,
+    dx=1.0,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+    **kwargs,
+):
+    """A fully-configured vacuum Z4 ADER-DG solver (periodic box)."""
+    from exahype_tpu.models.aderdg import ADERDGSolver
+
+    flux, eig, ncp, source = z4_system(
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2
+    )
+    return ADERDGSolver(
+        dim=dim,
+        order=order,
+        n_vars=N_VARS,
+        grid_shape=grid_shape,
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        ncp_fn=ncp,
+        source_fn=source,
+        dx=dx,
+        **kwargs,
+    )
+
+
+def adm_constraints(q, dq3):
+    """Vacuum ADM constraints from the first-order state (var-last).
+
+    Returns ``(H, M)``: the Hamiltonian constraint
+    ``H = R + K² − K_ij K^ij`` (scalar) and the momentum constraint
+    ``M_i = ∇_j K^j_i − ∂_i K`` — both identically zero on a solution of
+    Einstein's equations, so their magnitude is the standard evolution-
+    quality monitor.  ``dq3`` as in :func:`z4_rhs`.
+    """
+    al, g, K, th, Z, A, D = unpack(q)
+    dK = sym_to_mat(dq3[..., _K])
+    dD = sym_to_mat(dq3[..., _D].reshape(dq3.shape[:-1] + (3, 6)))
+    gi, _ = inv3(g)
+    dgi = -2.0 * jnp.einsum("...la,...mb,...kab->...klm", gi, gi, D)
+    Glow = (
+        jnp.einsum("...ijl->...lij", D)
+        + jnp.einsum("...jil->...lij", D)
+        - D
+    )
+    Gam = jnp.einsum("...kl,...lij->...kij", gi, Glow)
+    Gtr = jnp.einsum("...kl,...jkl->...j", gi, D)
+    dGlow = (
+        jnp.einsum("...kijl->...klij", dD)
+        + jnp.einsum("...kjil->...klij", dD)
+        - dD
+    )
+    ric = (
+        jnp.einsum("...kkl,...lij->...ij", dgi, Glow)
+        + jnp.einsum("...kl,...klij->...ij", gi, dGlow)
+        - jnp.einsum("...ikl,...jkl->...ij", dgi, D)
+        - jnp.einsum("...kl,...ijkl->...ij", gi, dD)
+        + jnp.einsum("...l,...lij->...ij", Gtr, Gam)
+        - jnp.einsum("...kli,...lkj->...ij", Gam, Gam)
+    )
+    ric = 0.5 * (ric + jnp.swapaxes(ric, -1, -2))
+    Rs = jnp.einsum("...ij,...ij->...", gi, ric)
+    trK = jnp.einsum("...ij,...ij->...", gi, K)
+    Kup = jnp.einsum("...ia,...jb,...ab->...ij", gi, gi, K)
+    K2 = jnp.einsum("...ij,...ij->...", K, Kup)
+    ham = Rs + trK * trK - K2
+    divKi = (
+        jnp.einsum("...jl,...jil->...i", gi, dK)
+        - jnp.einsum("...jl,...mji,...ml->...i", gi, Gam, K)
+        - jnp.einsum("...jl,...mjl,...im->...i", gi, Gam, K)
+    )
+    dtrK = jnp.einsum("...ikl,...kl->...i", dgi, K) + jnp.einsum(
+        "...kl,...ikl->...i", gi, dK
+    )
+    mom = divKi - dtrK
+    return ham, mom
+
+
+def solver_constraints(solver, Q):
+    """(H, M_i) on every node of a solver state: nodal spectral
+    derivatives per grid axis (exact for the DG polynomial), missing
+    3-D axes zero-filled on 2-D grids."""
+    q = jnp.moveaxis(Q, solver.var_axis, -1)
+    Dmat = jnp.asarray(solver.ops.D, q.dtype)
+    parts = []
+    for k in range(3):
+        if k < solver.dim:
+            na = solver.node_axis(k)
+            na = na if na < solver.var_axis else na - 1
+            d = jnp.tensordot(Dmat, q, axes=([1], [na]))
+            d = jnp.moveaxis(d, 0, na) / solver._dxs[k]
+        else:
+            d = jnp.zeros_like(q)
+        parts.append(d)
+    dq3 = jnp.stack(parts, axis=-2)
+    return adm_constraints(q, dq3)

@@ -206,3 +206,12 @@ def test_viscous_shock(tmp_path, monkeypatch, capsys):
     run_example("viscous_shock.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "viscosity acted" in out
+
+
+def test_z4_gauge_wave(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["z4_gauge_wave.py", "--cpu"])
+    run_example("z4_gauge_wave.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "Z4 gauge wave" in out
