@@ -256,6 +256,19 @@ class ADERDGSolver:
     #: conservative system written as NCP (B=∂F/∂Q linear) to rounding.
     #: Periodic boundaries only.
     ncp_fn: Callable | None = None
+    #: Optional FUSED right-hand side ``rhs_all_fn(Q, grads, var_axis) ->
+    #: S(Q) − Σ_d B_d(Q)·∂_d Q`` with ``grads`` the tuple of PHYSICAL
+    #: gradients (∂Q/∂x_e for every grid axis e).  Pure performance hook
+    #: for big NCP systems (first-order Z4/CCZ4: 38–53 variables whose
+    #: source and every B_d share one tensor-algebra evaluation): when
+    #: set, the Picard predictor evaluates it ONCE per iteration instead
+    #: of ``source_fn`` + 2·dim ``ncp_fn`` evaluations, and the corrector
+    #: volume term uses the two-evaluation difference
+    #: ``rhs_all(q̄, 0) − rhs_all(q̄, ∇q̄)``.  Must satisfy
+    #: ``rhs_all_fn(Q, grads, va) == source_fn(Q, va) − Σ_d ncp_fn(Q,
+    #: grads[d]·dx_d, d, va)/dx_d`` — ``ncp_fn`` (and ``source_fn`` when
+    #: present) are still REQUIRED for the face fluctuations.
+    rhs_all_fn: Callable | None = None
     #: Optional viscous (gradient-dependent) flux ``visc_flux_fn(Q, grads,
     #: axis, var_axis) -> F_v`` with ``grads`` the tuple of PHYSICAL
     #: gradients (∂Q/∂x_e for every e, each the same shape as Q): solves
@@ -456,10 +469,17 @@ class ADERDGSolver:
                 last_fluxes.append(F)
                 dF = _apply(ops.D, F, axis=1 + self.node_axis(d))
                 rhs = rhs - lam * w_t * dF
-                if self.ncp_fn is not None:
+                if self.ncp_fn is not None and self.rhs_all_fn is None:
                     dq = _apply(ops.D, q, axis=1 + self.node_axis(d))
                     rhs = rhs - lam * w_t * self.ncp_fn(q, dq, d, va)
-            if self.source_fn is not None:
+            if self.rhs_all_fn is not None:
+                # One fused evaluation replaces source + dim NCP products
+                # (each of which costs TWO full-algebra evaluations for
+                # affine-split systems like Z4).
+                rhs = rhs + dt * w_t * self.rhs_all_fn(
+                    q, _grads(q, 1), va
+                )
+            elif self.source_fn is not None:
                 rhs = rhs + dt * w_t * self.source_fn(q, va)
             q = jnp.tensordot(
                 jnp.asarray(ops.K1inv, u.dtype), rhs, axes=([1], [0])
@@ -507,6 +527,20 @@ class ADERDGSolver:
         face_va = self.var_axis - 1  # one node axis projected away
         face_fluxes = []
 
+        if self.ncp_fn is not None and self.rhs_all_fn is not None:
+            # Strong-form NCP volume term, fused: −dt·Σ_d B_d(q̄)·∂_d q̄ =
+            # dt·[rhs_all(q̄, ∇q̄) − rhs_all(q̄, 0)] (two evaluations
+            # instead of dim).
+            dqs = tuple(
+                _apply(ops.D, qbar, axis=self.node_axis(e)) / self._dxs[e]
+                for e in range(self.dim)
+            )
+            zeros = tuple(jnp.zeros_like(qbar) for _ in range(self.dim))
+            new = new + dt * (
+                self.rhs_all_fn(qbar, dqs, self.var_axis)
+                - self.rhs_all_fn(qbar, zeros, self.var_axis)
+            )
+
         for d in range(self.dim):
             lam = dt / self._dxs[d]
             node_ax = self.node_axis(d)
@@ -514,7 +548,7 @@ class ADERDGSolver:
 
             # Volume integral: (λ/w_i) Σ_j w_j D[j,i] F̄_j along axis d.
             new = new + lam * _apply(ops.Kvol, fbar[d], axis=node_ax)
-            if self.ncp_fn is not None:
+            if self.ncp_fn is not None and self.rhs_all_fn is None:
                 # Strong-form NCP volume term −λ·B(q̄)·∂_d q̄ (no
                 # integration by parts — B∂q is not a divergence).
                 new = new - lam * self.ncp_fn(

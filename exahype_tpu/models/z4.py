@@ -55,10 +55,19 @@ Equations (vacuum, zero shift; Alic et al. 2012's Z4 damping scheme):
 
 with every metric/lapse derivative written through the evolved D/A
 (∂_k γ_ij → 2 D_kij, ∂_k α → α A_k, ∂_k γ^ab → −2 γ^ac γ^bd D_kcd).
+
+A SHIFTED variant (:func:`z4_shift_system`, 53 variables) adds the full
+gauge sector β^i, b^i, B_k^i = ∂_k β^i: Lie-derivative terms on the
+primary variables, ∂_k-differentiated gauge terms on the reductions,
+and either a frozen shift or the hyperbolic Gamma-driver
+∂_t β = f_b·b, ∂_t b = ∂_t Γ^i − η·b (Γ^i = γ^jk Γ^i_jk, its time
+derivative taken exactly by the chain rule).  Anchored on the exact
+moving-coordinates gauge wave (constant β^x = v, wave speed 1−v).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,32 +164,11 @@ def _slicing(slicing: str, f: float):
     raise ValueError(f"unknown slicing {slicing!r}")
 
 
-def z4_rhs(
-    q,
-    dq3,
-    *,
-    slicing: str = "harmonic",
-    f: float = 1.0,
-    m: float = 2.0,
-    kappa1: float = 0.0,
-    kappa2: float = 0.0,
-):
-    """The COMPLETE vacuum Z4 right-hand side ∂_t Q.
-
-    ``q``: state [..., 38]; ``dq3``: spatial derivatives [..., 3, 38]
-    (∂_k Q for k = x, y, z; zero-fill the axes a lower-dimensional grid
-    does not have).  Affine in ``dq3`` — the solver NCP/source split in
-    :func:`z4_system` relies on that.
-    """
-    al, g, K, th, Z, A, D = unpack(q)
-    dK = sym_to_mat(dq3[..., _K])  # [..., k, 3, 3] = ∂_k K_ij
-    dth = dq3[..., _TH]  # [..., k]
-    dZ = dq3[..., _Z]  # [..., k, i] = ∂_k Z_i
-    dA = dq3[..., _A]  # [..., k, i] = ∂_k A_i
-    dD = sym_to_mat(
-        dq3[..., _D].reshape(dq3.shape[:-1] + (3, 6))
-    )  # [..., k, l, 3, 3] = ∂_k D_lij
-
+def _z4_core(al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD, *,
+             slicing, f, m, kappa1, kappa2):
+    """Zero-shift Z4 right-hand-side parts (unpacked tensors in, tensor
+    parts out) — shared by :func:`z4_rhs` and the shifted system, which
+    adds the Lie-derivative/gauge terms on top."""
     gi, _ = inv3(g)
     # ∂_k γ^lm = −2 γ^la γ^mb D_kab
     dgi = -2.0 * jnp.einsum("...la,...mb,...kab->...klm", gi, gi, D)
@@ -278,7 +266,329 @@ def z4_rhs(
         -alxx[..., None] * jnp.einsum("...k,...ij->...kij", A, K)
         - al[..., None, None, None] * dK
     )
-    return pack(r_al, r_g, r_K, r_th, r_Z, r_A, r_D)
+    return r_al, r_g, r_K, r_th, r_Z, r_A, r_D
+
+
+def z4_rhs(
+    q,
+    dq3,
+    *,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+):
+    """The COMPLETE vacuum Z4 right-hand side ∂_t Q (zero shift).
+
+    ``q``: state [..., 38]; ``dq3``: spatial derivatives [..., 3, 38]
+    (∂_k Q for k = x, y, z; zero-fill the axes a lower-dimensional grid
+    does not have).  Affine in ``dq3`` — the solver NCP/source split in
+    :func:`z4_system` relies on that.
+    """
+    al, g, K, th, Z, A, D = unpack(q)
+    dK = sym_to_mat(dq3[..., _K])  # [..., k, 3, 3] = ∂_k K_ij
+    dth = dq3[..., _TH]  # [..., k]
+    dZ = dq3[..., _Z]  # [..., k, i] = ∂_k Z_i
+    dA = dq3[..., _A]  # [..., k, i] = ∂_k A_i
+    dD = sym_to_mat(
+        dq3[..., _D].reshape(dq3.shape[:-1] + (3, 6))
+    )  # [..., k, l, 3, 3] = ∂_k D_lij
+    parts = _z4_core(
+        al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+    )
+    return pack(*parts)
+
+
+# ------------------------------------------------------------- shift sector
+#
+# The shifted system extends the 38-variable state with the full gauge
+# sector: β^i (3), the Gamma-driver auxiliary b^i (3), and the first-order
+# reduction B_k^i = ∂_k β^i (9) — 53 variables.  The evolution equations
+# are the zero-shift ones plus Lie-derivative terms (∂_t − L_β is the
+# tensorial derivative on the slice) for the primary variables, and the
+# ∂_k-differentiated gauge/Lie terms for the reductions A_k and D_kij.
+
+N_VARS_SHIFT = 53
+
+_BETA = slice(38, 41)
+_BSM = slice(41, 44)
+_BB = slice(44, 53)  # B_k^i at 44 + 3k + i
+
+
+def unpack_shift(q):
+    """q[..., 53] → (β[i], b[i], B[k, i])."""
+    beta = q[..., _BETA]
+    b = q[..., _BSM]
+    B = q[..., _BB].reshape(q.shape[:-1] + (3, 3))
+    return beta, b, B
+
+
+def pack_shift(core_parts, r_beta, r_b, r_B):
+    base = pack(*core_parts)
+    return jnp.concatenate(
+        [base, r_beta, r_b, r_B.reshape(r_B.shape[:-2] + (9,))], axis=-1
+    )
+
+
+def _gamma_contracted(g, D):
+    """Γ^i = γ^jk Γ^i_jk as an algebraic function of (γ, D) — the quantity
+    the Gamma-driver shift chases (the non-conformal analogue of Γ̃^i)."""
+    gi, _ = inv3(g)
+    Glow = (
+        jnp.einsum("...ijl->...lij", D)
+        + jnp.einsum("...jil->...lij", D)
+        - D
+    )
+    return jnp.einsum("...il,...jk,...ljk->...i", gi, gi, Glow)
+
+
+def z4_shift_rhs(
+    q,
+    dq3,
+    *,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+    shift: str = "frozen",
+    f_b: float = 0.75,
+    eta: float = 1.0,
+):
+    """Vacuum Z4 right-hand side WITH a shift vector (53 variables).
+
+    Primary variables gain Lie-derivative terms (∂_t = zero-shift RHS
+    + L_β X); the reductions A_k, D_kij gain ∂_k of the β-terms in the
+    primary equations (B_k^i = ∂_k β^i is evolved, so second derivatives
+    of β appear only as first derivatives of B).  Shift evolution:
+
+    - ``shift='frozen'``: ∂_t β = ∂_t b = 0 (prescribed static shift —
+      the moving-coordinates testbeds).
+    - ``shift='gamma_driver'``: ∂_t β^i = f_b·b^i,
+      ∂_t b^i = ∂_t Γ^i − η·b^i, with Γ^i = γ^jk Γ^i_jk algebraic in
+      (γ, D) so ∂_t Γ^i follows EXACTLY by the chain rule (``jax.jvp``
+      of :func:`_gamma_contracted` along (∂_t γ, ∂_t D)) — the
+      hyperbolic driver on the non-conformal contracted Christoffel.
+
+    Affine in ``dq3`` (the jvp is linear in the already-affine ∂_t γ,
+    ∂_t D), so the NCP/source split still follows by linearity.
+    """
+    al, g, K, th, Z, A, D = unpack(q)
+    beta, b, B = unpack_shift(q)
+    dK = sym_to_mat(dq3[..., _K])
+    dth = dq3[..., _TH]
+    dZ = dq3[..., _Z]
+    dA = dq3[..., _A]
+    dD = sym_to_mat(dq3[..., _D].reshape(dq3.shape[:-1] + (3, 6)))
+    dB = dq3[..., _BB].reshape(dq3.shape[:-1] + (3, 3))  # [k, l, i] = ∂_k B_l^i
+
+    r_al, r_g, r_K, r_th, r_Z, r_A, r_D = _z4_core(
+        al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+    )
+
+    # Primary Lie-derivative terms.
+    r_al = r_al + al * jnp.einsum("...k,...k->...", beta, A)
+    lie_g = (
+        2.0 * jnp.einsum("...k,...kij->...ij", beta, D)
+        + jnp.einsum("...ik,...kj->...ij", B, g)
+        + jnp.einsum("...jk,...ki->...ij", B, g)
+    )
+    r_g = r_g + lie_g
+    r_K = (
+        r_K
+        + jnp.einsum("...k,...kij->...ij", beta, dK)
+        + jnp.einsum("...ik,...kj->...ij", B, K)
+        + jnp.einsum("...jk,...ki->...ij", B, K)
+    )
+    r_th = r_th + jnp.einsum("...k,...k->...", beta, dth)
+    r_Z = (
+        r_Z
+        + jnp.einsum("...k,...ki->...i", beta, dZ)
+        + jnp.einsum("...ik,...k->...i", B, Z)
+    )
+    # Reductions: ∂_k of the β-terms in ∂_t lnα and ∂_t γ_ij.
+    #   ∂_t A_k += ∂_k(β^m A_m) = B_k^m A_m + β^m ∂_k A_m
+    r_A = (
+        r_A
+        + jnp.einsum("...km,...m->...k", B, A)
+        + jnp.einsum("...m,...km->...k", beta, dA)
+    )
+    #   ∂_t D_kij += B_k^m D_mij + β^m ∂_k D_mij
+    #              + D_kmj B_i^m + D_kim B_j^m
+    #              + ½(γ_mj ∂_k B_i^m + γ_im ∂_k B_j^m)
+    r_D = (
+        r_D
+        + jnp.einsum("...km,...mij->...kij", B, D)
+        + jnp.einsum("...m,...kmij->...kij", beta, dD)
+        + jnp.einsum("...im,...kmj->...kij", B, D)
+        + jnp.einsum("...jm,...kmi->...kij", B, D)
+        + 0.5 * jnp.einsum("...kim,...mj->...kij", dB, g)
+        + 0.5 * jnp.einsum("...kjm,...mi->...kij", dB, g)
+    )
+
+    if shift == "frozen":
+        r_beta = jnp.zeros_like(beta)
+        r_b = jnp.zeros_like(b)
+        r_B = jnp.zeros_like(B)
+    elif shift == "gamma_driver":
+        r_beta = f_b * b
+        # ∂_t Γ^i by the chain rule along the full (∂_t γ, ∂_t D).
+        _, dt_gamma = jax.jvp(
+            lambda gg, DD: _gamma_contracted(gg, DD), (g, D), (r_g, r_D)
+        )
+        r_b = dt_gamma - eta * b
+        # ∂_t B_k^i = ∂_k(∂_t β^i) = f_b ∂_k b^i — but b has no evolved
+        # reduction; close with the driver's own spatial derivative from
+        # dq3 (b IS an evolved variable, so ∂_k b is available).
+        db = dq3[..., _BSM]  # [..., k, i] = ∂_k b^i
+        r_B = f_b * db
+    else:
+        raise ValueError(f"unknown shift mode {shift!r}")
+    return pack_shift((r_al, r_g, r_K, r_th, r_Z, r_A, r_D), r_beta, r_b, r_B)
+
+
+def z4_shift_system(
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+    shift: str = "frozen",
+    f_b: float = 0.75,
+    eta: float = 1.0,
+):
+    """(flux_fn, max_eigenvalue_fn, ncp_fn, source_fn) for the 53-variable
+    shifted Z4 system.  The Rusanov bound adds the coordinate advection
+    speed |β^d| to the wider of the light/gauge cones."""
+    kw = dict(
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+        shift=shift, f_b=f_b, eta=eta,
+    )
+    g_of, _ = _slicing(slicing, f)
+
+    def flux(Q, axis, va):
+        return jnp.zeros_like(Q)
+
+    def eig(Q, axis, va):
+        q = jnp.moveaxis(Q, va, -1)
+        al = q[..., _AL]
+        gi, _ = inv3(sym_to_mat(q[..., _G]))
+        gdd = gi[..., axis, axis]
+        bd = jnp.abs(q[..., 38 + axis])
+        return bd + al * jnp.sqrt(jnp.maximum(g_of(al), 1.0) * gdd)
+
+    def _rhs(q, dq3):
+        return z4_shift_rhs(q, dq3, **kw)
+
+    def source(Q, va):
+        q = jnp.moveaxis(Q, va, -1)
+        dq3 = jnp.zeros(q.shape[:-1] + (3, N_VARS_SHIFT), q.dtype)
+        return jnp.moveaxis(_rhs(q, dq3), -1, va)
+
+    def ncp(Q, dQ, axis, va):
+        q = jnp.moveaxis(Q, va, -1)
+        dq = jnp.moveaxis(dQ, va, -1)
+        zeros = jnp.zeros(q.shape[:-1] + (3, N_VARS_SHIFT), q.dtype)
+        dq3 = zeros.at[..., axis, :].set(dq)
+        out = _rhs(q, zeros) - _rhs(q, dq3)
+        return jnp.moveaxis(out, -1, va)
+
+    return flux, eig, ncp, source
+
+
+def make_z4_shift_solver(
+    dim: int,
+    order: int,
+    grid_shape: tuple,
+    dx=1.0,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+    shift: str = "frozen",
+    f_b: float = 0.75,
+    eta: float = 1.0,
+    fused_rhs: bool = False,
+    **kwargs,
+):
+    """A fully-configured SHIFTED vacuum Z4 ADER-DG solver (periodic).
+    ``fused_rhs``: see :func:`make_z4_solver`."""
+    from exahype_tpu.models.aderdg import ADERDGSolver
+
+    kw = dict(
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+        shift=shift, f_b=f_b, eta=eta,
+    )
+    flux, eig, ncp, source = z4_shift_system(**kw)
+    rhs_all = (
+        _rhs_all_of(lambda q, dq3: z4_shift_rhs(q, dq3, **kw), N_VARS_SHIFT)
+        if fused_rhs
+        else None
+    )
+    return ADERDGSolver(
+        dim=dim,
+        order=order,
+        n_vars=N_VARS_SHIFT,
+        grid_shape=grid_shape,
+        flux_fn=flux,
+        max_eigenvalue_fn=eig,
+        ncp_fn=ncp,
+        source_fn=source,
+        rhs_all_fn=rhs_all,
+        dx=dx,
+        **kwargs,
+    )
+
+
+def moving_gauge_wave_values(x, t, v=0.2, amplitude=0.01, wavelength=1.0):
+    """The gauge wave in uniformly-moving coordinates x' = x − v·t: an
+    exact vacuum solution with CONSTANT shift β^x = v that exercises every
+    shift/Lie term.  From ds² = −H dt² + H dx² (H = 1 − a·sin(2π(x−t)/L))
+    substitute dx = dx' + v dt:
+
+        γ_x'x' = H,  α = √H,  β^{x'} = v,  K_x'x' = ∂_{x'}H/(2√H),
+
+    with H now a function of ξ = x' − (1−v)t — the wave translates at
+    coordinate speed (1−v).  The 3+1 identity K = −(∂_t γ − L_β γ)/(2α)
+    and the harmonic slicing condition both hold exactly (checked in
+    tests).  B = b = 0 since β is constant."""
+    x = np.asarray(x, dtype=np.float64)
+    k = 2.0 * np.pi / wavelength
+    s = np.sin(k * (x - (1.0 - v) * t))
+    c = np.cos(k * (x - (1.0 - v) * t))
+    H = 1.0 - amplitude * s
+    dH = -amplitude * k * c  # ∂_x H
+    al = np.sqrt(H)
+    out = np.zeros(x.shape + (N_VARS_SHIFT,))
+    out[..., 0] = al
+    out[..., 1] = H
+    out[..., 4] = 1.0
+    out[..., 6] = 1.0
+    out[..., 7] = dH / (2.0 * al)
+    out[..., 17] = dH / (2.0 * H)
+    out[..., 20] = 0.5 * dH
+    out[..., 38] = v
+    return out
+
+
+def moving_gauge_wave_state(solver, t=0.0, v=0.2, amplitude=0.01,
+                            wavelength=None):
+    """Exact moving-coordinates gauge-wave nodal state (wave along grid
+    axis 0; default wavelength = the axis-0 domain length)."""
+    coords = solver.nodes_meshgrid()
+    if wavelength is None:
+        wavelength = solver.grid_shape[0] * solver._dxs[0]
+    x = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), axis=solver.var_axis),
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :],
+    )
+    vals = moving_gauge_wave_values(x, t, v, amplitude, wavelength)
+    return jnp.asarray(np.moveaxis(vals, -1, solver.var_axis))
 
 
 def z4_system(
@@ -326,6 +636,22 @@ def z4_system(
         return jnp.moveaxis(out, -1, va)
 
     return flux, eig, ncp, source
+
+
+def _rhs_all_of(rhs_fn, n_vars):
+    """Wrap an affine ``rhs(q, dq3)`` as the solver's fused
+    ``rhs_all_fn(Q, grads, va)`` hook: by affinity the single full-RHS
+    evaluation equals ``source − Σ_d B_d·∂_d Q`` exactly, replacing the
+    2·dim+1 per-axis evaluations in the Picard predictor."""
+
+    def rhs_all(Q, grads, va):
+        q = jnp.moveaxis(Q, va, -1)
+        dq3 = jnp.zeros(q.shape[:-1] + (3, n_vars), q.dtype)
+        for e, gq in enumerate(grads):
+            dq3 = dq3.at[..., e, :].set(jnp.moveaxis(gq, va, -1))
+        return jnp.moveaxis(rhs_fn(q, dq3), -1, va)
+
+    return rhs_all
 
 
 def flat_state_values() -> np.ndarray:
@@ -401,13 +727,25 @@ def make_z4_solver(
     m: float = 2.0,
     kappa1: float = 0.0,
     kappa2: float = 0.0,
+    fused_rhs: bool = False,
     **kwargs,
 ):
-    """A fully-configured vacuum Z4 ADER-DG solver (periodic box)."""
+    """A fully-configured vacuum Z4 ADER-DG solver (periodic box).
+
+    ``fused_rhs=True`` installs the one-evaluation ``rhs_all_fn`` hook
+    (identical algebra by affinity).  Off by default: measured on the
+    chip, XLA's CSE + zero-block constant folding already dedupe the
+    per-axis affine evaluations (the hook alone is 0.8× — see
+    docs/PERFORMANCE.md); it exists as the integration point for
+    layout-optimized RHS implementations."""
     from exahype_tpu.models.aderdg import ADERDGSolver
 
-    flux, eig, ncp, source = z4_system(
-        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2
+    kw = dict(slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2)
+    flux, eig, ncp, source = z4_system(**kw)
+    rhs_all = (
+        _rhs_all_of(lambda q, dq3: z4_rhs(q, dq3, **kw), N_VARS)
+        if fused_rhs
+        else None
     )
     return ADERDGSolver(
         dim=dim,
@@ -418,6 +756,7 @@ def make_z4_solver(
         max_eigenvalue_fn=eig,
         ncp_fn=ncp,
         source_fn=source,
+        rhs_all_fn=rhs_all,
         dx=dx,
         **kwargs,
     )

@@ -533,3 +533,345 @@ def test_z4_sharded_matches_single_device():
                 in_shardings=(sharding,), out_shardings=sharding)(qs)
     )
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+# ------------------------------------------------------------ shift sector
+
+from exahype_tpu.models.z4 import (  # noqa: E402
+    _AL,
+    _BB,
+    _BETA,
+    _G,
+    _K,
+    _TH,
+    _Z,
+    N_VARS_SHIFT,
+    make_z4_shift_solver,
+    moving_gauge_wave_state,
+    pack_shift,
+    unpack,
+    unpack_shift,
+    z4_shift_rhs,
+    z4_shift_system,
+)
+
+
+def _make_shift_fields(seed=0, eps=0.08):
+    rng = np.random.default_rng(seed + 100)
+
+    def coefs():
+        c = rng.uniform(-1.0, 1.0, size=(2, 5))
+        c[:, 0] *= eps
+        c[:, 1:4] = rng.integers(-2, 3, size=(2, 3))
+        return jnp.asarray(c)
+
+    c_b = [coefs() for _ in range(3)]
+    c_bb = [coefs() for _ in range(3)]
+
+    def beta(x):
+        return jnp.stack([_trig(c_b[i], x) for i in range(3)])
+
+    def bvec(x):
+        return jnp.stack([_trig(c_bb[i], x) for i in range(3)])
+
+    return beta, bvec
+
+
+def _first_order_shift_state(alpha, gam, K, theta, Z, beta, bvec):
+    """x → the 53-component shifted state, reductions by autodiff."""
+
+    def state(x):
+        A = jax.jacfwd(lambda y: jnp.log(alpha(y)))(x)
+        dg = jax.jacfwd(gam)(x)
+        D = 0.5 * jnp.transpose(dg, (2, 0, 1))
+        B = jax.jacfwd(beta)(x).T  # [k, i] = ∂_k β^i
+        return pack_shift(
+            (alpha(x), gam(x), K(x), theta(x), Z(x), A, D),
+            beta(x), bvec(x), B,
+        )
+
+    return state
+
+
+def _oracle_shift_rhs(alpha, gam, K, theta, Z, beta, bvec, *,
+                      slicing, f, m, kappa1, kappa2, shift, f_b, eta):
+    """x → ∂_t Q (53 vars) with ONLY autodiff of the analytic fields.
+
+    The zero-shift parts reuse `_oracle_rhs`'s construction; the shift
+    terms are independent autodiff Lie derivatives, and the reductions
+    A_k, D_kij are obtained by differentiating the FULL primary
+    right-hand sides (∂_t ln α, ∂_t γ_ij) — no first-order variables
+    appear anywhere."""
+    base = _oracle_rhs(alpha, gam, K, theta, Z, slicing=slicing, f=f,
+                       m=m, kappa1=kappa1, kappa2=kappa2)
+
+    def g_of(al):
+        return f if slicing == "harmonic" else 2.0 / al
+
+    def dt_ln_alpha(x):
+        al = alpha(x)
+        trK = jnp.einsum("ij,ij->", jnp.linalg.inv(gam(x)), K(x))
+        dal = jax.jacfwd(alpha)(x)
+        return -al * g_of(al) * (trK - m * theta(x)) + (
+            beta(x) @ dal / al
+        )
+
+    def dt_gamma(x):
+        dg = jax.jacfwd(gam)(x)  # [i, j, k]
+        dbeta = jax.jacfwd(beta)(x)  # [i, k] = ∂_k β^i
+        lie = (
+            jnp.einsum("k,ijk->ij", beta(x), dg)
+            + jnp.einsum("kj,ki->ij", gam(x), dbeta)
+            + jnp.einsum("ik,kj->ij", gam(x), dbeta)
+        )
+        return -2.0 * alpha(x) * K(x) + lie
+
+    def rhs(x):
+        # base(x) is the packed zero-shift RHS; slice out its parts.
+        r = base(x)
+        r_al = r[_AL]
+        r_g = sym_to_mat(r[_G])
+        r_K = sym_to_mat(r[_K])
+        r_th = r[_TH]
+        r_Z = r[_Z]
+
+        dal = jax.jacfwd(alpha)(x)
+        dK = jax.jacfwd(K)(x)  # [i, j, k]
+        dth = jax.jacfwd(theta)(x)
+        dZ = jax.jacfwd(Z)(x)  # [i, k]
+        dbeta = jax.jacfwd(beta)(x)  # [i, k] = ∂_k β^i
+        bv = beta(x)
+
+        r_al = r_al + bv @ dal
+        r_g = dt_gamma(x) + 2.0 * alpha(x) * K(x) + r_g  # add Lie part only
+        r_K = (
+            r_K
+            + jnp.einsum("k,ijk->ij", bv, dK)
+            + jnp.einsum("kj,ki->ij", K(x), dbeta)
+            + jnp.einsum("ik,kj->ij", K(x), dbeta)
+        )
+        r_th = r_th + bv @ dth
+        r_Z = r_Z + jnp.einsum("k,ik->i", bv, dZ) + jnp.einsum(
+            "k,ik->i", Z(x), dbeta.T
+        )
+        r_A = jax.jacfwd(dt_ln_alpha)(x)
+        ddtg = jax.jacfwd(dt_gamma)(x)  # [i, j, k] = ∂_k (∂_t γ_ij)
+        r_D = 0.5 * jnp.transpose(ddtg, (2, 0, 1))
+
+        if shift == "frozen":
+            r_beta = jnp.zeros(3)
+            r_b = jnp.zeros(3)
+            r_B = jnp.zeros((3, 3))
+        else:
+            r_beta = f_b * bvec(x)
+
+            def Gamma_of_x(y):
+                gi = jnp.linalg.inv(gam(y))
+                dg = jax.jacfwd(gam)(y)
+                D = 0.5 * jnp.transpose(dg, (2, 0, 1))
+                Glow = (
+                    jnp.einsum("ijl->lij", D)
+                    + jnp.einsum("jil->lij", D)
+                    - D
+                )
+                return jnp.einsum("il,jk,ljk->i", gi, gi, Glow)
+
+            # ∂_t Γ^i by the chain rule along the true (∂_t γ, ∂_t D):
+            # ∂_t D = ½ ∂_x(∂_t γ) from the full primary RHS.
+            def gD(y):
+                dgy = jax.jacfwd(gam)(y)
+                return gam(y), 0.5 * jnp.transpose(dgy, (2, 0, 1))
+
+            dt_D = 0.5 * jnp.transpose(jax.jacfwd(dt_gamma)(x), (2, 0, 1))
+
+            def Gamma_of(gg, DD):
+                gi = jnp.linalg.inv(gg)
+                Glow = (
+                    jnp.einsum("ijl->lij", DD)
+                    + jnp.einsum("jil->lij", DD)
+                    - DD
+                )
+                return jnp.einsum("il,jk,ljk->i", gi, gi, Glow)
+
+            _, dtGam = jax.jvp(
+                Gamma_of, gD(x), (dt_gamma(x), dt_D)
+            )
+            r_b = dtGam - eta * bvec(x)
+            r_B = f_b * jax.jacfwd(bvec)(x).T  # [k, i] = ∂_k b^i
+        return pack_shift(
+            (r_al, r_g, r_K, r_th, r_Z, r_A, r_D), r_beta, r_b, r_B
+        )
+
+    return rhs
+
+
+@pytest.mark.parametrize(
+    "shift,kappa1", [("frozen", 0.0), ("frozen", 0.4), ("gamma_driver", 0.2)]
+)
+def test_shift_rhs_matches_autodiff_oracle(shift, kappa1):
+    """Every one of the 53 RHS components of the shifted first-order
+    algebra equals the independent autodiff oracle on random smooth
+    fields (Lie terms, differentiated gauge terms, and the Gamma-driver
+    chain rule included)."""
+    slicing, f, m, kappa2, f_b, eta = "harmonic", 1.0, 2.0, 0.1, 0.75, 1.3
+    alpha, gam, K, theta, Z = _make_fields(seed=5)
+    beta, bvec = _make_shift_fields(seed=5)
+    state = _first_order_shift_state(alpha, gam, K, theta, Z, beta, bvec)
+    oracle = _oracle_shift_rhs(
+        alpha, gam, K, theta, Z, beta, bvec, slicing=slicing, f=f, m=m,
+        kappa1=kappa1, kappa2=kappa2, shift=shift, f_b=f_b, eta=eta,
+    )
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, size=(5, 3)))
+    q = jax.vmap(state)(pts)
+    dq3 = jnp.swapaxes(jax.vmap(jax.jacfwd(state))(pts), -1, -2)
+    got = z4_shift_rhs(
+        q, dq3, slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+        shift=shift, f_b=f_b, eta=eta,
+    )
+    want = jax.vmap(oracle)(pts)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=1e-11
+    )
+
+
+def test_shift_zero_reduction():
+    """With β = b = B = 0 the 53-variable RHS reduces exactly to the
+    validated 38-variable zero-shift RHS (identical core code path)."""
+    alpha, gam, K, theta, Z = _make_fields(seed=6)
+    state38 = _first_order_state(alpha, gam, K, theta, Z)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, size=(4, 3)))
+    q38 = jax.vmap(state38)(pts)
+    dq38 = jnp.swapaxes(jax.vmap(jax.jacfwd(state38))(pts), -1, -2)
+    pad = jnp.zeros(q38.shape[:-1] + (N_VARS_SHIFT - N_VARS,))
+    q53 = jnp.concatenate([q38, pad], -1)
+    dq53 = jnp.concatenate(
+        [dq38, jnp.zeros(dq38.shape[:-1] + (N_VARS_SHIFT - N_VARS,))], -1
+    )
+    kw = dict(slicing="1+log", f=1.0, m=2.0, kappa1=0.3, kappa2=0.1)
+    got = z4_shift_rhs(q53, dq53, shift="gamma_driver", **kw)
+    want38 = z4_rhs(q38, dq38, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got[..., :N_VARS]), np.asarray(want38), rtol=0, atol=0
+    )
+    # β stays zero; the driver's b picks up ∂_t Γ (nonzero on curved data).
+    np.testing.assert_allclose(np.asarray(got[..., _BETA]), 0.0, atol=0)
+    np.testing.assert_allclose(np.asarray(got[..., _BB]), 0.0, atol=0)
+
+
+def test_shift_ncp_source_split_is_exact():
+    """source − Σ_d B_d·∂_d Q reconstructs the full 53-var RHS exactly."""
+    alpha, gam, K, theta, Z = _make_fields(seed=8)
+    beta, bvec = _make_shift_fields(seed=8)
+    state = _first_order_shift_state(alpha, gam, K, theta, Z, beta, bvec)
+    flux, eig, ncp, source = z4_shift_system(shift="gamma_driver",
+                                             kappa1=0.2, eta=0.7)
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, size=(4, 3)))
+    q = jax.vmap(state)(pts)
+    dq3 = jnp.swapaxes(jax.vmap(jax.jacfwd(state))(pts), -1, -2)
+    want = z4_shift_rhs(q, dq3, shift="gamma_driver", kappa1=0.2, eta=0.7)
+    got = source(q, va=1)
+    for d in range(3):
+        got = got - ncp(q, dq3[..., d, :], axis=d, va=1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=1e-11
+    )
+
+
+def test_flat_space_with_constant_shift_is_stationary():
+    """Minkowski seen from uniformly-moving coordinates (γ = δ, α = 1,
+    β = const) is stationary to rounding for BOTH shift modes."""
+    for mode in ("frozen", "gamma_driver"):
+        solver = make_z4_shift_solver(
+            dim=2, order=2, grid_shape=(4, 2), dx=0.25, shift=mode,
+        )
+        qv = jnp.moveaxis(
+            jnp.broadcast_to(
+                jnp.concatenate(
+                    [jnp.asarray(flat_state_values()),
+                     jnp.asarray([0.3, -0.2, 0.1]),  # β
+                     jnp.zeros(12)]
+                ),
+                solver.state_shape[: solver.var_axis]
+                + solver.state_shape[solver.var_axis + 1 :]
+                + (N_VARS_SHIFT,),
+            ),
+            -1, solver.var_axis,
+        )
+        out = solver.run(qv, 10, dt=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(qv), rtol=0, atol=1e-13,
+            err_msg=f"shifted flat space not stationary ({mode})",
+        )
+
+
+def test_moving_gauge_wave_convergence():
+    """The gauge wave in moving coordinates (constant β^x = v — every
+    shift/Lie term exercised) converges to the exact solution at better
+    than the scheme order."""
+    t_end, v = 0.08, 0.2
+    errors = []
+    for cells in (4, 8):
+        solver = make_z4_shift_solver(
+            dim=2, order=2, grid_shape=(cells, 2), dx=1.0 / cells,
+            shift="frozen",
+        )
+        Q0 = moving_gauge_wave_state(solver, t=0.0, v=v)
+        n_steps = 4 * cells
+        Q = solver.run(Q0, n_steps, dt=t_end / n_steps)
+        exact = moving_gauge_wave_state(solver, t=t_end, v=v)
+        errors.append(_l2_error(solver, Q, exact))
+    rate = np.log2(errors[0] / errors[1])
+    assert rate > 2.5, f"moving gauge-wave rate {rate:.2f}, errors {errors}"
+
+
+def test_gamma_driver_robust_stability():
+    """Flat space + noise with the full Gamma-driver gauge active stays
+    bounded (the driver adds the β/b/B sector to the AwA robust test)."""
+    solver = make_z4_shift_solver(
+        dim=2, order=2, grid_shape=(4, 4), dx=0.25,
+        shift="gamma_driver", kappa1=0.5, eta=2.0,
+    )
+    rng = np.random.default_rng(1)
+    noise = 1e-6 * rng.standard_normal(solver.state_shape)
+    base = jnp.moveaxis(
+        jnp.broadcast_to(
+            jnp.concatenate(
+                [jnp.asarray(flat_state_values()), jnp.zeros(15)]
+            ),
+            solver.state_shape[: solver.var_axis]
+            + solver.state_shape[solver.var_axis + 1 :]
+            + (N_VARS_SHIFT,),
+        ),
+        -1, solver.var_axis,
+    )
+    Q0 = base + jnp.asarray(noise)
+    Q = solver.run(Q0, 40, dt=2e-3)
+    assert float(jnp.abs(Q - base).max()) < 1e-4, "driver run blew up"
+
+
+def test_fused_rhs_hook_matches_per_axis_path():
+    """The rhs_all_fn performance hook (one tensor-algebra evaluation per
+    Picard iteration instead of source + 2·dim NCP evaluations) is the
+    identical algebra by affinity: full steps agree to rounding for both
+    the 38-var and the 53-var (gamma-driver) systems."""
+    solver_f = make_z4_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                              kappa1=0.3, fused_rhs=True)
+    solver_u = make_z4_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                              kappa1=0.3, fused_rhs=False)
+    assert solver_f.rhs_all_fn is not None and solver_u.rhs_all_fn is None
+    Q0 = _noisy_gauge_wave(solver_f)
+    a = np.asarray(solver_f.step(Q0, 1e-3))
+    b = np.asarray(solver_u.step(Q0, 1e-3))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-11)
+
+    sf = make_z4_shift_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                              shift="gamma_driver", fused_rhs=True)
+    su = make_z4_shift_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                              shift="gamma_driver", fused_rhs=False)
+    Qs = moving_gauge_wave_state(sf, v=0.2)
+    a = np.asarray(sf.step(Qs, 1e-3))
+    b = np.asarray(su.step(Qs, 1e-3))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-11)
