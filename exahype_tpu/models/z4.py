@@ -597,6 +597,7 @@ def z4_system(
     m: float = 2.0,
     kappa1: float = 0.0,
     kappa2: float = 0.0,
+    impl: str = "einsum",
 ):
     """(flux_fn, max_eigenvalue_fn, ncp_fn, source_fn) in the solver's
     ``(Q, axis, var_axis)`` contract — a fluxless pure-NCP system, the
@@ -604,6 +605,13 @@ def z4_system(
 
     The characteristic cones are the light cone (speed α√γ^dd along axis
     d) and the gauge cone (α√(g γ^dd)); the Rusanov bound takes the wider.
+
+    ``impl='soa'`` routes ncp/source through the component-unrolled twin
+    :func:`z4_rhs_soa` (identical algebra to rounding — tested; pure
+    elementwise ops, measured **26×** on the chip: the per-axis calls see
+    literal-zero derivative blocks that XLA folds through the unrolled
+    algebra; also Mosaic-compatible for the fused Pallas predictor —
+    ``scripts/z4_probe.py``, docs/PERFORMANCE.md "Dynamic GR").
     """
     kw = dict(slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2)
     g_of, _ = _slicing(slicing, f)
@@ -618,8 +626,10 @@ def z4_system(
         gdd = gi[..., axis, axis]
         return al * jnp.sqrt(jnp.maximum(g_of(al), 1.0) * gdd)
 
+    rhs_impl = z4_rhs_soa if impl == "soa" else z4_rhs
+
     def _rhs(q, dq3):
-        return z4_rhs(q, dq3, **kw)
+        return rhs_impl(q, dq3, **kw)
 
     def source(Q, va):
         q = jnp.moveaxis(Q, va, -1)
@@ -727,26 +737,43 @@ def make_z4_solver(
     m: float = 2.0,
     kappa1: float = 0.0,
     kappa2: float = 0.0,
-    fused_rhs: bool = False,
+    fused_rhs=False,
+    impl: str = "einsum",
     **kwargs,
 ):
     """A fully-configured vacuum Z4 ADER-DG solver (periodic box).
 
-    ``fused_rhs=True`` installs the one-evaluation ``rhs_all_fn`` hook
-    (identical algebra by affinity).  Off by default: measured on the
-    chip, XLA's CSE + zero-block constant folding already dedupe the
-    per-axis affine evaluations (the hook alone is 0.8× — see
-    docs/PERFORMANCE.md); it exists as the integration point for
-    layout-optimized RHS implementations."""
+    Performance knobs (identical algebra to rounding — parity-tested;
+    measured numbers in docs/PERFORMANCE.md "Dynamic GR", 8×4×128 p2
+    3-D f32 on a v5e chip, ``scripts/z4_probe.py``):
+
+    - ``impl``: ``"einsum"`` (default, the validated-oracle layout) or
+      ``"soa"`` — component-unrolled ncp/source callbacks (faces,
+      fallback paths, Pallas kernels).  ``impl="soa"`` alone is the
+      PRODUCTION TPU configuration: **26×** the einsum path (16.4 vs
+      429 ms/step) — the per-axis NCP calls hand the unrolled algebra
+      literal-zero derivative blocks that XLA folds away, and the
+      surviving arithmetic is pure elementwise with the grid on the
+      lanes.
+    - ``fused_rhs``: ``False`` (default) per-axis NCP; ``True`` installs
+      the one-evaluation einsum ``rhs_all_fn`` hook (measured 0.71× —
+      XLA's CSE + zero-block folding already dedupe the per-axis affine
+      evaluations); ``"soa"`` the component-unrolled hook (2.6× — beats
+      einsum but loses 10× to ``impl="soa"``: materializing the full
+      ``[..., 3, 38]`` derivative tensor denies the zero-block
+      folding)."""
     from exahype_tpu.models.aderdg import ADERDGSolver
 
     kw = dict(slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2)
-    flux, eig, ncp, source = z4_system(**kw)
-    rhs_all = (
-        _rhs_all_of(lambda q, dq3: z4_rhs(q, dq3, **kw), N_VARS)
-        if fused_rhs
-        else None
-    )
+    flux, eig, ncp, source = z4_system(impl=impl, **kw)
+    if fused_rhs == "soa":
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_rhs_soa(q, dq3, **kw), N_VARS
+        )
+    elif fused_rhs:
+        rhs_all = _rhs_all_of(lambda q, dq3: z4_rhs(q, dq3, **kw), N_VARS)
+    else:
+        rhs_all = None
     return ADERDGSolver(
         dim=dim,
         order=order,
@@ -832,3 +859,239 @@ def solver_constraints(solver, Q):
         parts.append(d)
     dq3 = jnp.stack(parts, axis=-2)
     return adm_constraints(q, dq3)
+
+
+# ------------------------------------------------- SoA-unrolled evaluation
+#
+# The einsum formulation above puts length-3 tensor indices on the TPU's
+# (8, 128) register tiles — every contraction pays relayouts at ~2 % lane
+# utilization (docs/PERFORMANCE.md, "Dynamic GR").  This twin evaluates
+# the SAME algebra component-unrolled: tensors are numpy OBJECT arrays
+# whose entries are [grid]-shaped jnp arrays, contractions unroll at
+# trace time into pure elementwise arithmetic with the grid axes on the
+# lanes — the structure hand-written first-order-CCZ4 GPU kernels use.
+# Parity with the validated einsum core is tested to rounding.
+
+
+def _oein(spec, *ops):
+    """Tiny trace-time einsum over object ndarrays of jnp grid arrays.
+
+    All indices have extent 3.  Supports an optional '->' (no broadcast
+    '...'; scalars come back as bare entries)."""
+    from itertools import product as _prod
+
+    spec = spec.replace(" ", "")
+    if "->" in spec:
+        lhs, out = spec.split("->")
+    else:
+        lhs = spec
+        counts = {}
+        for ch in lhs.replace(",", ""):
+            counts[ch] = counts.get(ch, 0) + 1
+        out = "".join(sorted(ch for ch, n in counts.items() if n == 1))
+    ins = lhs.split(",")
+    contracted = sorted(
+        {ch for sub in ins for ch in sub if ch not in out}
+    )
+    res = np.empty((3,) * len(out), dtype=object)
+    for oa in _prod(range(3), repeat=len(out)):
+        env = dict(zip(out, oa))
+        acc = None
+        for ca in _prod(range(3), repeat=len(contracted)):
+            env.update(zip(contracted, ca))
+            term = None
+            for op, sub in zip(ops, ins):
+                v = op[tuple(env[c] for c in sub)]
+                term = v if term is None else term * v
+            acc = term if acc is None else acc + term
+        res[oa] = acc
+    return res if out else res[()]
+
+
+def _omap(fn, *Ts):
+    """Elementwise map over object ndarrays (scalar×tensor etc.)."""
+    return np.frompyfunc(fn, len(Ts), 1)(*Ts)
+
+
+def _osym(T):
+    """Symmetrize an object (3, 3) array in its two indices."""
+    return _omap(lambda a, b: 0.5 * (a + b), T, T.T)
+
+
+def _oinv3(G):
+    """Cofactor inverse of an object (3, 3) array: (inverse, det)."""
+    a, b, c = G[0, 0], G[0, 1], G[0, 2]
+    d, e, f = G[1, 0], G[1, 1], G[1, 2]
+    g_, h, i = G[2, 0], G[2, 1], G[2, 2]
+    ca = e * i - f * h
+    cb = f * g_ - d * i
+    cc = d * h - e * g_
+    det = a * ca + b * cb + c * cc
+    inv_det = 1.0 / det
+    rows = [
+        [ca, c * h - b * i, b * f - c * e],
+        [cb, a * i - c * g_, c * d - a * f],
+        [cc, b * g_ - a * h, a * e - b * d],
+    ]
+    out = np.empty((3, 3), dtype=object)
+    for ii in range(3):
+        for jj in range(3):
+            out[ii, jj] = rows[ii][jj] * inv_det
+    return out, det
+
+
+def _sym_obj(q, sl):
+    """Pack a [..., 6] slice of q into a symmetric object (3, 3) array."""
+    out = np.empty((3, 3), dtype=object)
+    base = sl.start
+    for slot, (i, j) in enumerate(SYM6):
+        out[i, j] = q[..., base + slot]
+        out[j, i] = q[..., base + slot]
+    return out
+
+
+def _vec_obj(q, sl):
+    out = np.empty((3,), dtype=object)
+    for i in range(3):
+        out[i] = q[..., sl.start + i]
+    return out
+
+
+def z4_rhs_soa(
+    q,
+    dq3,
+    *,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+):
+    """Component-unrolled twin of :func:`z4_rhs` (identical algebra,
+    TPU-friendly layout: every operation is elementwise over the grid).
+
+    Same contract: ``q`` var-last [..., 38], ``dq3`` [..., 3, 38]."""
+    E = _oein
+    al = q[..., _AL]
+    g = _sym_obj(q, _G)
+    K = _sym_obj(q, _K)
+    th = q[..., _TH]
+    Z = _vec_obj(q, _Z)
+    A = _vec_obj(q, _A)
+    D = np.empty((3, 3, 3), dtype=object)
+    dK = np.empty((3, 3, 3), dtype=object)
+    dth = np.empty((3,), dtype=object)
+    dZ = np.empty((3, 3), dtype=object)
+    dA = np.empty((3, 3), dtype=object)
+    dD = np.empty((3, 3, 3, 3), dtype=object)
+    for k in range(3):
+        for slot, (i, j) in enumerate(SYM6):
+            D[k, i, j] = D[k, j, i] = q[..., _D.start + 6 * k + slot]
+            dK[k, i, j] = dK[k, j, i] = dq3[..., k, _K.start + slot]
+        dth[k] = dq3[..., k, _TH]
+        for i in range(3):
+            dZ[k, i] = dq3[..., k, _Z.start + i]
+            dA[k, i] = dq3[..., k, _A.start + i]
+        for l in range(3):
+            for slot, (i, j) in enumerate(SYM6):
+                dD[k, l, i, j] = dD[k, l, j, i] = dq3[
+                    ..., k, _D.start + 6 * l + slot
+                ]
+
+    gi, _ = _oinv3(g)
+    dgi = _omap(lambda x: -2.0 * x, E("la,mb,kab->klm", gi, gi, D))
+    Glow = (
+        np.transpose(D, (2, 0, 1)) + np.transpose(D, (2, 1, 0)) - D
+    )
+    Gam = E("kl,lij->kij", gi, Glow)
+    Gtr = E("kl,jkl->j", gi, D)
+    dGlow = (
+        np.transpose(dD, (0, 3, 1, 2))
+        + np.transpose(dD, (0, 3, 2, 1))
+        - dD
+    )
+    ric = (
+        E("kkl,lij->ij", dgi, Glow)
+        + E("kl,klij->ij", gi, dGlow)
+        - E("ikl,jkl->ij", dgi, D)
+        - E("kl,ijkl->ij", gi, dD)
+        + E("l,lij->ij", Gtr, Gam)
+        - E("kli,lkj->ij", Gam, Gam)
+    )
+    ric = _osym(ric)
+
+    hess = (
+        _osym(dA) + E("i,j->ij", A, A) - E("kij,k->ij", Gam, A)
+    )
+    covZ = dZ - E("kij,k->ij", Gam, Z)
+    trK = E("ij,ij->", gi, K)
+    Kup = E("ia,jb,ab->ij", gi, gi, K)
+    K2 = E("ij,ij->", K, Kup)
+    KK = E("il,lm,mj->ij", K, gi, K)
+    Kmix = E("jl,il->ij", gi, K)
+    divKi = (
+        E("jl,jil->i", gi, dK)
+        - E("jl,mji,ml->i", gi, Gam, K)
+        - E("jl,mjl,im->i", gi, Gam, K)
+    )
+    dtrK = E("ikl,kl->i", dgi, K) + E("kl,ikl->i", gi, dK)
+    Rs = E("ij,ij->", gi, ric)
+    divZ = E("ij,ij->", gi, covZ)
+    Zup = E("ij,j->i", gi, Z)
+
+    g_of, dag_of = _slicing(slicing, f)
+    gal = g_of(al)
+    ag = al * gal
+    dag = dag_of(al)
+    Kmth = trK - m * th
+
+    r_al = -ag * al * Kmth
+    r_g = _omap(lambda x: -2.0 * al * x, K)
+    r_K = _omap(
+        lambda h, r, cz, czt, kk, kq, gq: (
+            -al * h
+            + al * (r + cz + czt - 2.0 * kk + (trK - 2.0 * th) * kq)
+            - kappa1 * (1.0 + kappa2) * al * th * gq
+        ),
+        hess, ric, covZ, covZ.T, KK, K, g,
+    )
+    r_th = (
+        0.5 * al * (Rs + 2.0 * divZ + (trK - 2.0 * th) * trK - K2)
+        - al * E("i,i->", Zup, A)
+        - kappa1 * (2.0 + kappa2) * al * th
+    )
+    KmixZ = E("ij,j->i", Kmix, Z)
+    r_Z = _omap(
+        lambda dk, dt, dthi, kz, av, zv: (
+            al * (dk - dt + dthi - 2.0 * kz) - al * th * av
+            - kappa1 * al * zv
+        ),
+        divKi, dtrK, dth, KmixZ, A, Z,
+    )
+    r_A = _omap(
+        lambda av, dt, dthk: -dag * al * av * Kmth - ag * (dt - m * dthk),
+        A, dtrK, dth,
+    )
+    r_D = _omap(
+        lambda ak, kij, dkv: -al * ak * kij - al * dkv,
+        np.broadcast_to(A[:, None, None], (3, 3, 3)),
+        np.broadcast_to(K[None, :, :], (3, 3, 3)),
+        dK,
+    )
+
+    # Pack (symmetrize the i, j pairs).
+    parts = [r_al]
+    r_g = _osym(r_g)
+    r_K = _osym(r_K)
+    for (i, j) in SYM6:
+        parts.append(r_g[i, j])
+    for (i, j) in SYM6:
+        parts.append(r_K[i, j])
+    parts.append(r_th)
+    parts.extend(r_Z[i] for i in range(3))
+    parts.extend(r_A[i] for i in range(3))
+    for k in range(3):
+        rDs = _osym(r_D[k])
+        for (i, j) in SYM6:
+            parts.append(rDs[i, j])
+    return jnp.stack(parts, axis=-1)

@@ -1,0 +1,98 @@
+"""Z4 RHS-layout probe: einsum vs component-unrolled (SoA) on the chip.
+
+docs/PERFORMANCE.md "Dynamic GR" finding 2 says the Z4 cost is layout,
+not redundancy: the `[..., 3, 3]` einsum operands put length-3 tensor
+indices on the TPU's (8, 128) register tiles.  `models/z4.py` now
+carries a component-unrolled twin (`z4_rhs_soa`) that keeps the grid
+axis on the lanes.  This probe times the full p2 3-D ADER-DG step on
+the same 8x4x128 grid used for the round-3 table, for:
+
+- the default per-axis einsum NCP path,
+- the fused einsum ``rhs_all_fn`` hook (the measured 0.80x non-win),
+- the fused SoA hook (``fused_rhs="soa"``),
+- SoA routed through the per-axis ncp/source callbacks (``impl="soa"``).
+
+Honest timing: chained steps + final host fetch (the axon tunnel's
+``block_until_ready`` does not sync; identical repeated dispatches are
+served from a cache — docs/PERFORMANCE.md round-2 calibration caveat).
+
+Usage: python scripts/z4_probe.py  (one JSON line per config)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from exahype_tpu.models.z4 import make_z4_solver, gauge_wave_state
+
+
+GRID = (8, 4, 128)
+DX = 1.0 / 128
+ORDER = 2
+DT = 1e-4
+N_STEPS = 20
+
+
+def chained_time(step, Q, dt, n_steps=N_STEPS):
+    run = jax.jit(
+        lambda q: jax.lax.scan(
+            lambda c, _: (step(c, dt), None), q, None, length=5
+        )[0]
+    )
+    q = run(Q)
+    _ = np.asarray(q[(0,) * (q.ndim - 1)])  # hard sync
+    t0 = time.perf_counter()
+    for _ in range(n_steps // 5):
+        q = run(q)
+    _ = np.asarray(q[(0,) * (q.ndim - 1)])
+    return (time.perf_counter() - t0) / n_steps
+
+
+def main():
+    configs = {
+        "einsum_per_axis": dict(),
+        "einsum_fused_hook": dict(fused_rhs=True),
+        "soa_fused_hook": dict(fused_rhs="soa"),
+        "soa_per_axis": dict(impl="soa"),
+    }
+    ref = None
+    for name, kw in configs.items():
+        solver = make_z4_solver(
+            dim=3, order=ORDER, grid_shape=GRID, dx=DX, **kw
+        )
+        Q = gauge_wave_state(solver, amplitude=0.1).astype(jnp.float32)
+        # parity first (vs the default path's one-step result)
+        out = np.asarray(solver.step(Q, DT), dtype=np.float64)
+        if ref is None:
+            ref = out
+        else:
+            # f32 on chip; the unrolled evaluation associates the ~30
+            # contractions differently, so agreement is f32-rounding
+            # level, not exact (the f64 CPU parity test is 1e-13).
+            err = float(np.max(np.abs(out - ref)))
+            assert err < 1e-4, (name, err)
+        ms = chained_time(solver.step, Q, DT) * 1e3
+        n_dof = int(np.prod(GRID)) * (ORDER + 1) ** 3 * 38
+        print(
+            json.dumps(
+                {
+                    "config": name,
+                    "ms_per_step": round(ms, 1),
+                    "gdof_per_s": round(n_dof / ms / 1e6, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -510,6 +510,25 @@ def test_z4_fused_pallas_parity():
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
 
 
+def test_z4_soa_fused_pallas_parity():
+    """The component-unrolled (SoA) callbacks run through the fused
+    predictor: ``impl='soa'`` routes ncp/source inside the kernel through
+    pure elementwise arithmetic (no einsum relayouts) and still matches
+    the einsum base solver to rounding."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = make_z4_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                            kappa1=0.5, kappa2=0.1)
+    soa = make_z4_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                         kappa1=0.5, kappa2=0.1, impl="soa")
+    fused = PallasADERDG(soa, interpret=True)
+    Q0 = _noisy_gauge_wave(solver)
+    dt = 1e-3
+    ref = np.asarray(solver.step(Q0, dt))
+    got = np.asarray(fused.step(Q0, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
 def test_z4_sharded_matches_single_device():
     """GSPMD-sharded Z4 step (grid axis 0 over the 8-device mesh) matches
     the single-device step to 1e-12 — the Einstein equations partition
@@ -874,4 +893,37 @@ def test_fused_rhs_hook_matches_per_axis_path():
     Qs = moving_gauge_wave_state(sf, v=0.2)
     a = np.asarray(sf.step(Qs, 1e-3))
     b = np.asarray(su.step(Qs, 1e-3))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-11)
+
+
+def test_soa_rhs_matches_einsum_rhs():
+    """The component-unrolled (SoA, TPU-layout) twin reproduces the
+    validated einsum RHS to rounding for every parameter family."""
+    from exahype_tpu.models.z4 import z4_rhs_soa
+
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal((4, 5, N_VARS)) * 0.1
+    q[..., 0] += 1.0
+    q[..., 1] += 1.0
+    q[..., 4] += 1.0
+    q[..., 6] += 1.0
+    dq3 = jnp.asarray(rng.standard_normal((4, 5, 3, N_VARS)) * 0.1)
+    q = jnp.asarray(q)
+    for kw in (dict(), dict(slicing="1+log", kappa1=0.3, kappa2=0.2),
+               dict(f=0.7, m=1.5, kappa1=0.1)):
+        a = np.asarray(z4_rhs(q, dq3, **kw))
+        b = np.asarray(z4_rhs_soa(q, dq3, **kw))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-13)
+
+
+def test_soa_solver_step_matches_default():
+    """A full ADER-DG step with the SoA fused hook matches the default
+    per-axis einsum path to rounding."""
+    s_soa = make_z4_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                           kappa1=0.2, fused_rhs="soa")
+    s_def = make_z4_solver(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+                           kappa1=0.2)
+    Q0 = _noisy_gauge_wave(s_def, seed=9)
+    a = np.asarray(s_soa.step(Q0, 1e-3))
+    b = np.asarray(s_def.step(Q0, 1e-3))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-11)
