@@ -459,15 +459,20 @@ def z4_shift_system(
     shift: str = "frozen",
     f_b: float = 0.75,
     eta: float = 1.0,
+    impl: str = "einsum",
 ):
     """(flux_fn, max_eigenvalue_fn, ncp_fn, source_fn) for the 53-variable
     shifted Z4 system.  The Rusanov bound adds the coordinate advection
-    speed |β^d| to the wider of the light/gauge cones."""
+    speed |β^d| to the wider of the light/gauge cones.
+
+    ``impl='soa'`` routes ncp/source through :func:`z4_shift_rhs_soa`
+    (see :func:`z4_system` — the same measured 26× TPU win applies)."""
     kw = dict(
         slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
         shift=shift, f_b=f_b, eta=eta,
     )
     g_of, _ = _slicing(slicing, f)
+    shift_rhs_impl = z4_shift_rhs_soa if impl == "soa" else z4_shift_rhs
 
     def flux(Q, axis, va):
         return jnp.zeros_like(Q)
@@ -481,7 +486,7 @@ def z4_shift_system(
         return bd + al * jnp.sqrt(jnp.maximum(g_of(al), 1.0) * gdd)
 
     def _rhs(q, dq3):
-        return z4_shift_rhs(q, dq3, **kw)
+        return shift_rhs_impl(q, dq3, **kw)
 
     def source(Q, va):
         q = jnp.moveaxis(Q, va, -1)
@@ -512,23 +517,31 @@ def make_z4_shift_solver(
     shift: str = "frozen",
     f_b: float = 0.75,
     eta: float = 1.0,
-    fused_rhs: bool = False,
+    fused_rhs=False,
+    impl: str = "einsum",
     **kwargs,
 ):
     """A fully-configured SHIFTED vacuum Z4 ADER-DG solver (periodic).
-    ``fused_rhs``: see :func:`make_z4_solver`."""
+    ``fused_rhs`` / ``impl``: see :func:`make_z4_solver` — ``impl="soa"``
+    is the production TPU configuration here too (measured numbers in
+    docs/PERFORMANCE.md "Dynamic GR")."""
     from exahype_tpu.models.aderdg import ADERDGSolver
 
     kw = dict(
         slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
         shift=shift, f_b=f_b, eta=eta,
     )
-    flux, eig, ncp, source = z4_shift_system(**kw)
-    rhs_all = (
-        _rhs_all_of(lambda q, dq3: z4_shift_rhs(q, dq3, **kw), N_VARS_SHIFT)
-        if fused_rhs
-        else None
-    )
+    flux, eig, ncp, source = z4_shift_system(impl=impl, **kw)
+    if fused_rhs == "soa":
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_shift_rhs_soa(q, dq3, **kw), N_VARS_SHIFT
+        )
+    elif fused_rhs:
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_shift_rhs(q, dq3, **kw), N_VARS_SHIFT
+        )
+    else:
+        rhs_all = None
     return ADERDGSolver(
         dim=dim,
         order=order,
@@ -957,21 +970,9 @@ def _vec_obj(q, sl):
     return out
 
 
-def z4_rhs_soa(
-    q,
-    dq3,
-    *,
-    slicing: str = "harmonic",
-    f: float = 1.0,
-    m: float = 2.0,
-    kappa1: float = 0.0,
-    kappa2: float = 0.0,
-):
-    """Component-unrolled twin of :func:`z4_rhs` (identical algebra,
-    TPU-friendly layout: every operation is elementwise over the grid).
-
-    Same contract: ``q`` var-last [..., 38], ``dq3`` [..., 3, 38]."""
-    E = _oein
+def _z4_unpack_soa(q, dq3):
+    """Slice a var-last [..., 38+] state + [..., 3, 38+] derivative stack
+    into object-array tensors (entries are grid-shaped jnp arrays)."""
     al = q[..., _AL]
     g = _sym_obj(q, _G)
     K = _sym_obj(q, _K)
@@ -997,7 +998,56 @@ def z4_rhs_soa(
                 dD[k, l, i, j] = dD[k, l, j, i] = dq3[
                     ..., k, _D.start + 6 * l + slot
                 ]
+    return al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD
 
+
+def _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra=()):
+    """Symmetrize the (i, j) pairs and stack into the packed var axis."""
+    parts = [r_al]
+    r_g = _osym(r_g)
+    r_K = _osym(r_K)
+    for (i, j) in SYM6:
+        parts.append(r_g[i, j])
+    for (i, j) in SYM6:
+        parts.append(r_K[i, j])
+    parts.append(r_th)
+    parts.extend(r_Z[i] for i in range(3))
+    parts.extend(r_A[i] for i in range(3))
+    for k in range(3):
+        rDs = _osym(r_D[k])
+        for (i, j) in SYM6:
+            parts.append(rDs[i, j])
+    parts.extend(extra)
+    return jnp.stack(parts, axis=-1)
+
+
+def z4_rhs_soa(
+    q,
+    dq3,
+    *,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+):
+    """Component-unrolled twin of :func:`z4_rhs` (identical algebra,
+    TPU-friendly layout: every operation is elementwise over the grid).
+
+    Same contract: ``q`` var-last [..., 38], ``dq3`` [..., 3, 38]."""
+    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(q, dq3)
+    parts = _z4_core_soa(
+        al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+    )
+    return _z4_pack_soa(*parts)
+
+
+def _z4_core_soa(al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD, *,
+                 slicing, f, m, kappa1, kappa2):
+    """Zero-shift Z4 RHS parts on object-array tensors — the SoA twin of
+    :func:`_z4_core`.  Returns raw (unsymmetrized) parts."""
+    E = _oein
     gi, _ = _oinv3(g)
     dgi = _omap(lambda x: -2.0 * x, E("la,mb,kab->klm", gi, gi, D))
     Glow = (
@@ -1078,20 +1128,102 @@ def z4_rhs_soa(
         np.broadcast_to(K[None, :, :], (3, 3, 3)),
         dK,
     )
+    return r_al, r_g, r_K, r_th, r_Z, r_A, r_D
 
-    # Pack (symmetrize the i, j pairs).
-    parts = [r_al]
-    r_g = _osym(r_g)
-    r_K = _osym(r_K)
-    for (i, j) in SYM6:
-        parts.append(r_g[i, j])
-    for (i, j) in SYM6:
-        parts.append(r_K[i, j])
-    parts.append(r_th)
-    parts.extend(r_Z[i] for i in range(3))
-    parts.extend(r_A[i] for i in range(3))
+
+def z4_shift_rhs_soa(
+    q,
+    dq3,
+    *,
+    slicing: str = "harmonic",
+    f: float = 1.0,
+    m: float = 2.0,
+    kappa1: float = 0.0,
+    kappa2: float = 0.0,
+    shift: str = "frozen",
+    f_b: float = 0.75,
+    eta: float = 1.0,
+):
+    """Component-unrolled twin of :func:`z4_shift_rhs` (53 variables).
+
+    Identical algebra to rounding (tested); the Gamma-driver's exact
+    chain-rule ∂_t Γ^i is written out explicitly instead of ``jax.jvp``
+    (∂_t γ^ab = −γ^am γ^bn ∂_t γ_mn, ∂_t Γlow by the same permutation
+    as Γlow itself — both linear, so the result is the same jvp)."""
+    E = _oein
+    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(q, dq3)
+    beta = _vec_obj(q, _BETA)
+    b = _vec_obj(q, _BSM)
+    B = np.empty((3, 3), dtype=object)
+    db = np.empty((3, 3), dtype=object)
+    dB = np.empty((3, 3, 3), dtype=object)
     for k in range(3):
-        rDs = _osym(r_D[k])
-        for (i, j) in SYM6:
-            parts.append(rDs[i, j])
-    return jnp.stack(parts, axis=-1)
+        for i in range(3):
+            B[k, i] = q[..., _BB.start + 3 * k + i]
+            db[k, i] = dq3[..., k, _BSM.start + i]
+            for l in range(3):
+                dB[k, l, i] = dq3[..., k, _BB.start + 3 * l + i]
+
+    r_al, r_g, r_K, r_th, r_Z, r_A, r_D = _z4_core_soa(
+        al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+    )
+
+    # Primary Lie-derivative terms (same index conventions as the
+    # einsum path, models/z4.py::z4_shift_rhs).
+    r_al = r_al + al * E("k,k->", beta, A)
+    r_g = (
+        r_g
+        + _omap(lambda x: 2.0 * x, E("k,kij->ij", beta, D))
+        + E("ik,kj->ij", B, g)
+        + E("jk,ki->ij", B, g)
+    )
+    r_K = (
+        r_K
+        + E("k,kij->ij", beta, dK)
+        + E("ik,kj->ij", B, K)
+        + E("jk,ki->ij", B, K)
+    )
+    r_th = r_th + E("k,k->", beta, dth)
+    r_Z = r_Z + E("k,ki->i", beta, dZ) + E("ik,k->i", B, Z)
+    r_A = r_A + E("km,m->k", B, A) + E("m,km->k", beta, dA)
+    r_D = (
+        r_D
+        + E("km,mij->kij", B, D)
+        + E("m,kmij->kij", beta, dD)
+        + E("im,kmj->kij", B, D)
+        + E("jm,kmi->kij", B, D)
+        + _omap(lambda x: 0.5 * x, E("kim,mj->kij", dB, g))
+        + _omap(lambda x: 0.5 * x, E("kjm,mi->kij", dB, g))
+    )
+
+    zero = jnp.zeros_like(al)
+    if shift == "frozen":
+        extra = [zero] * 15
+    elif shift == "gamma_driver":
+        # ∂_t Γ^i by the explicit chain rule along the full (post-Lie)
+        # (∂_t γ, ∂_t D) — matching the einsum path's jvp exactly.
+        gi, _ = _oinv3(g)
+        Glow = (
+            np.transpose(D, (2, 0, 1)) + np.transpose(D, (2, 1, 0)) - D
+        )
+        dgi_t = _omap(
+            lambda x: -x, E("am,bn,mn->ab", gi, gi, _osym(r_g))
+        )
+        dGlow_t = (
+            np.transpose(r_D, (2, 0, 1))
+            + np.transpose(r_D, (2, 1, 0))
+            - r_D
+        )
+        dt_gamma = (
+            E("il,jk,ljk->i", dgi_t, gi, Glow)
+            + E("il,jk,ljk->i", gi, dgi_t, Glow)
+            + E("il,jk,ljk->i", gi, gi, dGlow_t)
+        )
+        extra = [f_b * b[i] for i in range(3)]
+        extra += [dt_gamma[i] - eta * b[i] for i in range(3)]
+        for k in range(3):
+            extra += [f_b * db[k, i] for i in range(3)]
+    else:
+        raise ValueError(f"unknown shift mode {shift!r}")
+    return _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra)

@@ -32,7 +32,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from exahype_tpu.models.z4 import make_z4_solver, gauge_wave_state
+import sys
+
+from exahype_tpu.models.z4 import (
+    make_z4_solver,
+    make_z4_shift_solver,
+    gauge_wave_state,
+    moving_gauge_wave_state,
+)
 
 
 GRID = (8, 4, 128)
@@ -58,18 +65,39 @@ def chained_time(step, Q, dt, n_steps=N_STEPS):
 
 
 def main():
-    configs = {
-        "einsum_per_axis": dict(),
-        "einsum_fused_hook": dict(fused_rhs=True),
-        "soa_fused_hook": dict(fused_rhs="soa"),
-        "soa_per_axis": dict(impl="soa"),
-    }
+    shifted = "--shift" in sys.argv
+    if shifted:
+        # 53-var Gamma-driver gauge (the full-gauge-freedom config).
+        configs = {
+            "shift_einsum_per_axis": dict(),
+            "shift_soa_per_axis": dict(impl="soa"),
+        }
+        n_vars = 53
+    else:
+        configs = {
+            "einsum_per_axis": dict(),
+            "einsum_fused_hook": dict(fused_rhs=True),
+            "soa_fused_hook": dict(fused_rhs="soa"),
+            "soa_per_axis": dict(impl="soa"),
+        }
+        n_vars = 38
     ref = None
     for name, kw in configs.items():
-        solver = make_z4_solver(
-            dim=3, order=ORDER, grid_shape=GRID, dx=DX, **kw
-        )
-        Q = gauge_wave_state(solver, amplitude=0.1).astype(jnp.float32)
+        if shifted:
+            solver = make_z4_shift_solver(
+                dim=3, order=ORDER, grid_shape=GRID, dx=DX,
+                shift="gamma_driver", **kw
+            )
+            Q = moving_gauge_wave_state(
+                solver, v=0.2, amplitude=0.1
+            ).astype(jnp.float32)
+        else:
+            solver = make_z4_solver(
+                dim=3, order=ORDER, grid_shape=GRID, dx=DX, **kw
+            )
+            Q = gauge_wave_state(solver, amplitude=0.1).astype(
+                jnp.float32
+            )
         # parity first (vs the default path's one-step result)
         out = np.asarray(solver.step(Q, DT), dtype=np.float64)
         if ref is None:
@@ -81,7 +109,7 @@ def main():
             err = float(np.max(np.abs(out - ref)))
             assert err < 1e-4, (name, err)
         ms = chained_time(solver.step, Q, DT) * 1e3
-        n_dof = int(np.prod(GRID)) * (ORDER + 1) ** 3 * 38
+        n_dof = int(np.prod(GRID)) * (ORDER + 1) ** 3 * n_vars
         print(
             json.dumps(
                 {

@@ -916,6 +916,50 @@ def test_soa_rhs_matches_einsum_rhs():
         np.testing.assert_allclose(b, a, rtol=0, atol=1e-13)
 
 
+def test_shift_soa_rhs_matches_einsum_rhs():
+    """The 53-variable SoA twin reproduces the einsum shift RHS to
+    rounding — frozen and Gamma-driver modes (the driver's ∂_t Γ is an
+    explicit chain rule vs the einsum path's jvp: same linear map, so
+    agreement is rounding-level, not bitwise)."""
+    from exahype_tpu.models.z4 import z4_shift_rhs_soa
+
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((3, 4, N_VARS_SHIFT)) * 0.1
+    q[..., 0] += 1.0
+    q[..., 1] += 1.0
+    q[..., 4] += 1.0
+    q[..., 6] += 1.0
+    dq3 = jnp.asarray(
+        rng.standard_normal((3, 4, 3, N_VARS_SHIFT)) * 0.1
+    )
+    q = jnp.asarray(q)
+    for kw in (
+        dict(shift="frozen"),
+        dict(shift="gamma_driver", kappa1=0.2, eta=0.7),
+        dict(shift="gamma_driver", slicing="1+log", f_b=0.5, m=1.5),
+    ):
+        a = np.asarray(z4_shift_rhs(q, dq3, **kw))
+        b = np.asarray(z4_shift_rhs_soa(q, dq3, **kw))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12)
+
+
+def test_shift_soa_solver_step_matches_default():
+    """A full shifted-Z4 ADER-DG step (Gamma-driver gauge) with
+    ``impl='soa'`` matches the einsum default to rounding."""
+    kw = dict(dim=2, order=2, grid_shape=(4, 2), dx=0.25,
+              shift="gamma_driver", kappa1=0.2, eta=0.5)
+    s_soa = make_z4_shift_solver(impl="soa", **kw)
+    s_def = make_z4_shift_solver(**kw)
+    Q0 = moving_gauge_wave_state(s_def, v=0.2)
+    rngn = np.random.default_rng(17)
+    Q0 = Q0 + 1e-4 * jnp.asarray(
+        rngn.standard_normal(s_def.state_shape)
+    )
+    a = np.asarray(s_soa.step(Q0, 1e-3))
+    b = np.asarray(s_def.step(Q0, 1e-3))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
+
+
 def test_soa_solver_step_matches_default():
     """A full ADER-DG step with the SoA fused hook matches the default
     per-axis einsum path to rounding."""
