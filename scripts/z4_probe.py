@@ -66,6 +66,11 @@ def chained_time(step, Q, dt, n_steps=N_STEPS):
 
 def main():
     shifted = "--shift" in sys.argv
+    grid = GRID
+    large = "--large" in sys.argv
+    if large:
+        # Production-scale grid for the headline number.
+        grid = (16, 16, 128)
     if shifted:
         # 53-var Gamma-driver gauge (the full-gauge-freedom config).
         configs = {
@@ -81,11 +86,17 @@ def main():
             "soa_per_axis": dict(impl="soa"),
         }
         n_vars = 38
+    if large:
+        # SoA production configs only (einsum at 32k cells is ~3.4 s/step
+        # and its 8x-grid number extrapolates linearly from the base run).
+        configs = {
+            k: v for k, v in configs.items() if "soa_per_axis" in k
+        }
     ref = None
     for name, kw in configs.items():
         if shifted:
             solver = make_z4_shift_solver(
-                dim=3, order=ORDER, grid_shape=GRID, dx=DX,
+                dim=3, order=ORDER, grid_shape=grid, dx=DX,
                 shift="gamma_driver", **kw
             )
             Q = moving_gauge_wave_state(
@@ -93,7 +104,7 @@ def main():
             ).astype(jnp.float32)
         else:
             solver = make_z4_solver(
-                dim=3, order=ORDER, grid_shape=GRID, dx=DX, **kw
+                dim=3, order=ORDER, grid_shape=grid, dx=DX, **kw
             )
             Q = gauge_wave_state(solver, amplitude=0.1).astype(
                 jnp.float32
@@ -109,7 +120,7 @@ def main():
             err = float(np.max(np.abs(out - ref)))
             assert err < 1e-4, (name, err)
         ms = chained_time(solver.step, Q, DT) * 1e3
-        n_dof = int(np.prod(GRID)) * (ORDER + 1) ** 3 * n_vars
+        n_dof = int(np.prod(grid)) * (ORDER + 1) ** 3 * n_vars
         print(
             json.dumps(
                 {
