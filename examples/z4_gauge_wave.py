@@ -43,9 +43,13 @@ cells = 8 if on_cpu else 64
 order = 3
 t_end = 0.1
 
+# impl="soa" is the production TPU configuration (component-unrolled
+# RHS, measured 26x the einsum layout on chip — docs/PERFORMANCE.md
+# "Dynamic GR"); identical algebra to rounding, so the CPU accuracy
+# assertions below hold for either.
 solver = make_z4_solver(
     dim=2, order=order, grid_shape=(cells, 2), dx=1.0 / cells,
-    slicing="harmonic", f=1.0,
+    slicing="harmonic", f=1.0, impl="einsum" if on_cpu else "soa",
 )
 Q0 = gauge_wave_state(solver, t=0.0, amplitude=0.01)
 n_steps = 4 * cells
