@@ -497,7 +497,11 @@ def z4_shift_system(
         q = jnp.moveaxis(Q, va, -1)
         dq = jnp.moveaxis(dQ, va, -1)
         zeros = jnp.zeros(q.shape[:-1] + (3, N_VARS_SHIFT), q.dtype)
-        dq3 = zeros.at[..., axis, :].set(dq)
+        # stack, not .at[].set — see z4_system.ncp (Mosaic has no scatter)
+        zrow = jnp.zeros_like(dq)
+        dq3 = jnp.stack(
+            [dq if d == axis else zrow for d in range(3)], axis=-2
+        )
         out = _rhs(q, zeros) - _rhs(q, dq3)
         return jnp.moveaxis(out, -1, va)
 
@@ -654,7 +658,12 @@ def z4_system(
         q = jnp.moveaxis(Q, va, -1)
         dq = jnp.moveaxis(dQ, va, -1)
         zeros = jnp.zeros(q.shape[:-1] + (3, N_VARS), q.dtype)
-        dq3 = zeros.at[..., axis, :].set(dq)
+        # stack (not .at[].set, which lowers to scatter — unsupported by
+        # the Mosaic TPU kernel compiler inside the fused predictor)
+        zrow = jnp.zeros_like(dq)
+        dq3 = jnp.stack(
+            [dq if d == axis else zrow for d in range(3)], axis=-2
+        )
         out = _rhs(q, zeros) - _rhs(q, dq3)
         return jnp.moveaxis(out, -1, va)
 
@@ -669,9 +678,9 @@ def _rhs_all_of(rhs_fn, n_vars):
 
     def rhs_all(Q, grads, va):
         q = jnp.moveaxis(Q, va, -1)
-        dq3 = jnp.zeros(q.shape[:-1] + (3, n_vars), q.dtype)
-        for e, gq in enumerate(grads):
-            dq3 = dq3.at[..., e, :].set(jnp.moveaxis(gq, va, -1))
+        rows = [jnp.moveaxis(gq, va, -1) for gq in grads]
+        rows += [jnp.zeros_like(rows[0])] * (3 - len(rows))
+        dq3 = jnp.stack(rows, axis=-2)  # stack, not scatter (Mosaic)
         return jnp.moveaxis(rhs_fn(q, dq3), -1, va)
 
     return rhs_all

@@ -86,7 +86,7 @@ def main():
             "soa_per_axis": dict(impl="soa"),
         }
         n_vars = 38
-    if large:
+    if large or "--pallas" in sys.argv:
         # SoA production configs only (einsum at 32k cells is ~3.4 s/step
         # and its 8x-grid number extrapolates linearly from the base run).
         configs = {
@@ -119,6 +119,25 @@ def main():
             # level, not exact (the f64 CPU parity test is 1e-13).
             err = float(np.max(np.abs(out - ref)))
             assert err < 1e-4, (name, err)
+        if "--pallas" in sys.argv:
+            from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+            fused = PallasADERDG(solver)
+            pout = np.asarray(fused.step(Q, DT), dtype=np.float64)
+            perr = float(np.max(np.abs(pout - out)))
+            assert perr < 1e-4, (name, "pallas", perr)
+            pms = chained_time(fused.step, Q, DT) * 1e3
+            pdof = int(np.prod(grid)) * (ORDER + 1) ** 3 * n_vars
+            print(
+                json.dumps(
+                    {
+                        "config": name + "+fused_pallas",
+                        "ms_per_step": round(pms, 1),
+                        "gdof_per_s": round(pdof / pms / 1e6, 4),
+                    }
+                ),
+                flush=True,
+            )
         ms = chained_time(solver.step, Q, DT) * 1e3
         n_dof = int(np.prod(grid)) * (ORDER + 1) ** 3 * n_vars
         print(
