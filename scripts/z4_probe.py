@@ -16,7 +16,13 @@ Honest timing: chained steps + final host fetch (the axon tunnel's
 ``block_until_ready`` does not sync; identical repeated dispatches are
 served from a cache — docs/PERFORMANCE.md round-2 calibration caveat).
 
-Usage: python scripts/z4_probe.py  (one JSON line per config)
+Usage: python scripts/z4_probe.py [--shift] [--large] [--pallas]
+  (one JSON line per config)
+
+--shift   53-var Gamma-driver system (einsum vs SoA)
+--large   16x16x128 grid, SoA configs only (the HBM-bound regime)
+--pallas  additionally time PallasADERDG on the SoA solver — documents
+          the compile-size limit (docs/PERFORMANCE.md "Dynamic GR")
 """
 
 from __future__ import annotations
