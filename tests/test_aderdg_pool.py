@@ -187,13 +187,21 @@ def test_one_executable_serves_all_patterns():
     mask_b[4, 4] = mask_b[4, 5] = mask_b[0, 3] = True
 
     uc = gaussian_state(solver)
-    step = jax.jit(pool.step)
+    # Count actual traces, not jit _cache_size() — the cache proxy is
+    # eviction-sensitive in long suites (see tests/test_pool.py).
+    n_traces = [0]
+
+    def counted_step(cq, fq, tables, dt):
+        n_traces[0] += 1
+        return pool.step(cq, fq, tables, dt)
+
+    step = jax.jit(counted_step)
     for mask in (mask_a, mask_b):
         tables = pool.build_tables(mask)
         fs = pool.init_pool(uc, tables)
         c, f = step(uc, fs, tables, 1e-3)
         assert np.isfinite(np.asarray(c)).all()
-    assert step._cache_size() == 1, "re-gridding must not retrace"
+    assert n_traces[0] == 1, "re-gridding must not retrace"
 
 
 def test_regrid_carries_and_conserves():
@@ -232,13 +240,19 @@ def test_dynamic_pool_tracks_and_conserves():
     dyn = DynamicADERDGPool(
         solver, capacity=6, factor=3, rel_threshold=0.7
     )
+    n_traces = [0]
+
+    def counted_chunk(cq, fq, tables, dt):
+        n_traces[0] += 1
+        return dyn.pool.run(cq, fq, tables, 5, dt)
+
+    dyn._chunk[5] = jax.jit(counted_chunk)
     c, f, info = dyn.run(uc, n_chunks=6, chunk_steps=5, dt=2e-3)
     masks = [tuple(map(tuple, m)) for m in info["masks"]]
     assert len(set(masks)) > 1, "refinement set never moved"
     np.testing.assert_allclose(mass(solver, c), m0, atol=1e-11)
     assert len(dyn._chunk) == 1
-    (fn,) = dyn._chunk.values()
-    assert fn._cache_size() == 1
+    assert n_traces[0] == 1, "re-gridding retraced the chunk"
 
 
 def test_3d_smoke():

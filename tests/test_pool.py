@@ -164,13 +164,23 @@ def test_one_executable_serves_all_patterns():
     mask_b[0, 3] = mask_b[3, 0] = mask_b[1, 2] = True
 
     coarse_Q = gaussian_state(solver)
-    step = jax.jit(pool.step)
+    # Count actual Python traces — the direct no-retrace invariant.
+    # (jit _cache_size() is an eviction-sensitive proxy: in a long suite
+    # the global executable cache can evict entries between the call and
+    # the assert, reporting 0 for a function that never retraced.)
+    n_traces = [0]
+
+    def counted_step(cq, fq, tables, dt):
+        n_traces[0] += 1
+        return pool.step(cq, fq, tables, dt)
+
+    step = jax.jit(counted_step)
     for mask in (mask_a, mask_b):
         tables = pool.build_tables(mask)
         fine_Q = pool.init_pool(coarse_Q, tables)
         c, f = step(coarse_Q, fine_Q, tables, 1e-3)
         assert np.isfinite(np.asarray(c)).all()
-    assert step._cache_size() == 1, "re-gridding must not retrace"
+    assert n_traces[0] == 1, "re-gridding must not retrace"
 
 
 def test_regrid_carries_fine_data_and_conserves():
@@ -211,6 +221,16 @@ def test_dynamic_pool_tracks_and_conserves():
     m0 = coarse_mass(solver, coarse_Q)
 
     dyn = DynamicPoolRefinement(solver, capacity=6, factor=2, rel_threshold=0.6)
+    # Pre-install a trace-counting chunk (same body _chunk_fn builds) so
+    # retraces are observed directly rather than through the
+    # eviction-sensitive jit _cache_size() proxy.
+    n_traces = [0]
+
+    def counted_chunk(cq, fq, tables, dt):
+        n_traces[0] += 1
+        return dyn.pool.run(cq, fq, tables, 8, dt)
+
+    dyn._chunk[8] = jax.jit(counted_chunk)
     c, f, info = dyn.run(coarse_Q, n_chunks=8, chunk_steps=8, dt=2.5e-3)
 
     masks = [tuple(map(tuple, m)) for m in info["masks"]]
@@ -218,8 +238,7 @@ def test_dynamic_pool_tracks_and_conserves():
     np.testing.assert_allclose(coarse_mass(solver, c), m0, rtol=1e-12)
     assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(f).all())
     assert len(dyn._chunk) == 1
-    (fn,) = dyn._chunk.values()
-    assert fn._cache_size() == 1, "re-gridding retraced the chunk"
+    assert n_traces[0] == 1, "re-gridding retraced the chunk"
 
 
 def test_pool_3d_smoke():
