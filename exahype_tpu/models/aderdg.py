@@ -131,7 +131,8 @@ def euler_reflect_flux(dim: int):
 
 
 def make_dirichlet_fn(state_fn: Callable, *, dim: int, order: int,
-                      grid_shape: tuple, dx, wall_axes: tuple | None = None):
+                      grid_shape: tuple, dx, wall_axes: tuple | None = None,
+                      basis: str = "legendre"):
     """Build ``dirichlet_fn(axis, side)`` for ``boundary="dirichlet"`` from
     a coordinate function ``state_fn(*coords) -> var-LAST state`` (NumPy,
     evaluated once per wall at the wall-face node positions: the
@@ -141,7 +142,7 @@ def make_dirichlet_fn(state_fn: Callable, *, dim: int, order: int,
     solver's geometry arguments, not the solver: the solver ctor needs
     the returned fn)."""
     n_nodes = order + 1
-    nodes = np.asarray(DGOperators(order).nodes)
+    nodes = np.asarray(DGOperators(order, basis=basis).nodes)
     dxs = (tuple(float(v) for v in dx) if isinstance(dx, (tuple, list))
            else (float(dx),) * dim)
     axes = tuple(range(dim)) if wall_axes is None else tuple(wall_axes)
@@ -203,6 +204,14 @@ class ADERDGSolver:
     #: Cell spacing: a scalar, or a per-axis tuple for anisotropic grids.
     dx: float | tuple = 1.0
     picard_iters: int | None = None
+    #: Nodal basis: "legendre" (Gauss-Legendre, exact diagonal mass —
+    #: default) or "lobatto" (Gauss-Lobatto, the ExaHyPE2 kernel
+    #: generator's other basis option: endpoint nodes make face values
+    #: nodal, the diagonal mass is the DGSEM lumped mass).  Every
+    #: downstream operator (predictor, corrector, limiter projections,
+    #: AMR transfer, point sources, tracers, plotting) derives from
+    #: ``self.ops`` so both bases flow through the whole stack.
+    basis: str = "legendre"
     #: Domain boundary: "periodic" (default), "reflective" walls,
     #: "outflow" (zero-gradient/absorbing: the ghost is the cell's own
     #: face state, so the wall Riemann flux collapses to the exact upwind
@@ -300,7 +309,11 @@ class ADERDGSolver:
             raise SemanticError(f"dim must be 2 or 3, got {self.dim}")
         if len(self.grid_shape) != self.dim:
             raise SemanticError("grid_shape must have one entry per dim")
-        self.ops = DGOperators(self.order)
+        if self.basis not in ("legendre", "lobatto"):
+            raise SemanticError(
+                f"basis must be 'legendre' or 'lobatto', got {self.basis!r}"
+            )
+        self.ops = DGOperators(self.order, basis=self.basis)
         if self.picard_iters is None:
             self.picard_iters = self.order + 1
         if self.boundary not in ("periodic", "reflective", "outflow",

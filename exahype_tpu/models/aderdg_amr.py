@@ -103,8 +103,8 @@ class ADERDGNestedRefinement:
         self.coarse_stepper = (
             self.coarse_factory(c) if self.coarse_factory else c
         )
-        self._P = refine_interpolation(c.order, r)  # [r, n_fine, n_coarse]
-        self._R = refine_restriction(c.order, r)  # [n_coarse, r, n_fine]
+        self._P = refine_interpolation(c.order, r, c.basis)  # [r, n_fine, n_coarse]
+        self._R = refine_restriction(c.order, r, c.basis)  # [n_coarse, r, n_fine]
         # Per-axis gather maps for prolongation onto the EXT grid: ext cell
         # f covers coarse cell c_idx[f], fine subinterval k_idx[f].
         self._c_idx, self._k_idx = [], []

@@ -137,8 +137,8 @@ class ADERDGPoolRefinement:
         self.coarse_stepper = (
             self.coarse_factory(c) if self.coarse_factory else c
         )
-        self._P = refine_interpolation(c.order, r)  # [r, n_fine, n_coarse]
-        self._R = refine_restriction(c.order, r)  # [n_coarse, r, n_fine]
+        self._P = refine_interpolation(c.order, r, c.basis)  # [r, n_fine, n_coarse]
+        self._R = refine_restriction(c.order, r, c.basis)  # [n_coarse, r, n_fine]
         # Block position j in [0, B) covers coarse-cell offset (j-1)//r and
         # fine subinterval (j-1) mod r (ghosts j=0 / j=B-1 live in the
         # neighbouring coarse cells).

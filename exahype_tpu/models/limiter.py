@@ -153,8 +153,9 @@ class LimitedADERDG:
         )
 
         self.n_sub = 2 * self.solver.order + 1
-        self._P = subcell_projection(self.solver.order, self.n_sub)
-        self._R = subcell_reconstruction(self.solver.order, self.n_sub)
+        basis = getattr(self.solver, "basis", "legendre")
+        self._P = subcell_projection(self.solver.order, self.n_sub, basis)
+        self._R = subcell_reconstruction(self.solver.order, self.n_sub, basis)
         if getattr(self.solver, "wall_axes", None) is not None:
             raise SemanticError(
                 "LimitedADERDG does not support per-axis wall_axes yet: "

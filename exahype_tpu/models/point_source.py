@@ -6,8 +6,9 @@ multiplying δ(x − x₀), e.g. a moment-tensor point force at the epicentre.
 The reference DSL repo contains no source machinery (it is the kernel
 compiler prototype); this module supplies the capability TPU-first:
 
-- the delta is represented by its **nodal coefficients under the diagonal
-  Gauss-Legendre mass matrix**: per axis ℓ_i(ξ₀)/(w_i·dx).  This is the
+- the delta is represented by its **nodal coefficients under the solver's
+  diagonal mass matrix** (Gauss-Legendre, or the lumped Gauss-Lobatto
+  mass when ``basis="lobatto"``): per axis ℓ_i(ξ₀)/(w_i·dx).  This is the
   exact weak-form projection — testing the deposit against any polynomial
   up to the scheme's degree reproduces point evaluation (the duality
   property, tested);
@@ -37,7 +38,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from exahype_tpu.models.dg import gauss_legendre
 from exahype_tpu.models.tracers import _lagrange_basis
 from exahype_tpu.utils.errors import SemanticError
 
@@ -94,7 +94,11 @@ class PointSources:
             )
         object.__setattr__(self, "positions", pos)
         object.__setattr__(self, "amplitudes", amp)
-        nodes, weights = gauss_legendre(solver.n_nodes)
+        # The solver's own nodal basis (Legendre or Lobatto): the delta
+        # deposit divides by the solver's DIAGONAL mass weights, so the
+        # weak identity holds in the solver's discrete inner product.
+        nodes = np.asarray(solver.ops.nodes)
+        weights = np.asarray(solver.ops.weights)
         object.__setattr__(self, "_nodes", nodes)
         object.__setattr__(self, "_weights", weights)
 

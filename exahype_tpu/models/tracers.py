@@ -38,7 +38,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from exahype_tpu.models.dg import gauss_legendre
 from exahype_tpu.utils.errors import SemanticError
 
 
@@ -104,7 +103,7 @@ class TracerAdvector:
                 "TracerAdvector requires the SoA-P layout "
                 "(node axes, var axis, grid axes)"
             )
-        nodes, _ = gauss_legendre(solver.n_nodes)
+        nodes = np.asarray(solver.ops.nodes)  # solver's basis (GL/Lobatto)
         object.__setattr__(self, "_nodes", nodes)
 
     # ------------------------------------------------------------- geometry
