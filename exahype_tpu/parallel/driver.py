@@ -9,7 +9,11 @@ runs entirely on device; between chunks the driver (host side)
 - detects non-finite states (failure detection) and either aborts or rolls
   back to the last checkpoint with a reduced dt (elastic recovery),
 - emits JSON-line metrics (steps/sec, DOF/sec, sim time) through standard
-  logging.
+  logging,
+- evaluates user-defined **global observables** (the ExaHyPE2 reduction
+  hook: total mass, max density, constraint norms, ...) as one bundled
+  on-device dispatch per chunk, logging them and returning the history
+  (``DriverConfig.observables``).
 """
 
 from __future__ import annotations
@@ -37,6 +41,14 @@ class DriverConfig:
     max_recoveries: int = 2  # rollback attempts on non-finite state
     recovery_dt_factor: float = 0.5
     log_metrics: bool = True
+    #: Global observables (the ExaHyPE2 "global observables" reduction
+    #: hook): ``{name: fn(Q) -> scalar}`` user reductions — total mass,
+    #: max density, constraint norms, ...  All observables of a chunk are
+    #: jitted into ONE bundled dispatch (under the run's sharding, so on a
+    #: mesh each reduction lowers to an XLA collective, not a host
+    #: gather), evaluated on the post-chunk state, logged on the JSON
+    #: metrics line, and returned as a per-chunk history in the run stats.
+    observables: Optional[dict] = None
 
 
 class TimeLoopDriver:
@@ -69,6 +81,17 @@ class TimeLoopDriver:
         # run that isn't a multiple of chunk_steps compiles once, not per
         # call).
         self._chunk_fns: dict[int, callable] = {}
+        self._obs_fn = None
+        if config.observables:
+            names = tuple(config.observables)
+            fns = tuple(config.observables.values())
+            obs_jit_kwargs = {}
+            if sharding is not None:
+                obs_jit_kwargs = {"in_shardings": (sharding,)}
+            self._obs_fn = jax.jit(
+                lambda Q: {n: f(Q) for n, f in zip(names, fns)},
+                **obs_jit_kwargs,
+            )
 
     def _chunk_fn(self, n_steps: int):
         fn = self._chunk_fns.get(n_steps)
@@ -123,6 +146,7 @@ class TimeLoopDriver:
         recoveries = 0
         chunks_done = 0
         dof = self._dofs()
+        obs_history: list[dict] = []
         wall0 = time.perf_counter()
 
         while step < n_steps:
@@ -158,29 +182,36 @@ class TimeLoopDriver:
             step += chunk
             chunks_done += 1
 
+            obs = None
+            if self._obs_fn is not None:
+                obs = {
+                    k: float(v) for k, v in self._obs_fn(Q).items()
+                }
+                obs_history.append({"step": step, "t": t, **obs})
+
             if self.ckpt is not None and chunks_done % cfg.checkpoint_every == 0:
                 self.ckpt.save(step, {"step": step, "t": t, "dt": dt, "Q": Q})
 
             if cfg.log_metrics:
                 elapsed = time.perf_counter() - wall0
                 done = step - start_step
-                logger.info(
-                    "%s",
-                    json.dumps(
-                        {
-                            "step": step,
-                            "t": t,
-                            "steps_per_sec": done / elapsed if elapsed else None,
-                            "dof_per_sec": dof * done / elapsed if elapsed else None,
-                        }
-                    ),
-                )
+                record = {
+                    "step": step,
+                    "t": t,
+                    "steps_per_sec": done / elapsed if elapsed else None,
+                    "dof_per_sec": dof * done / elapsed if elapsed else None,
+                }
+                if obs is not None:
+                    record["observables"] = obs
+                logger.info("%s", json.dumps(record))
 
         stats = {
             "steps": step - start_step,
             "recoveries": recoveries,
             "wall_seconds": time.perf_counter() - wall0,
         }
+        if self._obs_fn is not None:
+            stats["observables"] = obs_history
         return Q, t, stats
 
 

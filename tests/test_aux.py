@@ -298,6 +298,59 @@ def test_driver_with_sharding(tmp_path):
     assert np.isfinite(np.asarray(Q)).all()
 
 
+def test_driver_global_observables(caplog):
+    """The ExaHyPE2 global-observables hook: per-chunk on-device reductions
+    logged on the metrics line and returned as a history in the stats."""
+    obs = {
+        "total_rho": lambda Q: jnp.sum(Q[..., 0]),
+        "max_rho": lambda Q: jnp.max(Q[..., 0]),
+    }
+    solver = make_solver()
+    driver = TimeLoopDriver(
+        solver, DriverConfig(chunk_steps=2, observables=obs)
+    )
+    Q0 = euler_state(solver.grid)
+    with caplog.at_level(logging.INFO, logger="exahype_tpu.driver"):
+        Q, t, stats = driver.run(Q0, n_steps=5, dt=1e-3)
+    hist = stats["observables"]
+    assert [h["step"] for h in hist] == [2, 4, 5]  # one entry per chunk
+    # The last entry is the reduction of the returned state, exactly.
+    np.testing.assert_allclose(
+        hist[-1]["total_rho"], float(np.sum(np.asarray(Q)[..., 0])), rtol=1e-15
+    )
+    np.testing.assert_allclose(
+        hist[-1]["max_rho"], float(np.max(np.asarray(Q)[..., 0])), rtol=1e-15
+    )
+    assert any('"observables"' in r.message for r in caplog.records)
+
+
+def test_driver_global_observables_sharded_match():
+    """Observables jitted under the mesh sharding equal the unsharded run's
+    (the reduction lowers to a collective, not a host gather)."""
+    from exahype_tpu.parallel import make_mesh, shard_state, state_sharding
+
+    obs = {"total_rho": lambda Q: jnp.sum(Q[..., 0])}
+    solver = make_solver(gx=8, gy=2)
+    Q0 = jnp.asarray(euler_state(solver.grid, seed=4))
+
+    plain = TimeLoopDriver(
+        solver, DriverConfig(chunk_steps=2, log_metrics=False, observables=obs)
+    )
+    _, _, stats_plain = plain.run(Q0, n_steps=4, dt=1e-3)
+
+    mesh = make_mesh(8)
+    sharding = state_sharding(mesh, solver.grid)
+    sharded = TimeLoopDriver(
+        solver,
+        DriverConfig(chunk_steps=2, log_metrics=False, observables=obs),
+        sharding=sharding,
+    )
+    Qs = shard_state(Q0, mesh, solver.grid)
+    _, _, stats_sharded = sharded.run(Qs, n_steps=4, dt=1e-3)
+    for a, b in zip(stats_plain["observables"], stats_sharded["observables"]):
+        np.testing.assert_allclose(a["total_rho"], b["total_rho"], rtol=1e-12)
+
+
 def test_code_printer_here_and_file(tmp_path, capsys):
     from exahype_tpu.backends.cpp_backend import CPPPrinter
 
