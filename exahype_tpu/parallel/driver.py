@@ -48,6 +48,8 @@ class DriverConfig:
     #: mesh each reduction lowers to an XLA collective, not a host
     #: gather), evaluated on the post-chunk state, logged on the JSON
     #: metrics line, and returned as a per-chunk history in the run stats.
+    #: On :class:`AdaptiveTimeLoopDriver` the contract is the composite
+    #: state: ``fn(coarse, fine, tables) -> scalar``.
     observables: Optional[dict] = None
 
 
@@ -239,24 +241,35 @@ class AdaptiveTimeLoopDriver:
             if config.checkpoint_every and config.checkpoint_dir
             else None
         )
+        # Global observables over the COMPOSITE state:
+        # ``{name: fn(coarse, fine, tables) -> scalar}`` (tables so a
+        # reduction can mask covered coarse cells, e.g. composite mass).
+        # One bundled jitted dispatch per chunk, pattern-independent —
+        # re-gridding never retraces it.
+        self._obs_fn = None
+        if config.observables:
+            names = tuple(config.observables)
+            fns = tuple(config.observables.values())
+            self._obs_fn = jax.jit(
+                lambda c, f, tb: {n: g(c, f, tb) for n, g in zip(names, fns)}
+            )
 
-    def _metrics(self, chunk_idx, t, chunk_steps, n_refined, wall0, chunks_done):
+    def _metrics(self, chunk_idx, t, chunk_steps, n_refined, wall0,
+                 chunks_done, obs=None):
         if not self.config.log_metrics:
             return
         elapsed = time.perf_counter() - wall0
-        logger.info(
-            "%s",
-            json.dumps(
-                {
-                    "chunk": chunk_idx,
-                    "t": t,
-                    "n_refined": n_refined,
-                    "steps_per_sec": (
-                        chunks_done * chunk_steps / elapsed if elapsed else None
-                    ),
-                }
+        record = {
+            "chunk": chunk_idx,
+            "t": t,
+            "n_refined": n_refined,
+            "steps_per_sec": (
+                chunks_done * chunk_steps / elapsed if elapsed else None
             ),
-        )
+        }
+        if obs is not None:
+            record["observables"] = obs
+        logger.info("%s", json.dumps(record))
 
     def run(self, Q0, n_chunks: int, chunk_steps: int, dt: float):
         """Returns ``(coarse_Q, fine_Q, info)``; ``info`` carries the
@@ -287,6 +300,7 @@ class AdaptiveTimeLoopDriver:
         fn = dyn._chunk_fn(chunk_steps)
         wall0 = time.perf_counter()
         chunks_done = 0
+        obs_history: list[dict] = []
         base_chunk = chunk_idx  # masks[i] belongs to chunk base_chunk + i
         while chunk_idx < n_chunks:
             mask = dyn.pick_mask(coarse)
@@ -320,6 +334,7 @@ class AdaptiveTimeLoopDriver:
                 # Drop the rolled-back trajectory's masks so masks[i] keeps
                 # meaning "the refinement set of chunk base_chunk + i".
                 del masks[max(chunk_idx - base_chunk, 0):]
+                del obs_history[max(chunk_idx - base_chunk, 0):]
                 logger.warning(
                     "non-finite state: rolled back to chunk %d, dt -> %g",
                     chunk_idx, dt,
@@ -331,6 +346,14 @@ class AdaptiveTimeLoopDriver:
             t += chunk_steps * dt
             chunk_idx += 1
             chunks_done += 1
+
+            obs = None
+            if self._obs_fn is not None:
+                obs = {
+                    k: float(v)
+                    for k, v in self._obs_fn(coarse, fine, tables).items()
+                }
+                obs_history.append({"chunk": chunk_idx, "t": t, **obs})
 
             if self.ckpt is not None and chunk_idx % cfg.checkpoint_every == 0:
                 self.ckpt.save(
@@ -346,12 +369,15 @@ class AdaptiveTimeLoopDriver:
                 )
             self._metrics(
                 chunk_idx, t, chunk_steps, int(np.asarray(mask).sum()),
-                wall0, chunks_done,
+                wall0, chunks_done, obs,
             )
 
-        return coarse, fine, {
+        info = {
             "masks": masks,
             "tables": tables,
             "recoveries": recoveries,
             "t": t,
         }
+        if self._obs_fn is not None:
+            info["observables"] = obs_history
+        return coarse, fine, info

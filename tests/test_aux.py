@@ -609,6 +609,58 @@ def test_adaptive_driver_checkpoint_resume(tmp_path, caplog):
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f_ref))
 
 
+def test_adaptive_driver_global_observables(caplog):
+    """Composite-state observables on the adaptive tree-AMR driver:
+    ``fn(coarse, fine, tables)`` evaluated per chunk without retracing."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import hyperbolic
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+    from exahype_tpu.parallel import GridSolver, PatchGrid
+    from exahype_tpu.parallel.driver import AdaptiveTimeLoopDriver, DriverConfig
+    from exahype_tpu.parallel.pool import DynamicPoolRefinement
+    from exahype_tpu.utils.config import KernelConfig
+    from exahype_tpu.utils.output import disassemble_global
+
+    gx = gy = 6
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    flux, eig = hyperbolic.advection((1.0, 0.3))
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0,
+        n_patches=gx * gy, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / (gx * 4), kernel_dt="lambda")
+
+    n = gx * 4
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u0 = np.exp(-(((X - 0.25) ** 2 + (Y - 0.4) ** 2) / 0.08**2))
+    Q0 = disassemble_global(
+        grid, jnp.zeros(grid.state_shape), jnp.asarray(u0[..., None])
+    )
+
+    dyn = DynamicPoolRefinement(solver, capacity=6, factor=2)
+    driver = AdaptiveTimeLoopDriver(
+        dyn,
+        DriverConfig(
+            observables={"max_u": lambda c, f, tb: jnp.max(c)},
+        ),
+    )
+    with caplog.at_level(logging.INFO, logger="exahype_tpu.driver"):
+        coarse, fine, info = driver.run(Q0, n_chunks=4, chunk_steps=5, dt=2e-3)
+    hist = info["observables"]
+    assert [h["chunk"] for h in hist] == [1, 2, 3, 4]
+    np.testing.assert_allclose(
+        hist[-1]["max_u"], float(jnp.max(coarse)), rtol=1e-15
+    )
+    assert any('"observables"' in r.message for r in caplog.records)
+
+
 def test_export_step_new_families_roundtrip():
     """The serving path covers the round-3 families: a viscous
     Navier–Stokes step and a curved-GRMHD step export to StableHLO and
