@@ -175,6 +175,10 @@ def make_dirichlet_fn(state_fn: Callable, *, dim: int, order: int,
     def dirichlet_fn(axis, side):
         return rows[(int(axis), int(side))]
 
+    # Stamp the basis the rows were evaluated at so the solver ctor can
+    # reject a mismatch (a 'lobatto' solver fed default-'legendre' rows
+    # would silently read wall data at the wrong node positions).
+    dirichlet_fn.basis = basis
     return dirichlet_fn
 
 
@@ -263,7 +267,9 @@ class ADERDGSolver:
     #: segment-midpoint state q̃, strong-form volume term −λ·B(q̄)∂q̄).
     #: By the Gauss–Legendre summation-by-parts identity this reproduces a
     #: conservative system written as NCP (B=∂F/∂Q linear) to rounding.
-    #: Periodic boundaries only.
+    #: Composes with every boundary type: wall faces use the fluctuation
+    #: against the wall ghost (outflow ghosts make it vanish — the
+    #: radiative wall Z4 runs use).
     ncp_fn: Callable | None = None
     #: Optional FUSED right-hand side ``rhs_all_fn(Q, grads, var_axis) ->
     #: S(Q) − Σ_d B_d(Q)·∂_d Q`` with ``grads`` the tuple of PHYSICAL
@@ -289,7 +295,9 @@ class ADERDGSolver:
     #: the corrector's face average ½(F⁻+F⁺) is the central diffusive flux
     #: with one-sided gradients, and the Rusanov dissipation speed gains
     #: the grad-jump penalty 2(2N+1)/dx · κ (``visc_eigenvalue_fn``).
-    #: Requires periodic boundaries.
+    #: Composes with walls: the ghost's advective flux goes through the
+    #: boundary hook, its viscous flux is the interior one-sided value
+    #: (no-slip enters through ``reflect_fn`` mirroring ALL momentum).
     visc_flux_fn: Callable | None = None
     #: Max diffusion eigenvalue ``visc_eigenvalue_fn(Q, axis, var_axis) ->
     #: κ`` (cellwise scalar, e.g. max(4ν/3, γν/Pr) for Navier–Stokes):
@@ -323,6 +331,15 @@ class ADERDGSolver:
             raise SemanticError(
                 "boundary='dirichlet' requires dirichlet_fn(axis, side)"
             )
+        if self.dirichlet_fn is not None:
+            fn_basis = getattr(self.dirichlet_fn, "basis", None)
+            if fn_basis is not None and fn_basis != self.basis:
+                raise SemanticError(
+                    f"dirichlet_fn was built for basis {fn_basis!r} but the "
+                    f"solver uses {self.basis!r} — pass basis={self.basis!r} "
+                    "to make_dirichlet_fn so wall rows are evaluated at the "
+                    "solver's node positions"
+                )
         if self.boundary == "reflective" and (
             self.reflect_fn is None or self.reflect_flux_fn is None
         ):
@@ -356,17 +373,9 @@ class ADERDGSolver:
                 lambda F, axis, var_axis:
                 self.flux_fn(_ghost(F, axis, var_axis), axis, var_axis)
             )
-        if self.ncp_fn is not None and self.boundary != "periodic":
-            raise SemanticError(
-                "non-conservative products support periodic boundaries only"
-            )
         if (self.visc_flux_fn is None) != (self.visc_eigenvalue_fn is None):
             raise SemanticError(
                 "visc_flux_fn and visc_eigenvalue_fn must be set together"
-            )
-        if self.visc_flux_fn is not None and self.boundary != "periodic":
-            raise SemanticError(
-                "viscous fluxes support periodic boundaries only"
             )
         if self.wall_axes is not None:
             if self.boundary not in ("reflective", "outflow", "farfield",
@@ -444,10 +453,17 @@ class ADERDGSolver:
 
     # ------------------------------------------------------------- predictor
 
-    def predictor(self, u, dt):
+    def predictor(self, u, dt, return_visc: bool = False):
         """Picard iteration; returns time-averaged state ``qbar`` and
         time-averaged fluxes ``fbar[d]``.  Space-time arrays carry a leading
-        time-node axis (all state axes shift by one)."""
+        time-node axis (all state axes shift by one).
+
+        ``return_visc=True`` (viscous solvers only) additionally returns the
+        VISCOUS-ONLY part ``fvbar[d]`` of the time-averaged fluxes, appended
+        last — the wall face stage needs the split because the ghost-flux
+        symmetry (``reflect_flux_fn``) applies to the advective part only;
+        the wall's viscous flux is taken one-sided from the interior
+        space-time polynomial (the diffusive GRP is cell-local anyway)."""
         ops = self.ops
         va = 1 + self.var_axis  # var axis inside space-time arrays
         q = jnp.broadcast_to(u, (self.n_nodes,) + u.shape)
@@ -500,7 +516,8 @@ class ADERDGSolver:
 
         wvec = jnp.asarray(ops.weights, u.dtype)
         qbar = jnp.tensordot(wvec, q, axes=([0], [0]))
-        if self.reuse_last_flux:
+        fvbar = None
+        if self.reuse_last_flux and not return_visc:
             fbar = [
                 jnp.tensordot(wvec, F, axes=([0], [0])) for F in last_fluxes
             ]
@@ -509,17 +526,28 @@ class ADERDGSolver:
                 _grads(q, 1) if self.visc_flux_fn is not None else None
             )
             fbar = []
+            fvbar = [] if return_visc else None
             for d in range(self.dim):
                 F = self.flux_fn(q, d, va)
                 if grads is not None:
-                    F = F + self.visc_flux_fn(q, grads, d, va)
+                    Fv = self.visc_flux_fn(q, grads, d, va)
+                    F = F + Fv
+                    if return_visc:
+                        fvbar.append(
+                            jnp.tensordot(wvec, Fv, axes=([0], [0]))
+                        )
                 fbar.append(jnp.tensordot(wvec, F, axes=([0], [0])))
+        out = (qbar, fbar)
         if self.source_fn is not None:
             sbar = jnp.tensordot(
                 wvec, self.source_fn(q, va), axes=([0], [0])
             )
-            return qbar, fbar, sbar
-        return qbar, fbar
+            out = out + (sbar,)
+        if return_visc:
+            if self.visc_flux_fn is None:
+                raise SemanticError("return_visc requires visc_flux_fn")
+            out = out + (fvbar,)
+        return out
 
     # ------------------------------------------------------------- corrector
 
@@ -531,11 +559,18 @@ class ADERDGSolver:
         axes) — the limiter's interface-matching pass consumes them.
         """
         ops = self.ops
+        # Viscous solvers with walls need the advective/viscous flux split
+        # at the wall faces (the ghost-flux symmetry is advective-only).
+        want_visc = self.visc_flux_fn is not None and any(
+            self.is_wall(d) for d in range(self.dim)
+        )
+        pred = self.predictor(u, dt, return_visc=want_visc)
+        fvbar = pred[-1] if want_visc else None
         if self.source_fn is not None:
-            qbar, fbar, sbar = self.predictor(u, dt)
+            qbar, fbar, sbar = pred[:3]
             new = u + dt * sbar
         else:
-            qbar, fbar = self.predictor(u, dt)
+            qbar, fbar = pred[:2]
             new = u
         face_va = self.var_axis - 1  # one node axis projected away
         face_fluxes = []
@@ -573,7 +608,15 @@ class ADERDGSolver:
             q_lo = _project(ops.phi0, qbar, node_ax)  # my low face (x=0)
             f_hi = _project(ops.phi1, fbar[d], node_ax)
             f_lo = _project(ops.phi0, fbar[d], node_ax)
-            new, fhat_hi = self.face_update(new, q_lo, q_hi, f_lo, f_hi, d, dt)
+            fv_kwargs = {}
+            if fvbar is not None and self.is_wall(d):
+                fv_kwargs = {
+                    "fv_lo": _project(ops.phi0, fvbar[d], node_ax),
+                    "fv_hi": _project(ops.phi1, fvbar[d], node_ax),
+                }
+            new, fhat_hi = self.face_update(
+                new, q_lo, q_hi, f_lo, f_hi, d, dt, **fv_kwargs
+            )
             face_fluxes.append(fhat_hi)
         if return_face_fluxes:
             return new, face_fluxes
@@ -591,6 +634,8 @@ class ADERDGSolver:
         shift=None,
         holds_lo_wall=True,
         holds_hi_wall=True,
+        fv_lo=None,
+        fv_hi=None,
     ):
         """Riemann solve + surface (and NCP-fluctuation) corrector update
         for direction ``d`` from face-extrapolated time-averaged state/flux.
@@ -607,6 +652,15 @@ class ADERDGSolver:
         gate the reflective-wall ghost overwrite at the first/last row —
         pass per-shard predicates (``axis_index == 0`` etc.) when the grid
         axis is sharded so only the shards owning a domain wall apply it.
+
+        ``fv_lo`` / ``fv_hi`` (viscous solvers with a wall on ``d``): the
+        VISCOUS-ONLY part of the face-extrapolated time-averaged flux.
+        The wall ghost's advective flux goes through the boundary hook
+        (``reflect_flux_fn`` / Dirichlet flux) while its viscous flux is
+        the interior one-sided value — copying the viscous flux across the
+        wall is the standard one-sided wall treatment (the ghost has no
+        polynomial of its own), and the grad-jump penalty
+        2(2N+1)/dx·κ still enters the wall dissipation speed.
         """
         ops = self.ops
         lam = dt / self._dxs[d]
@@ -636,18 +690,25 @@ class ADERDGSolver:
             f_last = jax.lax.index_in_dim(
                 f_hi, -1, face_grid_ax, keepdims=True
             )
+            if fv_hi is not None:
+                # Advective/viscous split: symmetry hook on the advective
+                # part, one-sided interior viscous flux at the wall.
+                fv_last = jax.lax.index_in_dim(
+                    fv_hi, -1, face_grid_ax, keepdims=True
+                )
+                wall_f = (
+                    self._wall_ghost_flux(f_last - fv_last, d, 1, face_va)
+                    + fv_last
+                )
+            else:
+                wall_f = self._wall_ghost_flux(f_last, d, 1, face_va)
             ghost = _gate(
                 holds_hi_wall,
                 self._wall_ghost(last, d, 1, face_va),
                 q_plus,
                 -1,
             )
-            ghost_f = _gate(
-                holds_hi_wall,
-                self._wall_ghost_flux(f_last, d, 1, face_va),
-                f_plus,
-                -1,
-            )
+            ghost_f = _gate(holds_hi_wall, wall_f, f_plus, -1)
             g = q_plus.shape[face_grid_ax]
             q_plus = jax.lax.dynamic_update_slice_in_dim(
                 q_plus, ghost, g - 1, face_grid_ax
@@ -697,6 +758,15 @@ class ADERDGSolver:
                 ),
                 face_va,
             )
+            if self.visc_eigenvalue_fn is not None:
+                kappa_w = jnp.maximum(
+                    self.visc_eigenvalue_fn(first, d, face_va),
+                    self.visc_eigenvalue_fn(ghost, d, face_va),
+                )
+                s_w = s_w + jnp.expand_dims(
+                    2.0 * (2 * self.order + 1) / self._dxs[d] * kappa_w,
+                    face_va,
+                )
             dq_w = first - ghost
             if self.dissipation_mask is not None:
                 # Same masking as the interior/hi-wall jump: without it,
@@ -708,9 +778,17 @@ class ADERDGSolver:
                 dq_w = dq_w * jnp.asarray(
                     self.dissipation_mask, dq_w.dtype
                 ).reshape(mshape)
-            wall = 0.5 * (
-                self._wall_ghost_flux(f_first, d, 0, face_va) + f_first
-            ) - 0.5 * s_w * dq_w
+            if fv_lo is not None:
+                fv_first = jax.lax.index_in_dim(
+                    fv_lo, 0, face_grid_ax, keepdims=True
+                )
+                wall_gf = (
+                    self._wall_ghost_flux(f_first - fv_first, d, 0, face_va)
+                    + fv_first
+                )
+            else:
+                wall_gf = self._wall_ghost_flux(f_first, d, 0, face_va)
+            wall = 0.5 * (wall_gf + f_first) - 0.5 * s_w * dq_w
             wall = _gate(holds_lo_wall, wall, fhat_lo, 0)
             fhat_lo = jax.lax.dynamic_update_slice_in_dim(
                 fhat_lo, wall, 0, face_grid_ax
@@ -729,10 +807,26 @@ class ADERDGSolver:
             # Path-conservative face fluctuations: the central parts
             # ½·B(q̃)·Δq go one to each side (the ±½sΔq dissipation is
             # already carried by the Rusanov f̂ above, which is
-            # well-defined even for identically-zero flux).
+            # well-defined even for identically-zero flux).  At a high
+            # wall ``q_plus`` already carries the ghost row, so ``half``
+            # is wall-correct there; the low wall needs its own
+            # fluctuation (the shifted row 0 is the wrapped/exchanged
+            # value, not the wall's).
             mid = 0.5 * (q_hi + q_plus)
             half = 0.5 * self.ncp_fn(mid, q_plus - q_hi, d, face_va)
             half_lo = shift(half, 1, face_grid_ax)
+            if self.is_wall(d):
+                first_w = jax.lax.index_in_dim(
+                    q_lo, 0, face_grid_ax, keepdims=True
+                )
+                ghost_w = self._wall_ghost(first_w, d, 0, face_va)
+                half_w = 0.5 * self.ncp_fn(
+                    0.5 * (ghost_w + first_w), first_w - ghost_w, d, face_va
+                )
+                half_w = _gate(holds_lo_wall, half_w, half_lo, 0)
+                half_lo = jax.lax.dynamic_update_slice_in_dim(
+                    half_lo, half_w, 0, face_grid_ax
+                )
             new = new - lam * (
                 phi1_w * jnp.expand_dims(half, node_ax)
                 + phi0_w * jnp.expand_dims(half_lo, node_ax)

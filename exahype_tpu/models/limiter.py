@@ -156,18 +156,28 @@ class LimitedADERDG:
         basis = getattr(self.solver, "basis", "legendre")
         self._P = subcell_projection(self.solver.order, self.n_sub, basis)
         self._R = subcell_reconstruction(self.solver.order, self.n_sub, basis)
-        if getattr(self.solver, "wall_axes", None) is not None:
-            raise SemanticError(
-                "LimitedADERDG does not support per-axis wall_axes yet: "
-                "its DMP/ghost helpers assume walls on every axis "
-                "(use all-axis reflective or periodic solvers)"
-            )
-        if self.solver.boundary in ("outflow", "farfield", "dirichlet"):
-            raise SemanticError(
-                f"LimitedADERDG does not support {self.solver.boundary} "
-                "boundaries yet: the DMP/subcell ghost helpers implement "
-                "periodic and reflective contracts only"
-            )
+        # Wall-boundary support (round 4): every wall type of the base
+        # solver composes — reflective/outflow/farfield route their ghosts
+        # through ``solver.reflect_fn`` (the solver ctor installs it for
+        # outflow/farfield), dirichlet walls precompute subcell-projected
+        # and cell-mean ghost rows from ``dirichlet_fn``.  ``wall_axes``
+        # flows through ``solver.is_wall(d)`` everywhere.
+        self._dirichlet_sub = {}
+        self._dirichlet_mean = {}
+        if self.solver.boundary == "dirichlet":
+            self._build_dirichlet_rows()
+            if self.troubled_capacity is not None:
+                raise SemanticError(
+                    "the gathered (troubled_capacity) fallback does not "
+                    "support dirichlet walls yet — use the whole-grid "
+                    "subcell fallback"
+                )
+            if self.solver.visc_flux_fn is not None:
+                raise SemanticError(
+                    "limited viscous solvers with dirichlet walls are not "
+                    "supported (ghost gradients at prescribed-state walls "
+                    "are unspecified)"
+                )
         if getattr(self.solver, "visc_flux_fn", None) is not None:
             # Viscous solvers are supported on the whole-grid paths
             # (first-order subcell, order-2 MUSCL, and means fallbacks all
@@ -228,7 +238,49 @@ class LimitedADERDG:
 
     @property
     def _wall(self) -> bool:
-        return self.solver.boundary == "reflective"
+        """Whether ANY grid axis carries a domain wall."""
+        return any(
+            self.solver.is_wall(d) for d in range(self.solver.dim)
+        )
+
+    def _wall_on(self, d: int) -> bool:
+        """Whether grid axis ``d`` carries a domain wall (any type)."""
+        return self.solver.is_wall(d)
+
+    def _build_dirichlet_rows(self):
+        """Precompute the dirichlet wall ghosts in the two layouts the
+        limiter needs: subcell means (``_dirichlet_sub[(d, side)]`` —
+        transverse node axes P-projected, singleton at axis ``d``) and
+        cell means (``_dirichlet_mean[(d, side)]`` — transverse node axes
+        weight-projected, shape ``[V, grid with d -> 1]``)."""
+        sol = self.solver
+        nn = sol.n_nodes
+        w = np.asarray(sol.ops.weights)
+        P = np.asarray(self._P)
+        for d in range(sol.dim):
+            if not sol.is_wall(d):
+                continue
+            for side in (0, 1):
+                face_shape = (
+                    (nn,) * (sol.dim - 1)
+                    + (sol.n_vars,)
+                    + tuple(
+                        1 if e == d else sol.grid_shape[e]
+                        for e in range(sol.dim)
+                    )
+                )
+                row = np.broadcast_to(
+                    np.asarray(sol.dirichlet_fn(d, side)), face_shape
+                )
+                sub = row
+                mean = row
+                for t in range(sol.dim - 1):
+                    sub = np.moveaxis(
+                        np.tensordot(P, sub, axes=([1], [t])), 0, t
+                    )
+                    mean = np.tensordot(w, mean, axes=([0], [0]))
+                self._dirichlet_sub[(d, side)] = np.expand_dims(sub, d)
+                self._dirichlet_mean[(d, side)] = mean
 
     @staticmethod
     def _set_row(x, row, pos, ax):
@@ -241,24 +293,69 @@ class LimitedADERDG:
     def _row(x, pos, ax):
         return jax.lax.index_in_dim(x, pos, ax, keepdims=True)
 
-    def _shift_clamp(self, x, sh, ax):
-        """Neighbour values along a grid axis; at reflective walls the
-        missing neighbour is replaced by the cell's own value (shrinking the
-        DMP neighbourhood instead of wrapping around the domain)."""
+    def _ghost_sub(self, row, d, side, va):
+        """Ghost SUBCELL layer at the ``(axis d, side)`` wall given the
+        wall-adjacent layer ``row``: the reflect hook (reflective walls
+        mirror, outflow copies, farfield broadcasts the prescribed state)
+        or the precomputed dirichlet subcell row."""
+        if self.solver.boundary == "dirichlet":
+            g = jnp.asarray(self._dirichlet_sub[(d, side)], row.dtype)
+            return jnp.broadcast_to(g, row.shape)
+        return self.solver.reflect_fn(row, d, va)
+
+    def _ghost_mean(self, row, d, side):
+        """Ghost CELL-MEAN row (``[V, grid with d -> 1]`` layout, var axis
+        0) at the ``(axis d, side)`` wall."""
+        if self.solver.boundary == "dirichlet":
+            g = jnp.asarray(self._dirichlet_mean[(d, side)], row.dtype)
+            return jnp.broadcast_to(g, row.shape)
+        return self.solver.reflect_fn(row, d, 0)
+
+    def _shift_clamp(self, x, sh, ax, d):
+        """Neighbour values along grid axis ``ax`` (direction ``d``) for
+        the DMP neighbourhood; at reflective/outflow walls the missing
+        neighbour is the cell's own value (the neighbourhood shrinks), at
+        farfield/dirichlet walls it is the prescribed ghost mean (the
+        window admits the inflow state, so held boundary data never
+        false-flags)."""
         out = jnp.roll(x, sh, axis=ax)
-        if self._wall:
+        if self._wall_on(d):
             pos = -1 if sh == -1 else 0
-            out = self._set_row(out, self._row(x, pos, ax), pos, ax)
+            if self.solver.boundary in ("farfield", "dirichlet"):
+                side = 1 if sh == -1 else 0
+                row = self._ghost_mean(self._row(x, pos, ax), d, side)
+            else:
+                row = self._row(x, pos, ax)
+            out = self._set_row(out, row, pos, ax)
         return out
 
-    def _shift_reflect(self, x, sh, ax, d, var_axis):
+    def _shift_reflect(self, x, sh, ax, d, var_axis,
+                       negate_ghost=False, grad_field=False):
         """Neighbour STATE along grid axis ``ax`` for direction ``d``; at
-        reflective walls the ghost is the mirror of the wall-adjacent value
-        (``solver.reflect_fn``, e.g. normal momentum negated)."""
+        walls the ghost comes from the boundary hook (mirror / copy /
+        farfield state / dirichlet mean — ``x`` here is a cell-MEANS
+        array, var axis 0).  ``grad_field=True`` marks gradient arrays:
+        prescribed-state walls (farfield/dirichlet) give a ZERO ghost
+        gradient (their ghost is a constant — ``reflect_fn`` would wrongly
+        broadcast the prescribed STATE into a gradient slot); reflective /
+        outflow walls mirror/copy, with ``negate_ghost`` flipping the
+        wall-normal component (mirroring flips that direction)."""
         out = jnp.roll(x, sh, axis=ax)
-        if self._wall:
+        if self._wall_on(d):
             pos = -1 if sh == -1 else 0
-            ghost = self.solver.reflect_fn(self._row(x, pos, ax), d, var_axis)
+            side = 1 if sh == -1 else 0
+            row = self._row(x, pos, ax)
+            if grad_field:
+                if self.solver.boundary in ("farfield", "dirichlet"):
+                    ghost = jnp.zeros_like(row)
+                else:
+                    ghost = self.solver.reflect_fn(row, d, var_axis)
+                    if negate_ghost:
+                        ghost = -ghost
+            elif self.solver.boundary == "dirichlet":
+                ghost = self._ghost_mean(row, d, side)
+            else:
+                ghost = self.solver.reflect_fn(row, d, var_axis)
             out = self._set_row(out, ghost, pos, ax)
         return out
 
@@ -288,6 +385,45 @@ class LimitedADERDG:
         else:
             demand = t.sum()
         return demand, self.troubled_capacity
+
+    def driver_observables(self, dt, conserved_vars=(0,)):
+        """Global observables (``DriverConfig.observables``) surfacing the
+        gathered path's conservation/overflow trade PER CHUNK in the
+        production driver metrics — the measurable decomposition of a
+        run's conserved-quantity drift into the overflow policy's cost vs
+        the hardware floor:
+
+        - ``total_q{i}``: quadrature integral of conserved variable ``i``
+          (per-chunk drift of these IS the conservation error);
+        - ``capacity_demand`` / ``capacity_overflow``: troubled units
+          demanded at the chunk boundary, and the excess over capacity.
+          Chunks with ``capacity_overflow == 0`` bound the rounding floor;
+          chunks where it engages attribute their EXTRA drift to the
+          ``overflow_fallback="means"`` policy's approximate flux
+          accounting (docs/PERFORMANCE.md, conservation accounting).
+
+        ``dt`` is the run's step size — demand is evaluated from a probe
+        candidate step at the chunk boundary (one extra step per chunk;
+        ~1/chunk_steps overhead).  All observables jit into the driver's
+        single bundled dispatch and lower to collectives on a mesh.
+        """
+        obs = {}
+        for i in conserved_vars:
+            obs[f"total_q{i}"] = (
+                lambda Q, _i=i: self.solver.total_mass(Q)[_i]
+            )
+        if self.troubled_capacity is not None:
+            def _demand(Q):
+                d, _ = self.capacity_usage(Q, dt)
+                return d
+
+            def _overflow(Q):
+                d, cap = self.capacity_usage(Q, dt)
+                return jnp.maximum(d - cap, 0)
+
+            obs["capacity_demand"] = _demand
+            obs["capacity_overflow"] = _overflow
+        return obs
 
     # ------------------------------------------------------------- means
 
@@ -322,8 +458,8 @@ class LimitedADERDG:
         for d in range(sol.dim):
             ax = 1 + d  # grid axis within the [V, *grid] arrays
             for shift in (-1, 1):
-                lo = jnp.minimum(lo, self._shift_clamp(cell_lo, shift, ax))
-                hi = jnp.maximum(hi, self._shift_clamp(cell_hi, shift, ax))
+                lo = jnp.minimum(lo, self._shift_clamp(cell_lo, shift, ax, d))
+                hi = jnp.maximum(hi, self._shift_clamp(cell_hi, shift, ax, d))
         # Relaxation widened relative to the variable magnitude, so smooth
         # extrema of large-valued variables (e.g. total energy) don't
         # false-positive at tight absolute tolerances.
@@ -386,11 +522,15 @@ class LimitedADERDG:
                 # Central-difference diffusive face fluxes on the cell
                 # means (same construction as the subcell path, h = dx).
                 G_up = [
-                    self._shift_reflect(G[e], -1, ax, d, 0)
+                    self._shift_reflect(G[e], -1, ax, d, 0,
+                                        negate_ghost=(e == d),
+                                        grad_field=True)
                     for e in range(sol.dim)
                 ]
                 G_dn = [
-                    self._shift_reflect(G[e], 1, ax, d, 0)
+                    self._shift_reflect(G[e], 1, ax, d, 0,
+                                        negate_ghost=(e == d),
+                                        grad_field=True)
                     for e in range(sol.dim)
                 ]
                 grads_hi = tuple(
@@ -492,12 +632,17 @@ class LimitedADERDG:
             last = take(slice(n_sub - 1, n_sub))
             from_right = jnp.roll(first, shift=-1, axis=grid_ax)
             from_left = jnp.roll(last, shift=1, axis=grid_ax)
-            if self._wall:
-                # Ghost subcells at reflective walls mirror the wall-adjacent
-                # subcell of the SAME cell (the nearest interior subcell).
-                ghost_hi = sol.reflect_fn(self._row(last, -1, grid_ax), d, va)
+            if self._wall_on(d):
+                # Ghost subcells at walls from the boundary hook, fed the
+                # wall-adjacent subcell of the SAME cell (the nearest
+                # interior subcell); dirichlet walls use prescribed rows.
+                ghost_hi = self._ghost_sub(
+                    self._row(last, -1, grid_ax), d, 1, va
+                )
                 from_right = self._set_row(from_right, ghost_hi, -1, grid_ax)
-                ghost_lo = sol.reflect_fn(self._row(first, 0, grid_ax), d, va)
+                ghost_lo = self._ghost_sub(
+                    self._row(first, 0, grid_ax), d, 0, va
+                )
                 from_left = self._set_row(from_left, ghost_lo, 0, grid_ax)
             u_plus = jnp.concatenate([take(slice(1, None)), from_right], axis=sub_ax)
             u_minus = jnp.concatenate([from_left, take(slice(0, n_sub - 1))], axis=sub_ax)
@@ -534,11 +679,13 @@ class LimitedADERDG:
                     for e in range(sol.dim)
                 ]
                 G_plus = [
-                    self._sub_shift(G[e], -1, d, va, negate_ghost=(e == d))
+                    self._sub_shift(G[e], -1, d, va,
+                                    negate_ghost=(e == d), grad_field=True)
                     for e in range(sol.dim)
                 ]
                 G_minus = [
-                    self._sub_shift(G[e], 1, d, va, negate_ghost=(e == d))
+                    self._sub_shift(G[e], 1, d, va,
+                                    negate_ghost=(e == d), grad_field=True)
                     for e in range(sol.dim)
                 ]
                 grads_hi = tuple(
@@ -618,14 +765,13 @@ class LimitedADERDG:
             [int(np.prod(grid[d + 1 :])) for d in range(sol.dim)], np.int32
         )
         nb_slot, nb_cell, wall = [], [], []
-        reflective = self._wall
         for d in range(sol.dim):
             per_side_nb, per_side_cell, per_side_wall = [], [], []
             for sh in (-1, 1):
                 moved = coords[d] + sh
                 on_wall = (
                     ((moved < 0) | (moved >= grid[d]))
-                    if reflective
+                    if self._wall_on(d)
                     else jnp.zeros_like(active)
                 )
                 flat_nb = cell_safe + sh * strides[d]
@@ -737,7 +883,7 @@ class LimitedADERDG:
                 jnp.take(last, jnp.maximum(nb_lo, 0), axis=-1),
                 dg_ghost[d][0],
             )
-            if self._wall:
+            if self._wall_on(d):
                 ghost_hi = jnp.where(
                     bmask(tables["wall"][:, d, 1], s.ndim),
                     sol.reflect_fn(last, d, va),
@@ -887,14 +1033,13 @@ class LimitedADERDG:
             np.int32,
         )
         nb_slot, nb_row, wall = [], [], []
-        reflective = self._wall
         for d in range(sol.dim - 1):
             per_nb, per_row, per_wall = [], [], []
             for sh in (-1, 1):
                 moved = coords[d] + sh
                 on_wall = (
                     ((moved < 0) | (moved >= lead_grid[d]))
-                    if reflective
+                    if self._wall_on(d)
                     else jnp.zeros_like(active)
                 )
                 flat_nb = row_safe + sh * strides[d]
@@ -1006,7 +1151,7 @@ class LimitedADERDG:
                     jnp.take(last, jnp.maximum(nb_lo, 0), axis=K_ax),
                     dg_ghost[d][0],
                 )
-                if self._wall:
+                if self._wall_on(d):
                     ghost_hi = jnp.where(
                         kmask(tables["wall"][:, d, 1], s.ndim),
                         sol.reflect_fn(last, d, va),
@@ -1021,7 +1166,7 @@ class LimitedADERDG:
                 # In-row exchange along the last grid direction.
                 ghost_hi = jnp.roll(first, -1, axis=L_ax)
                 ghost_lo = jnp.roll(last, 1, axis=L_ax)
-                if self._wall:
+                if self._wall_on(d):
                     mirror_hi = sol.reflect_fn(
                         self._row(last, -1, L_ax), d, va
                     )
@@ -1181,12 +1326,18 @@ class LimitedADERDG:
 
     # -------------------------------------------------- second-order subcell
 
-    def _sub_shift(self, x, sh, d, va, negate_ghost=False):
+    def _sub_shift(self, x, sh, d, va, negate_ghost=False, grad_field=False):
         """Shift by one along the GLOBAL subcell index of direction ``d``
         (subcell axis within each cell + grid axis across cells, periodic
-        across the domain).  At reflective walls the missing value is the
-        mirror ghost (``reflect_fn``), negated as well for slope fields
-        (mirroring flips the spatial direction)."""
+        across the domain).
+
+        ``grad_field=True`` marks gradient/slope arrays: at
+        prescribed-state walls (farfield/dirichlet) their ghost is ZERO
+        (the ghost is a constant, and ``reflect_fn`` would wrongly
+        broadcast the prescribed STATE into a gradient slot); at
+        reflective/outflow walls the ghost is the mirror/copy of the
+        interior value, negated when ``negate_ghost`` (the field is the
+        wall-normal component — mirroring flips the normal direction)."""
         sol = self.solver
         sub_ax = sol.node_axis(d)
         grid_ax = sol.grid_axis(d)
@@ -1199,20 +1350,27 @@ class LimitedADERDG:
 
         first = take(slice(0, 1))
         last = take(slice(n_sub - 1, n_sub))
+
+        def ghost_of(row, side):
+            if grad_field:
+                if sol.boundary in ("farfield", "dirichlet"):
+                    return jnp.zeros_like(row)
+                g = sol.reflect_fn(row, d, va)
+                return -g if negate_ghost else g
+            if sol.boundary == "dirichlet":
+                return self._ghost_sub(row, d, side, va)
+            return sol.reflect_fn(row, d, va)
+
         if sh == -1:
             nxt = jnp.roll(first, shift=-1, axis=grid_ax)
-            if self._wall:
-                ghost = sol.reflect_fn(self._row(last, -1, grid_ax), d, va)
-                if negate_ghost:
-                    ghost = -ghost
+            if self._wall_on(d):
+                ghost = ghost_of(self._row(last, -1, grid_ax), 1)
                 nxt = self._set_row(nxt, ghost, -1, grid_ax)
             return jnp.concatenate([take(slice(1, None)), nxt], axis=sub_ax)
         if sh == 1:
             prv = jnp.roll(last, shift=1, axis=grid_ax)
-            if self._wall:
-                ghost = sol.reflect_fn(self._row(first, 0, grid_ax), d, va)
-                if negate_ghost:
-                    ghost = -ghost
+            if self._wall_on(d):
+                ghost = ghost_of(self._row(first, 0, grid_ax), 0)
                 prv = self._set_row(prv, ghost, 0, grid_ax)
             return jnp.concatenate([prv, take(slice(0, n_sub - 1))], axis=sub_ax)
         raise ValueError(f"shift must be +-1, got {sh}")
@@ -1260,8 +1418,10 @@ class LimitedADERDG:
             u_plus = self._sub_shift(s, -1, d, va)
             u_minus = self._sub_shift(s, 1, d, va)
             sigma = self._slope(u_plus - s, s - u_minus)
-            sigma_plus = self._sub_shift(sigma, -1, d, va, negate_ghost=True)
-            sigma_minus = self._sub_shift(sigma, 1, d, va, negate_ghost=True)
+            sigma_plus = self._sub_shift(
+                sigma, -1, d, va, negate_ghost=True, grad_field=True)
+            sigma_minus = self._sub_shift(
+                sigma, 1, d, va, negate_ghost=True, grad_field=True)
 
             # Reconstructed interface states at my high and low faces.
             qL_hi = s + 0.5 * sigma
@@ -1288,11 +1448,13 @@ class LimitedADERDG:
                 # centered at the face — already 2nd order), evaluated on
                 # the stage state; conservation telescopes identically.
                 G_plus = [
-                    self._sub_shift(G[e], -1, d, va, negate_ghost=(e == d))
+                    self._sub_shift(G[e], -1, d, va,
+                                    negate_ghost=(e == d), grad_field=True)
                     for e in range(sol.dim)
                 ]
                 G_minus = [
-                    self._sub_shift(G[e], 1, d, va, negate_ghost=(e == d))
+                    self._sub_shift(G[e], 1, d, va,
+                                    negate_ghost=(e == d), grad_field=True)
                     for e in range(sol.dim)
                 ]
                 grads_hi = tuple(
@@ -1337,6 +1499,50 @@ class LimitedADERDG:
 
     # --------------------------------------------------- interface matching
 
+    def _admissibility_scale(self, out):
+        """Post-step conservative admissibility guard (Zhang–Shu-style).
+
+        The MOOD detection checks admissibility of the RAW DG candidate;
+        :meth:`_match_interface_fluxes` then modifies cells ADJACENT to
+        troubled ones — after detection — so a matched cell can leave the
+        admissible set unseen, and the NEXT step's fallback then computes
+        fluxes/eigenvalues from inadmissible nodal values (negative
+        density/pressure → garbage wave speeds) and detonates instead of
+        rescuing.  Measured: the strong walled blast
+        (tests/test_limiter_walls.py) grows ±1e14 densities and NaNs by
+        step ~270 without this guard, and runs clean with it; the
+        periodic twin of the same blast dips to ρ_min ≈ 0.009 through
+        the same mechanism and merely survives by luck.
+
+        The guard contracts offending cells toward their own cell mean —
+        ``mean + θ·(out − mean)`` over a fixed θ ladder (branch-free,
+        largest admissible θ wins; θ=0 is the mean itself) — which
+        preserves the quadrature cell mean EXACTLY, so conservation and
+        the matched interface fluxes are untouched.  Cells whose mean is
+        itself inadmissible cannot be fixed pointwise and keep the mean
+        (contained; next step's detection flags them).  The whole guard
+        runs under ``lax.cond`` on "any node inadmissible", so the common
+        all-admissible step pays one admissibility evaluation."""
+        sol = self.solver
+        node_axes = tuple(range(sol.dim))
+
+        def cell_ok(Q):
+            return self.admissible(Q, sol.var_axis).all(axis=node_axes)
+
+        def fix(o):
+            means = self.cell_means(o)
+            mb = self._broadcast_means(means, o)
+            best = mb  # θ = 0: the mean (conservative floor)
+            for th in (0.1, 0.25, 0.5, 1.0):
+                cand = mb + th * (o - mb)
+                okc = cell_ok(cand)
+                m = okc.reshape((1,) * (sol.dim + 1) + okc.shape)
+                best = jnp.where(m, cand, best)
+            return best
+
+        ok = cell_ok(out)
+        return jax.lax.cond(ok.all(), lambda o: o, fix, out)
+
     def _match_interface_fluxes(self, candidate, dg_fluxes, fv_fluxes, troubled, dt):
         """Make mixed DG/FV faces single-valued: untroubled cells adjacent to
         a troubled neighbour replace their DG face flux with the (constant)
@@ -1356,9 +1562,11 @@ class LimitedADERDG:
             # Face c|c+1 is mixed with me (c) untroubled, neighbour troubled.
             nbr_hi = jnp.roll(troubled, shift=-1, axis=grid_ax_mask)
             nbr_lo = jnp.roll(troubled, shift=1, axis=grid_ax_mask)
-            if self._wall:
+            if self._wall_on(d):
                 # Wall faces have one owner — never a mixed DG/FV interface
-                # (and the wrapped mask rows are meaningless).
+                # (and the wrapped mask rows are meaningless).  Per-axis:
+                # axes outside ``wall_axes`` stay periodic and their wrap
+                # faces DO need matching.
                 false_row = jnp.zeros_like(
                     self._row(nbr_hi, -1, grid_ax_mask)
                 )
@@ -1482,6 +1690,8 @@ class LimitedADERDG:
                 out = jax.lax.cond(
                     over.any(), _degrade_overflow, lambda o: o, out
                 )
+            if self.admissible is not None:
+                out = self._admissibility_scale(out)
             if not return_face_fluxes:
                 return out
             sol = self.solver
@@ -1490,7 +1700,7 @@ class LimitedADERDG:
                 fhat_dg = dg_fluxes[d]
                 G = jnp.expand_dims(fv_fluxes[d], tuple(range(sol.dim - 1)))
                 either = troubled | jnp.roll(troubled, shift=-1, axis=d)
-                if self._wall:
+                if self._wall_on(d):
                     # The last slot is the HIGH-WALL face: single owner —
                     # the wrapped first-row flag is meaningless there.
                     either = self._set_row(
@@ -1518,6 +1728,8 @@ class LimitedADERDG:
             fb = self.fv_fallback(u, dt)
         mask = troubled.reshape((1,) * (self.solver.dim + 1) + troubled.shape)
         out = jnp.where(mask, fb, candidate)
+        if self.admissible is not None and self.fallback == "subcell":
+            out = self._admissibility_scale(out)
         if not return_face_fluxes:
             return out
         sol = self.solver
@@ -1526,7 +1738,7 @@ class LimitedADERDG:
             fhat_dg = dg_fluxes[d]
             G = jnp.expand_dims(fv_fluxes[d], tuple(range(sol.dim - 1)))
             either = troubled | jnp.roll(troubled, shift=-1, axis=d)
-            if self._wall:
+            if self._wall_on(d):
                 # High-wall face: single owner; ignore the wrapped flag.
                 either = self._set_row(
                     either, self._row(troubled, -1, d), -1, d

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from exahype_tpu.models import euler
@@ -94,6 +95,44 @@ def navier_stokes(dim: int = 2, mu: float = 1e-2, prandtl: float = 0.7,
         partial(viscous_eigenvalue, dim=dim, mu=mu, prandtl=prandtl,
                 gamma=gamma),
     )
+
+
+def noslip_reflect(dim: int):
+    """Mirror ghost STATE for no-slip (viscous) walls: negate ALL momentum
+    components (the ghost velocity is the full reversal, so the wall-face
+    average velocity vanishes — the standard ghost-cell no-slip; a slip /
+    free-surface wall negates only the normal momentum, see
+    :func:`~exahype_tpu.models.aderdg.euler_reflect`).  ρ and E are copied
+    (impermeable, adiabatic-to-leading-order)."""
+
+    def reflect(Q, axis, var_axis):
+        signs = [1.0] + [-1.0] * dim + [1.0]
+        parts = [
+            s * jax.lax.index_in_dim(Q, k, var_axis, keepdims=True)
+            for k, s in enumerate(signs)
+        ]
+        return jnp.concatenate(parts, axis=var_axis)
+
+    return reflect
+
+
+def noslip_reflect_flux(dim: int):
+    """Mirror ghost ADVECTIVE flux for no-slip walls: under the full
+    velocity reversal u → −u the Euler flux obeys ``F(reflect(q)) = S·F(q)``
+    with S = −1 on the mass and energy rows (ρu_d and u_d(E+p) are odd in
+    u) and +1 on every momentum row (ρ u_d u_j + p δ_dj is even).  The
+    viscous part of the wall flux is handled one-sided by the solver's
+    face stage and never passes through this hook."""
+
+    def reflect(F, axis, var_axis):
+        signs = [-1.0] + [1.0] * dim + [-1.0]
+        parts = [
+            s * jax.lax.index_in_dim(F, k, var_axis, keepdims=True)
+            for k, s in enumerate(signs)
+        ]
+        return jnp.concatenate(parts, axis=var_axis)
+
+    return reflect
 
 
 def wrap_visc_var_last(batch_fn):

@@ -432,9 +432,10 @@ def test_farfield_walls_hold_inflow_and_absorb_exit():
     assert np.abs(Q[sel(0)] - 1.0).max() < 5e-3, np.abs(Q[sel(0)] - 1.0).max()
 
 
-def test_outflow_guards():
+def test_outflow_limiter_composes():
+    """Round 4 lifted the round-3 guard: the limiter now ACCEPTS outflow
+    solvers (full coverage in tests/test_limiter_walls.py)."""
     from exahype_tpu.models.limiter import LimitedADERDG
-    from exahype_tpu.utils.errors import SemanticError
 
     flux, eig = euler_physics(dim=2, n_real=4)
     solver = ADERDGSolver(
@@ -442,10 +443,10 @@ def test_outflow_guards():
         flux_fn=flux, max_eigenvalue_fn=eig, dx=0.25,
         boundary="outflow",
     )
-    with pytest.raises(SemanticError, match="outflow"):
-        LimitedADERDG(solver, admissible=lambda Q, va: jnp.ones(
-            Q.shape[:va] + Q.shape[va + 1:], bool
-        ))
+    limited = LimitedADERDG(solver, admissible=lambda Q, va: jnp.ones(
+        Q.shape[:va] + Q.shape[va + 1:], bool
+    ))
+    assert limited.solver is solver
 
 
 # ------------------------------------------------------------- source terms
@@ -559,6 +560,61 @@ def test_ncp_linear_equals_conservative():
     a = np.asarray(cons.run(q0, 20, 1e-3))
     b = np.asarray(ncp.run(q0, 20, 1e-3))
     np.testing.assert_allclose(b, a, rtol=0, atol=1e-11)
+
+
+@pytest.mark.parametrize("boundary", ["outflow", "farfield"])
+def test_ncp_walls_match_flux_form(boundary):
+    """NCP composes with wall boundaries (round 4 — the former
+    periodic-only guard is gone): the linear system written as a pure NCP
+    (zero flux, B = const) matches the conservative flux-form solver to
+    rounding THROUGH THE WALLS — the discrete SBP identity extends to the
+    wall Riemann/fluctuation stage because both forms see the same ghost.
+    Outflow ghosts make the wall fluctuation vanish (the radiative-wall
+    pattern dynamic-GR runs need); farfield ghosts exercise a genuinely
+    nonzero wall fluctuation."""
+    velocity = (1.0, 0.5)
+    flux, eig = advection_physics(velocity)
+    kw = dict(dim=2, order=3, n_vars=1, grid_shape=(8, 8),
+              max_eigenvalue_fn=eig, dx=1.0 / 8,
+              boundary=boundary, wall_axes=(0,))
+    if boundary == "farfield":
+        kw["farfield_state"] = (0.25,)
+    cons = ADERDGSolver(flux_fn=flux, **kw)
+    ncp = ADERDGSolver(
+        flux_fn=lambda Q, axis, var_axis: jnp.zeros_like(Q),
+        ncp_fn=lambda Q, dQ, axis, va: float(velocity[axis]) * dQ,
+        **kw,
+    )
+    q0 = advection_init(solver=cons, velocity=velocity)
+    a = np.asarray(cons.run(q0, 20, 1e-3))
+    b = np.asarray(ncp.run(q0, 20, 1e-3))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-11)
+
+
+def test_ncp_outflow_compact_support_parity():
+    """NCP + outflow walls: while a compact disturbance has not reached
+    the walls, the walled NCP run is bitwise-close to the periodic NCP
+    run (outflow ghosts of a constant edge state are exact)."""
+    def eig(Q, axis, var_axis):
+        return jnp.squeeze(jnp.abs(Q), axis=var_axis)
+
+    kw = dict(
+        dim=2, order=3, n_vars=1, grid_shape=(16, 4),
+        flux_fn=lambda Q, axis, va: jnp.zeros_like(Q),
+        ncp_fn=lambda Q, dQ, axis, va: (
+            Q * dQ if axis == 0 else jnp.zeros_like(dQ)
+        ),
+        max_eigenvalue_fn=eig, dx=1.0 / 16,
+    )
+    walled = ADERDGSolver(boundary="outflow", wall_axes=(0,), **kw)
+    periodic = ADERDGSolver(**kw)
+    coords = walled.nodes_meshgrid()
+    bump = 0.5 + 0.2 * np.exp(-(((coords[0] - 0.5) / 0.05) ** 2))
+    q0 = jnp.asarray(np.broadcast_to(bump, walled.state_shape))
+    a = np.asarray(walled.run(q0, 5, 1e-3))
+    b = np.asarray(periodic.run(q0, 5, 1e-3))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
 
 def test_ncp_burgers_primitive_form():

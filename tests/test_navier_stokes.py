@@ -384,6 +384,125 @@ def test_limited_ns_viscous_shock_stable():
     assert bool(np.asarray(ok).all())
 
 
+def make_ns_wall_solver(cells=8, order=3, mu=1e-2, wall_axes=(0,),
+                        boundary="reflective"):
+    """NS solver with no-slip walls on ``wall_axes`` (round 4: viscous
+    fluxes compose with walls — the former periodic-only guard is gone)."""
+    f, e, vf, ve = ns.navier_stokes(dim=2, mu=mu)
+    kw = {}
+    if boundary == "reflective":
+        kw = dict(reflect_fn=ns.noslip_reflect(2),
+                  reflect_flux_fn=ns.noslip_reflect_flux(2))
+    return ADERDGSolver(
+        dim=2, order=order, n_vars=4, grid_shape=(cells,) * 2,
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve),
+        dx=1.0 / cells, boundary=boundary, wall_axes=wall_axes, **kw,
+    )
+
+
+def test_ns_noslip_channel_shear_decay():
+    """The canonical viscous-wall anchor: a channel with no-slip walls at
+    x = 0, 1 (periodic in y) carrying the transverse shear
+    v_y = V sin(πx) — an exact incompressible-limit NS solution satisfying
+    the no-slip condition at both walls — decays at exactly ν π²
+    (Stokes' mode; half the periodic mode's wavenumber).  Validates the
+    one-sided wall viscous flux + advective-symmetry split end to end."""
+    mu = 0.01
+    solver = make_ns_wall_solver(cells=8, order=3, mu=mu)
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    V = 1e-3
+    rho = np.ones_like(X)
+    my = V * np.sin(np.pi * X)
+    E = 1.0 / (euler.GAMMA - 1.0) + 0.5 * my**2
+    Qv = np.stack([rho, np.zeros_like(X), my, E], axis=-1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+    dt = float(solver.cfl_dt(u))
+    n_steps = max(1, int(round(1.0 / dt)))
+    T = n_steps * dt
+    out = jax.jit(lambda u: solver.run(u, n_steps, dt))(u)
+
+    def vy_norm(q):
+        vy = jnp.take(q, 2, solver.var_axis) / jnp.take(q, 0, solver.var_axis)
+        return float(jnp.sqrt(jnp.mean(vy * vy)))
+
+    rate = np.log(vy_norm(u) / vy_norm(out)) / T
+    exact = mu * np.pi**2
+    assert abs(rate - exact) / exact < 2e-2, (rate, exact)
+
+
+def test_ns_noslip_box_mass_conserved_ke_decays():
+    """A closed no-slip box: the wall mass flux is exactly zero (the
+    ghost's advective mass flux is the negation, the viscous mass flux is
+    zero, and the ρ-jump vanishes), so total mass conserves to rounding;
+    the stirred kinetic energy decays monotonically (viscous dissipation
+    with no inflow)."""
+    solver = make_ns_wall_solver(cells=8, order=2, mu=0.05,
+                                 wall_axes=(0, 1))
+    # Divergence-free Taylor–Green velocity at uniform (ρ, p): no acoustic
+    # sloshing (pressure↔kinetic exchange is O(V²)), so viscosity + the
+    # no-slip walls drain KE cleanly.
+    coords = solver.nodes_meshgrid()
+    no_var = solver.state_shape[:2] + solver.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    Y = np.broadcast_to(np.squeeze(coords[1], solver.var_axis), no_var)
+    V = 1e-3
+    mx = V * np.sin(np.pi * X) * np.cos(np.pi * Y)
+    my = -V * np.cos(np.pi * X) * np.sin(np.pi * Y)
+    rho = np.ones_like(X)
+    E = 1.0 / (euler.GAMMA - 1) + 0.5 * (mx**2 + my**2)
+    Qv = np.stack([rho, mx, my, E], axis=-1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+    dt = float(solver.cfl_dt(u))
+
+    def ke(q):
+        r = np.asarray(jnp.take(q, 0, solver.var_axis))
+        k = sum(
+            np.asarray(jnp.take(q, 1 + j, solver.var_axis)) ** 2
+            for j in range(2)
+        )
+        return float((0.5 * k / r).mean())
+
+    out = jax.jit(lambda u: solver.run(u, 160, dt))(u)
+    assert np.isfinite(np.asarray(out)).all()
+    m0 = np.asarray(solver.total_mass(u))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=1e-12, atol=1e-14)
+    assert ke(np.asarray(out)) < 0.8 * ke(np.asarray(u))
+
+
+def test_ns_outflow_walls_compact_support_parity():
+    """Viscous + outflow walls: while a compact disturbance has not yet
+    reached the walls, the walled run is identical to the periodic run
+    (zero-gradient ghosts at a constant-state wall are exact) — a
+    differential test of the whole viscous wall plumbing."""
+    f, e, vf, ve = ns.navier_stokes(dim=2, mu=5e-3)
+    kw = dict(
+        dim=2, order=3, n_vars=4, grid_shape=(16, 8),
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve), dx=1.0 / 16,
+    )
+    walled = ADERDGSolver(boundary="outflow", wall_axes=(0,), **kw)
+    periodic = ADERDGSolver(**kw)
+    coords = walled.nodes_meshgrid()
+    no_var = walled.state_shape[:2] + walled.state_shape[3:]
+    X = np.broadcast_to(np.squeeze(coords[0], walled.var_axis), no_var)
+    bump = 0.2 * np.exp(-(((X - 0.5) / 0.05) ** 2))
+    rho = 1.0 + bump
+    p = np.ones_like(rho)
+    E = p / (euler.GAMMA - 1.0)
+    Qv = np.stack([rho, np.zeros_like(X), np.zeros_like(X), E], axis=-1)
+    u = jnp.asarray(np.moveaxis(Qv, -1, walled.var_axis))
+    dt = 5e-4
+    a = np.asarray(walled.run(u, 3, dt))
+    b = np.asarray(periodic.run(u, 3, dt))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
 def test_viscous_guards():
     solver = make_ns_solver(cells=4, order=2)
     from exahype_tpu.models.limiter import LimitedADERDG
@@ -403,13 +522,15 @@ def test_viscous_guards():
         )
     from exahype_tpu.models.aderdg import euler_reflect, euler_reflect_flux
 
-    with pytest.raises(SemanticError, match="periodic"):
-        ADERDGSolver(
-            dim=2, order=2, n_vars=4, grid_shape=(4, 4),
-            flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
-            visc_flux_fn=ns.wrap_visc_var_last(vf),
-            visc_eigenvalue_fn=wrap_var_last(ve),
-            boundary="reflective",
-            reflect_fn=euler_reflect(2),
-            reflect_flux_fn=euler_reflect_flux(2),
-        )
+    # Round 4: viscous + walls is now supported (the former periodic-only
+    # guard is gone) — construction succeeds and the wall machinery engages.
+    s = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(4, 4),
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve),
+        boundary="reflective",
+        reflect_fn=euler_reflect(2),
+        reflect_flux_fn=euler_reflect_flux(2),
+    )
+    assert s.is_wall(0) and s.is_wall(1)
