@@ -425,6 +425,17 @@ def make_sharded_aderdg_step(
             "rows for unsharded wall axes are built for the GLOBAL grid "
             "and do not broadcast to the shard-local face arrays"
         )
+    if solver.visc_flux_fn is not None and any(
+        solver.is_wall(d) for d in range(solver.dim)
+    ):
+        raise SemanticError(
+            "viscous solvers with walls are not supported on the fused "
+            "sharded path: the fused predictor emits combined "
+            "advective+viscous face fluxes, but the wall ghost flux needs "
+            "the advective/viscous split (ADERDGSolver.face_update fv_lo/"
+            "fv_hi) — use the plain GSPMD-sharded ADERDGSolver.step for "
+            "viscous wall domains"
+        )
     n_shards = mesh.shape[axis_name]
     if solver.grid_shape[0] % n_shards != 0:
         raise SemanticError(
@@ -532,18 +543,38 @@ def make_sharded_aderdg_step_2axis(
     exchange on their respective mesh axes.  The DCN axis's face stage is
     issued first so its (slower) edge bytes travel underneath the ICI
     exchange and the axis-0 compute.  ``wire_dtype=jnp.bfloat16`` halves
-    both axes' cross-chip edge bytes.  Periodic boundaries only (wall
-    domains shard one axis via :func:`make_sharded_aderdg_step`).
+    both axes' cross-chip edge bytes.
+
+    Wall domains compose (round 4): each sharded axis gates its wall
+    ghosts to the shards owning a domain wall (``axis_index == 0`` /
+    ``== n-1`` on that mesh axis), exactly like the 1-axis path — so the
+    capstone production shape, a LIMITED run in a walled box on an
+    ICI × DCN mesh, is supported via :class:`ShardedPallasADERDG2Axis`.
+    Dirichlet walls and viscous walls stay unsupported here (prescribed
+    rows are built for the GLOBAL grid; the fused faces carry no
+    advective/viscous split) and raise.
 
     Returns ``(step_fn, sharding)``; ``return_face_fluxes`` follows the
     :func:`make_sharded_aderdg_step` contract.
     """
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
-    if solver.boundary != "periodic":
+    if solver.boundary == "dirichlet":
         raise SemanticError(
-            "2-axis sharded ADER-DG supports periodic boundaries "
-            "(wall domains shard axis 0 only)"
+            "2-axis sharded dirichlet walls are not supported: prescribed "
+            "rows are built for the GLOBAL grid and do not broadcast to "
+            "the shard-local face arrays (shard axis 0 only via "
+            "make_sharded_aderdg_step)"
+        )
+    if solver.visc_flux_fn is not None and any(
+        solver.is_wall(d) for d in range(solver.dim)
+    ):
+        raise SemanticError(
+            "viscous solvers with walls are not supported on the fused "
+            "sharded path: the fused predictor emits combined "
+            "advective+viscous face fluxes, but the wall ghost flux needs "
+            "the advective/viscous split — use the plain GSPMD-sharded "
+            "ADERDGSolver.step for viscous wall domains"
         )
     n0 = mesh.shape[axis_names[0]]
     n1 = mesh.shape[axis_names[1]]
@@ -590,14 +621,25 @@ def make_sharded_aderdg_step_2axis(
         for d in sorted(epilogue_axes, reverse=True):
             i = epilogue_axes.index(d)
             q_lo, q_hi, f_lo, f_hi = faces[4 * i : 4 * i + 4]
-            name, n_sh = axis_names[d], n_mesh[d]
+            if d in (0, 1):
+                # Sharded axis: ppermute edge exchange on its own mesh
+                # axis; wall ghosts gated to the wall-owning shards.
+                name, n_sh = axis_names[d], n_mesh[d]
 
-            def shift(x, sh, ax, _name=name, _n=n_sh):
-                return _edge_shift(x, sh, ax, _name, _n, wire_dtype)
+                def shift(x, sh, ax, _name=name, _n=n_sh):
+                    return _edge_shift(x, sh, ax, _name, _n, wire_dtype)
 
-            new, fhat_d = local_solver.face_update(
-                new, q_lo, q_hi, f_lo, f_hi, d, dtv, shift=shift
-            )
+                idx = jax.lax.axis_index(name)
+                new, fhat_d = local_solver.face_update(
+                    new, q_lo, q_hi, f_lo, f_hi, d, dtv, shift=shift,
+                    holds_lo_wall=idx == 0,
+                    holds_hi_wall=idx == n_sh - 1,
+                )
+            else:
+                # Interior epilogue axes are whole within the shard.
+                new, fhat_d = local_solver.face_update(
+                    new, q_lo, q_hi, f_lo, f_hi, d, dtv
+                )
             fhat_by_dir[d] = fhat_d
         if not return_face_fluxes:
             return new

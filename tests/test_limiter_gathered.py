@@ -492,6 +492,49 @@ def test_row_gathered_with_2axis_sharded_accelerator_matches():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
 
 
+def test_row_gathered_2axis_sharded_walled_blast_matches():
+    """Round 4 (VERDICT item 10): the capstone production shape — a
+    LIMITED run in a fully walled (outflow) box over an ICI x DCN 2-axis
+    mesh — matches the single-device accelerated step to 1e-12 on a
+    (4,2) mesh; both sharded axes carry a domain wall."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.parallel.shard import ShardedPallasADERDG2Axis
+
+    solver = make_solver(cells=8, order=2, boundary="outflow")
+    ref_lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        troubled_capacity=8, troubled_granularity="row",
+        accelerator=PallasADERDG(
+            solver, interpret=True, tile0=2, epilogue_axes=(0, 1)
+        ),
+    )
+    Q0 = sod_like_state(solver)
+    dt = 2e-3
+    ref = np.asarray(jax.jit(ref_lim.step)(Q0, dt))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+    accel = ShardedPallasADERDG2Axis(solver, mesh, interpret=True, tile0=1)
+    lim = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        troubled_capacity=8, troubled_granularity="row",
+        accelerator=accel,
+    )
+    ndim = len(solver.state_shape)
+    spec = [None] * ndim
+    spec[solver.grid_axis(0)] = "ici"
+    spec[solver.grid_axis(1)] = "dcn"
+    sharding = NamedSharding(mesh, PartitionSpec(*spec))
+    Qs = jax.device_put(Q0, sharding)
+    stepped = jax.jit(
+        lim.step, in_shardings=(sharding, None), out_shardings=sharding
+    )
+    got = np.asarray(stepped(Qs, dt))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
 @pytest.mark.parametrize("granularity", ["cell", "row"])
 def test_gathered_random_masks_conserve(granularity):
     """Randomized forced-troubled sets (scattered, clustered, wrapping):

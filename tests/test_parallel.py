@@ -755,7 +755,12 @@ def test_two_axis_sharded_aderdg_bf16_wire():
     assert "collective-permute" in hlo and "bf16" in hlo
 
 
-def test_two_axis_sharded_aderdg_rejects_walls():
+@pytest.mark.parametrize("boundary", ["reflective", "outflow"])
+def test_two_axis_sharded_aderdg_walls_match_single_device(boundary):
+    """Round 4 (VERDICT item 10): wall domains on the 2-axis ICI x DCN
+    mesh — both sharded axes gate their wall ghosts to the wall-owning
+    shards; matches the unsharded boundary-aware fused step to 1e-12,
+    including the face-flux contract."""
     from jax.sharding import Mesh
 
     from exahype_tpu.models.aderdg import (
@@ -764,18 +769,81 @@ def test_two_axis_sharded_aderdg_rejects_walls():
         euler_reflect,
         euler_reflect_flux,
     )
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+    kw = {}
+    if boundary == "reflective":
+        kw = dict(reflect_fn=euler_reflect(3),
+                  reflect_flux_fn=euler_reflect_flux(3))
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary=boundary, **kw,
+    )
+    Q0 = _aderdg_euler_state(solver)
+    ref_new, ref_fluxes = PallasADERDG(
+        solver, interpret=True, tile0=2, epilogue_axes=(0, 1)
+    ).step(Q0, 1e-3, return_face_fluxes=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+    step, sharding = make_sharded_aderdg_step_2axis(
+        solver, mesh, interpret=True, tile0=1, return_face_fluxes=True
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got_new, got_fluxes = jax.jit(step)(Qs, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_new), np.asarray(ref_new), rtol=0, atol=1e-12
+    )
+    for a, b in zip(got_fluxes, ref_fluxes):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-12
+        )
+
+
+def test_two_axis_sharded_aderdg_rejects_dirichlet_and_viscous_walls():
+    """The two documented 2-axis wall holes raise clearly: dirichlet rows
+    (global-grid prescribed data) and viscous walls (no advective/viscous
+    face split from the fused predictor)."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.models import navier_stokes as ns
+    from exahype_tpu.models.aderdg import (
+        ADERDGSolver,
+        euler_physics,
+        make_dirichlet_fn,
+        wrap_var_last,
+    )
     from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
     from exahype_tpu.utils.errors import SemanticError
 
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
     flux, eig = euler_physics(dim=3, n_real=5)
+    state_fn = lambda x, y, z: np.stack(
+        [np.ones_like(x), np.zeros_like(x), np.zeros_like(x),
+         np.zeros_like(x), np.ones_like(x)], axis=-1,
+    )
+    dfn = make_dirichlet_fn(state_fn, dim=3, order=2, grid_shape=(8, 4, 8),
+                            dx=1.0 / 8)
     solver = ADERDGSolver(
         dim=3, order=2, n_vars=5, grid_shape=(8, 4, 8), flux_fn=flux,
-        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="reflective",
-        reflect_fn=euler_reflect(3), reflect_flux_fn=euler_reflect_flux(3),
+        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="dirichlet",
+        dirichlet_fn=dfn,
     )
-    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
-    with pytest.raises(SemanticError, match="periodic"):
+    with pytest.raises(SemanticError, match="dirichlet"):
         make_sharded_aderdg_step_2axis(solver, mesh, interpret=True, tile0=1)
+
+    f, e, vf, ve = ns.navier_stokes(dim=2, mu=1e-2)
+    vsolver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8),
+        flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
+        visc_flux_fn=ns.wrap_visc_var_last(vf),
+        visc_eigenvalue_fn=wrap_var_last(ve), dx=1.0 / 8,
+        boundary="reflective", reflect_fn=ns.noslip_reflect(2),
+        reflect_flux_fn=ns.noslip_reflect_flux(2),
+    )
+    with pytest.raises(SemanticError, match="viscous"):
+        make_sharded_aderdg_step_2axis(vsolver, mesh, interpret=True, tile0=1)
 
 
 def test_sharded_aderdg_high_order_p5():
