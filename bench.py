@@ -216,9 +216,25 @@ def bench_limited(solver, dtype):
         t = limited.troubled_mask(q, cand)
         return t.sum(), t.any(axis=-1).sum()
 
+    adm_fn = euler_admissible(dim=solver.dim, gamma=1.4)
+
+    @jax.jit
+    def integrity(q):
+        """FULL-state integrity, reduced on device (round 4: the official
+        metric asserts the whole 80M-element state, not a corner sample —
+        a NaN or an inadmissible cell ANYWHERE fails the bench)."""
+        finite = jnp.isfinite(q).all()
+        adm = adm_fn(q, solver.var_axis).all()
+        rho_min = jnp.min(jnp.take(q, 0, solver.var_axis))
+        mass = jnp.sum(jnp.take(q, 0, solver.var_axis).astype(jnp.float64)
+                       if jax.config.jax_enable_x64
+                       else jnp.take(q, 0, solver.var_axis))
+        return finite, adm, rho_min, mass
+
     Q = run_chunk(Q)
     n_troubled, n_rows = troubled_count(Q)
     frac = float(n_troubled) / n_cells  # fetch = hard sync
+    _, _, _, mass0 = (np.asarray(v) for v in jax.device_get(integrity(Q)))
 
     n_rounds = 6
     t0 = time.perf_counter()
@@ -231,6 +247,19 @@ def bench_limited(solver, dtype):
     assert np.isfinite(tail).all(), "limited bench state went non-finite"
     steps = n_rounds * chunk
     dof_per_sec = solver.dofs() * steps / elapsed
+
+    # Post-timing integrity + capacity accounting (outside the timed
+    # window; scalar fetches only).
+    finite, adm, rho_min, mass1 = (
+        np.asarray(v) for v in jax.device_get(integrity(Q))
+    )
+    assert bool(finite), "limited bench: non-finite value in final state"
+    assert bool(adm), (
+        f"limited bench: final state inadmissible (rho_min={float(rho_min)})"
+    )
+    n_troubled1, n_rows1 = troubled_count(Q)
+    rows_demand = int(n_rows1)
+    mass_drift = abs(float(mass1) - float(mass0)) / abs(float(mass0))
     return {
         "metric": "limited_aderdg_p3_euler3d_dof_updates_per_sec_per_chip",
         "value": dof_per_sec,
@@ -240,6 +269,20 @@ def bench_limited(solver, dtype):
         "troubled_fraction": frac,
         "troubled_rows": int(n_rows),
         "troubled_capacity_rows": capacity,
+        "integrity": {
+            "full_state_finite": bool(finite),
+            "full_state_admissible": bool(adm),
+            "rho_min": float(rho_min),
+        },
+        "capacity_usage": {
+            "rows_demand_final": rows_demand,
+            "rows_capacity": capacity,
+            "overflow_engaged": rows_demand > capacity,
+            # Relative conserved-mass drift over the 30 timed steps: the
+            # f32-rounding floor plus the means-policy cost at overflowed
+            # rows (docs/PERFORMANCE.md, conservation accounting).
+            "mass_drift_rel": mass_drift,
+        },
     }
 
 

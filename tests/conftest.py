@@ -25,3 +25,35 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------- two tiers
+#
+# The suite is split into a FAST tier (default: `pytest tests/` — minutes)
+# and the FULL suite (`pytest tests/ -m ""` — ~1.5-2 h): convergence
+# sweeps, Z4 oracles, and multi-step capstones are marked `slow`, either
+# explicitly (`@pytest.mark.slow`) or automatically from the recorded
+# wall-clock of a full-suite run (tests/durations_r4.json, every test that
+# took >= 10 s).  New tests are fast by default; re-generate the data file
+# with `pytest tests/ -m "" --durations=0` when the tiering drifts.
+
+import json
+import pathlib
+
+import pytest
+
+_DUR_FILE = pathlib.Path(__file__).with_name("durations_r4.json")
+_SLOW_IDS = set(json.loads(_DUR_FILE.read_text())) if _DUR_FILE.exists() else set()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (excluded from the default fast tier)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
