@@ -137,14 +137,17 @@ def test_lobatto_advection_convergence_rate(order, min_rate):
     trade: nodal face values (no extrapolation) for one order — Legendre
     stays the default and the production basis."""
     errors = []
-    for cells in (4, 8):
+    for cells in (4, 8, 16):
         solver = _advection_solver(cells, order, "lobatto")
         u = _advection_init(solver)
         n_steps, dt = 10 * (cells // 4), 1e-3 / (cells // 4)
         u = solver.run(u, n_steps, dt)
         exact = _advection_init(solver, t=n_steps * dt)
         errors.append(_l2_error(solver, u, exact))
-    rate = np.log2(errors[0] / errors[1])
+    # The asymptotic rate is the FINEST pair (8→16); the 4→8 pair is
+    # pre-asymptotic and only required to be monotone.
+    assert errors[0] > errors[1] > errors[2]
+    rate = np.log2(errors[1] / errors[2])
     assert rate > min_rate, f"lobatto order-{order} rate {rate:.2f}, {errors}"
 
 
