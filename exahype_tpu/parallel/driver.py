@@ -51,6 +51,13 @@ class DriverConfig:
     #: On :class:`AdaptiveTimeLoopDriver` the contract is the composite
     #: state: ``fn(coarse, fine, tables) -> scalar``.
     observables: Optional[dict] = None
+    #: (AdaptiveTimeLoopDriver) build the NEXT chunk's refinement tables
+    #: on the host WHILE the current chunk runs on device, scoring the
+    #: criterion from the chunk's input state — takes host re-gridding
+    #: off the critical path at the cost of a one-chunk pattern lag
+    #: (size the criterion's ``rel_threshold`` buffer to cover
+    #: ``chunk_steps`` of front motion).
+    overlap_regrid: bool = False
 
 
 class TimeLoopDriver:
@@ -309,16 +316,38 @@ class AdaptiveTimeLoopDriver:
         chunks_done = 0
         obs_history: list[dict] = []
         base_chunk = chunk_idx  # masks[i] belongs to chunk base_chunk + i
+        overlap = getattr(cfg, "overlap_regrid", False)
+        pending = None  # (mask, tables) prebuilt for the NEXT chunk
         while chunk_idx < n_chunks:
-            mask = dyn.pick_mask(coarse)
-            new_tables = dyn.pool.build_tables(mask)
+            if pending is not None:
+                mask, new_tables = pending
+                pending = None
+            else:
+                mask = dyn.pick_mask(coarse)
+                new_tables = dyn.pool.build_tables(mask)
             if tables is None:
                 fine = dyn.pool.init_pool(coarse, new_tables)
             else:
                 fine = dyn.pool.regrid(coarse, fine, tables, new_tables)
             tables = new_tables
 
+            scores_dev = (
+                dyn._score_fn()(coarse)
+                if overlap and chunk_idx + 1 < n_chunks
+                else None
+            )
             new_coarse, new_fine = fn(coarse, fine, tables, dt)
+            if scores_dev is not None:
+                # Host-side table construction for the NEXT chunk runs
+                # UNDER the chunk's device dispatch: the scores came from
+                # this chunk's INPUT state (one-chunk pattern lag — the
+                # standard regrid-with-margin trade; keep rel_threshold's
+                # buffer wide enough to cover chunk_steps of front
+                # motion).  Discarded on rollback.
+                next_mask = dyn._mask_from_scores(
+                    np.asarray(scores_dev)
+                )
+                pending = (next_mask, dyn.pool.build_tables(next_mask))
             new_coarse.block_until_ready()
             if not bool(jnp.isfinite(new_coarse).all()):
                 recoveries += 1
@@ -338,6 +367,7 @@ class AdaptiveTimeLoopDriver:
                 chunk_idx = int(state["chunk"])
                 t = float(state["t"])
                 dt = dt * cfg.recovery_dt_factor
+                pending = None  # prebuilt tables belong to the failed path
                 # Drop the rolled-back trajectory's masks so masks[i] keeps
                 # meaning "the refinement set of chunk base_chunk + i".
                 del masks[max(chunk_idx - base_chunk, 0):]

@@ -668,8 +668,7 @@ class DynamicRunBase:
     chunk.  Subclasses set ``self.pool``, ``self.criterion``,
     ``self._criterion_subject``, and ``self._chunk = {}``."""
 
-    def pick_mask(self, state):
-        scores = np.asarray(self.criterion(self._criterion_subject, state))
+    def _mask_from_scores(self, scores: np.ndarray) -> np.ndarray:
         mask = scores >= self.rel_threshold * scores.max()
         if int(mask.sum()) > self.capacity:
             top = np.argsort(scores, axis=None, kind="stable")[::-1]
@@ -677,6 +676,36 @@ class DynamicRunBase:
             mask[top[: self.capacity]] = True
             mask = mask.reshape(scores.shape)
         return mask
+
+    def pick_mask(self, state):
+        return self._mask_from_scores(
+            np.asarray(self._score_fn()(state))
+        )
+
+    def _score_fn(self):
+        """Criterion as an on-device dispatch when the criterion traces
+        (the overlap mode's cheap input-state score); host-numpy criteria
+        (e.g. :func:`~exahype_tpu.parallel.criteria.gradient_indicator`)
+        fall back to a plain call — overlap then pays one input-state
+        fetch, and the table build still runs under the device chunk."""
+        fn = getattr(self, "_scores_fn", None)
+        if fn is None:
+            def base(s):
+                return self.criterion(self._criterion_subject, s)
+
+            jitted = jax.jit(base)
+            mode = {"jit": True}
+
+            def fn(s):
+                if mode["jit"]:
+                    try:
+                        return jitted(s)
+                    except jax.errors.TracerArrayConversionError:
+                        mode["jit"] = False
+                return base(s)
+
+            self._scores_fn = fn
+        return fn
 
     def _chunk_fn(self, chunk_steps: int):
         if chunk_steps not in self._chunk:
@@ -687,24 +716,59 @@ class DynamicRunBase:
             )
         return self._chunk[chunk_steps]
 
-    def run(self, Q0, n_chunks: int, chunk_steps: int, dt):
+    def run(self, Q0, n_chunks: int, chunk_steps: int, dt,
+            overlap_regrid: bool = False):
         """Returns ``(coarse, fine, info)`` with ``info["masks"]`` the
-        per-chunk refinement sets and ``info["tables"]`` the final tables."""
+        per-chunk refinement sets and ``info["tables"]`` the final tables.
+
+        ``overlap_regrid=True`` takes the HOST out of the re-grid loop's
+        critical path: the refinement pattern for chunk ``k+1`` is scored
+        from chunk ``k``'s INPUT state (a tiny on-device reduction whose
+        fetch does not wait on the running chunk), so the host-side table
+        construction executes UNDER chunk ``k``'s device dispatch instead
+        of between chunks.  The pattern therefore LAGS one chunk
+        (``chunk_steps`` steps) behind the front — the classic
+        regrid-with-margin trade: keep ``rel_threshold`` low enough (or
+        chunks short enough) that the criterion's buffer zone covers one
+        chunk of front motion.  Chunk 0 is scored from ``Q0`` directly
+        (nothing to overlap yet), so both modes start from the same
+        pattern."""
         masks = []
         tables = None
         fine = None
         coarse = Q0
         fn = self._chunk_fn(chunk_steps)
-        for _ in range(n_chunks):
-            mask = self.pick_mask(coarse)
+        if not overlap_regrid:
+            for _ in range(n_chunks):
+                mask = self.pick_mask(coarse)
+                new_tables = self.pool.build_tables(mask)
+                if tables is None:
+                    fine = self.pool.init_pool(coarse, new_tables)
+                else:
+                    fine = self.pool.regrid(coarse, fine, tables, new_tables)
+                tables = new_tables
+                masks.append(mask)
+                coarse, fine = fn(coarse, fine, tables, dt)
+            return coarse, fine, {"masks": masks, "tables": tables}
+
+        score = self._score_fn()
+        mask = self.pick_mask(coarse)
+        tables = self.pool.build_tables(mask)
+        fine = self.pool.init_pool(coarse, tables)
+        masks.append(mask)
+        for k in range(n_chunks):
+            scores_dev = score(coarse) if k + 1 < n_chunks else None
+            coarse, fine = fn(coarse, fine, tables, dt)  # async dispatch
+            if scores_dev is None:
+                break
+            # Host work below overlaps the chunk running on device: the
+            # scores were computed from the chunk's INPUT, so fetching
+            # them does not wait for the chunk itself.
+            mask = self._mask_from_scores(np.asarray(scores_dev))
             new_tables = self.pool.build_tables(mask)
-            if tables is None:
-                fine = self.pool.init_pool(coarse, new_tables)
-            else:
-                fine = self.pool.regrid(coarse, fine, tables, new_tables)
-            tables = new_tables
             masks.append(mask)
-            coarse, fine = fn(coarse, fine, tables, dt)
+            fine = self.pool.regrid(coarse, fine, tables, new_tables)
+            tables = new_tables
         return coarse, fine, {"masks": masks, "tables": tables}
 
 

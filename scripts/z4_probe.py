@@ -16,10 +16,12 @@ Honest timing: chained steps + final host fetch (the axon tunnel's
 ``block_until_ready`` does not sync; identical repeated dispatches are
 served from a cache — docs/PERFORMANCE.md round-2 calibration caveat).
 
-Usage: python scripts/z4_probe.py [--shift] [--large] [--pallas]
+Usage: python scripts/z4_probe.py [--shift] [--matter] [--large] [--pallas]
   (one JSON line per config)
 
 --shift   53-var Gamma-driver system (einsum vs SoA)
+--matter  43-var coupled Z4+GRHD (models/z4_matter.py): einsum vs SoA,
+          perturbed-FLRW state (con2prim in every flux/source call)
 --large   16x16x128 grid, SoA configs only (the HBM-bound regime)
 --pallas  additionally time PallasADERDG on the SoA solver — documents
           the compile-size limit (docs/PERFORMANCE.md "Dynamic GR")
@@ -72,11 +74,70 @@ def chained_time(step, Q, dt, n_steps=N_STEPS):
 
 def main():
     shifted = "--shift" in sys.argv
+    matter = "--matter" in sys.argv
     grid = GRID
     large = "--large" in sys.argv
     if large:
         # Production-scale grid for the headline number.
         grid = (16, 16, 128)
+    if matter:
+        # 43-var coupled Z4+GRHD: every flux/eig/source/NCP call runs the
+        # bracketed-Newton con2prim on top of the Z4 tensor algebra.
+        configs = {
+            "matter_einsum_per_axis": dict(),
+            "matter_soa_per_axis": dict(impl="soa"),
+        }
+        n_vars = 43
+        if large or "--pallas" in sys.argv:
+            configs = {"matter_soa_per_axis": dict(impl="soa")}
+        from exahype_tpu.models.z4_matter import (
+            flrw_state,
+            make_z4_matter_solver,
+        )
+
+        ref = None
+        for name, kw in configs.items():
+            solver = make_z4_matter_solver(
+                dim=3, order=ORDER, grid_shape=grid, dx=DX,
+                slicing="harmonic", f=0.0, **kw
+            )
+            rho0 = 0.02
+            Q = flrw_state(
+                solver, 1.0, float(np.sqrt(8 * np.pi * rho0 / 3)),
+                rho0=rho0,
+            )
+            # Smooth density perturbation so the run is not trivially
+            # homogeneous (con2prim sees spatially varying inputs).
+            q = jnp.moveaxis(Q, solver.var_axis, -1)
+            coords = np.indices(q.shape[-4:-1], dtype=np.float32)
+            pert = 1.0 + 0.05 * np.sin(
+                2 * np.pi * coords[2] / q.shape[-2]
+            )
+            pert = jnp.asarray(
+                np.broadcast_to(pert, q.shape[:-1])
+            )
+            q = q.at[..., 38].mul(pert)
+            q = q.at[..., 42].mul(pert)
+            Q = jnp.moveaxis(q, -1, solver.var_axis).astype(jnp.float32)
+            out = np.asarray(solver.step(Q, DT), dtype=np.float64)
+            if ref is None:
+                ref = out
+            else:
+                err = float(np.max(np.abs(out - ref)))
+                assert err < 1e-4, (name, err)
+            ms = chained_time(solver.step, Q, DT) * 1e3
+            n_dof = int(np.prod(grid)) * (ORDER + 1) ** 3 * n_vars
+            print(
+                json.dumps(
+                    {
+                        "config": name,
+                        "ms_per_step": round(ms, 1),
+                        "gdof_per_s": round(n_dof / ms / 1e6, 4),
+                    }
+                ),
+                flush=True,
+            )
+        return
     if shifted:
         # 53-var Gamma-driver gauge (the full-gauge-freedom config).
         configs = {
@@ -128,7 +189,12 @@ def main():
         if "--pallas" in sys.argv:
             from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
-            fused = PallasADERDG(solver)
+            # Streamed predictor (round 4): fori over Picard iterations
+            # AND time slices bounds the kernel body to ONE slice's RHS —
+            # the 38-var algebra unrolls once, not picard_iters x nn
+            # times, which is what OOM-killed the Mosaic compile helper
+            # (docs/PERFORMANCE.md "Fused-Pallas status for Z4").
+            fused = PallasADERDG(solver, picard_loop=True, slice_loop=True)
             pout = np.asarray(fused.step(Q, DT), dtype=np.float64)
             perr = float(np.max(np.abs(pout - out)))
             assert perr < 1e-4, (name, "pallas", perr)
@@ -137,7 +203,7 @@ def main():
             print(
                 json.dumps(
                     {
-                        "config": name + "+fused_pallas",
+                        "config": name + "+fused_pallas_streamed",
                         "ms_per_step": round(pms, 1),
                         "gdof_per_s": round(pdof / pms / 1e6, 4),
                     }

@@ -726,6 +726,55 @@ def test_adaptive_driver_global_observables(caplog):
     assert any('"observables"' in r.message for r in caplog.records)
 
 
+def test_adaptive_driver_overlap_regrid_matches_when_stationary():
+    """DriverConfig(overlap_regrid=True): table construction runs under
+    the device chunk with a one-chunk pattern lag — bitwise equal to the
+    sequential driver when the criterion pattern is stationary."""
+    import jax.numpy as jnp
+
+    from exahype_tpu.models import hyperbolic
+    from exahype_tpu.models.fv import build_fv_rusanov_kernel
+    from exahype_tpu.parallel import GridSolver, PatchGrid
+    from exahype_tpu.parallel.driver import AdaptiveTimeLoopDriver, DriverConfig
+    from exahype_tpu.parallel.pool import DynamicPoolRefinement
+    from exahype_tpu.utils.config import KernelConfig
+    from exahype_tpu.utils.output import disassemble_global
+
+    gx = gy = 6
+    cfg = KernelConfig(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=gx * gy
+    )
+    grid = PatchGrid(config=cfg, grid_shape=(gx, gy))
+    flux, eig = hyperbolic.advection((0.0, 0.0))  # stationary pattern
+    kb = build_fv_rusanov_kernel(
+        dim=2, patch_size=4, halo_size=1, n_real=1, n_aux=0,
+        n_patches=gx * gy, flux_impl=flux, eigenvalue_impl=eig,
+    )
+    solver = GridSolver(grid, kb, dx=1.0 / (gx * 4), kernel_dt="lambda")
+    n = gx * 4
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u0 = np.exp(-(((X - 0.5) ** 2 + (Y - 0.5) ** 2) / 0.08**2))
+    Q0 = disassemble_global(
+        grid, jnp.zeros(grid.state_shape), jnp.asarray(u0[..., None])
+    )
+
+    def make(overlap):
+        dyn = DynamicPoolRefinement(solver, capacity=6, factor=2)
+        drv = AdaptiveTimeLoopDriver(
+            dyn,
+            DriverConfig(log_metrics=False, overlap_regrid=overlap),
+        )
+        return drv.run(Q0, n_chunks=4, chunk_steps=5, dt=2e-3)
+
+    c1, f1, i1 = make(False)
+    c2, f2, i2 = make(True)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    for a, b in zip(i1["masks"], i2["masks"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_export_step_new_families_roundtrip():
     """The serving path covers the round-3 families: a viscous
     Navier–Stokes step and a curved-GRMHD step export to StableHLO and

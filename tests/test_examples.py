@@ -92,6 +92,20 @@ def test_limited_amr_blast(tmp_path, monkeypatch, capsys):
     assert "limited AMR blast: conservative + admissible" in out
 
 
+@pytest.mark.slow
+def test_limited_amr_blast3d(tmp_path, monkeypatch, capsys):
+    """The round-4 3-D capstone: limited AMR blast with overlapped
+    re-gridding, conservative to rounding with adequate coarse capacity."""
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv", ["limited_amr_blast3d.py", "--cpu", "--chunks", "2"]
+    )
+    run_example("limited_amr_blast3d.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "3-D limited AMR blast: conservative + admissible" in out
+
+
 def test_orszag_tang(tmp_path, monkeypatch, capsys):
     import sys
 

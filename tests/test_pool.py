@@ -241,6 +241,49 @@ def test_dynamic_pool_tracks_and_conserves():
     assert n_traces[0] == 1, "re-gridding retraced the chunk"
 
 
+def test_dynamic_pool_overlap_regrid_stationary_bitwise():
+    """overlap_regrid=True (host table build under the device chunk, one-
+    chunk pattern lag): with a STATIONARY criterion pattern the lag is
+    invisible — the run is bitwise equal to the sequential mode."""
+    solver = make_solver(gx=6, gy=6, velocity=(0.0, 0.0))
+    coarse_Q = gaussian_state(solver, centre=(0.5, 0.5))
+    dyn = DynamicPoolRefinement(solver, capacity=6, factor=2,
+                                rel_threshold=0.6)
+    c1, f1, i1 = dyn.run(coarse_Q, n_chunks=4, chunk_steps=4, dt=2.5e-3)
+    dyn2 = DynamicPoolRefinement(solver, capacity=6, factor=2,
+                                 rel_threshold=0.6)
+    c2, f2, i2 = dyn2.run(coarse_Q, n_chunks=4, chunk_steps=4, dt=2.5e-3,
+                          overlap_regrid=True)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    for a, b in zip(i1["masks"], i2["masks"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dynamic_pool_overlap_regrid_moving_conserves():
+    """Moving front under overlap_regrid: the pattern lags one chunk but
+    still tracks (masks change), and conservation through every re-grid
+    stays exact."""
+    solver = make_solver(gx=6, gy=6)
+    coarse_Q = gaussian_state(solver, centre=(0.2, 0.5))
+    m0 = coarse_mass(solver, coarse_Q)
+    dyn = DynamicPoolRefinement(solver, capacity=6, factor=2,
+                                rel_threshold=0.6)
+    c, f, info = dyn.run(coarse_Q, n_chunks=8, chunk_steps=8, dt=2.5e-3,
+                         overlap_regrid=True)
+    masks = [tuple(map(tuple, m)) for m in info["masks"]]
+    assert len(set(masks)) > 1, "refinement set never moved"
+    np.testing.assert_allclose(coarse_mass(solver, c), m0, rtol=1e-12)
+    assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(f).all())
+    # The lag-one contract: mask k+1 equals the sequential pick evaluated
+    # on chunk k's INPUT state (mask 0 is the same in both modes).
+    dyn_seq = DynamicPoolRefinement(solver, capacity=6, factor=2,
+                                    rel_threshold=0.6)
+    np.testing.assert_array_equal(
+        info["masks"][0], dyn_seq.pick_mask(coarse_Q)
+    )
+
+
 def test_pool_3d_smoke():
     cfg = KernelConfig(
         dim=3, patch_size=4, halo_size=1, n_real=1, n_aux=0, n_patches=27
