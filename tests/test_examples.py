@@ -92,6 +92,15 @@ def test_limited_amr_blast(tmp_path, monkeypatch, capsys):
     assert "limited AMR blast: conservative + admissible" in out
 
 
+def test_flrw_cosmology(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["flrw_cosmology.py", "--cpu"])
+    run_example("flrw_cosmology.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "matches the Friedmann reference" in out
+
+
 @pytest.mark.slow
 def test_limited_amr_blast3d(tmp_path, monkeypatch, capsys):
     """The round-4 3-D capstone: limited AMR blast with overlapped
