@@ -824,15 +824,14 @@ def test_wall_axes_validation():
         )
 
 
-def test_limiter_and_pool_reject_partial_walls():
-    from exahype_tpu.models.limiter import LimitedADERDG, euler_admissible
+def test_pool_rejects_partial_walls():
+    """The limiter ACCEPTS per-axis ``wall_axes`` since round 4
+    (tests/test_limiter_walls.py pins that); the ADER-DG pool still
+    guards them out explicitly."""
+    from exahype_tpu.models.aderdg_pool import ADERDGPoolRefinement
     from exahype_tpu.utils.errors import SemanticError
 
     solver = _free_surface_solver(wall_axes=(0,))
-    with pytest.raises(SemanticError):
-        LimitedADERDG(solver, admissible=lambda q, va: jnp.ones(()))
-    from exahype_tpu.models.aderdg_pool import ADERDGPoolRefinement
-
     with pytest.raises(SemanticError):
         ADERDGPoolRefinement(coarse=solver, capacity=2, factor=2)
 
