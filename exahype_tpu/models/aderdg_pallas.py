@@ -299,16 +299,21 @@ class PallasADERDG:
                 cols.append(acc)
             return jnp.stack(cols, axis=axis)
 
-        def grads_of(q_s):
-            """Physical gradients (∂q/∂x_e)_e from the block's polynomial
-            (None for inviscid solvers) — same D application and division
-            as the XLA predictor, so both paths round identically."""
-            if sol.visc_flux_fn is None:
-                return None
+        def phys_grads(q_s):
+            """Physical gradients (∂q/∂x_e for every grid axis e) — same D
+            application and division as the XLA predictor, so both paths
+            round identically."""
             return tuple(
                 mat_apply(D, q_s, sol.node_axis(e)) / sol._dxs[e]
                 for e in range(dim)
             )
+
+        def grads_of(q_s):
+            """phys_grads for viscous solvers, None otherwise (the
+            inviscid flux path never traces gradient sweeps)."""
+            if sol.visc_flux_fn is None:
+                return None
+            return phys_grads(q_s)
 
         def full_flux(q_s, d, grads):
             """Hyperbolic + (when enabled) viscous flux along ``d``."""
@@ -351,14 +356,23 @@ class PallasADERDG:
                             D, full_flux(q[s], d, g_s), sol.node_axis(d)
                         )
                         r = r - lams[d] * W[s] * dF
-                        if sol.ncp_fn is not None:
+                        if (sol.ncp_fn is not None
+                                and sol.rhs_all_fn is None):
                             r = r - lams[d] * W[s] * sol.ncp_fn(
                                 q[s],
                                 mat_apply(D, q[s], sol.node_axis(d)),
                                 d,
                                 va,
                             )
-                    if sol.source_fn is not None:
+                    if sol.rhs_all_fn is not None:
+                        # One fused algebra evaluation replaces source +
+                        # 2·dim NCP evaluations — the code-SIZE lever that
+                        # lets big-NCP systems (38-var Z4) fit the Mosaic
+                        # compile (docs/PERFORMANCE.md "Dynamic GR").
+                        r = r + dtv * W[s] * sol.rhs_all_fn(
+                            q[s], phys_grads(q[s]), va
+                        )
+                    elif sol.source_fn is not None:
                         r = r + dtv * W[s] * sol.source_fn(q[s], va)
                     rhs.append(r)
                 return [
@@ -389,14 +403,19 @@ class PallasADERDG:
                         D, full_flux(q_s, d, g_s), sol.node_axis(d)
                     )
                     r = r - lams[d] * dyn_scalar(W, s) * dF
-                    if sol.ncp_fn is not None:
+                    if (sol.ncp_fn is not None
+                            and sol.rhs_all_fn is None):
                         r = r - lams[d] * dyn_scalar(W, s) * sol.ncp_fn(
                             q_s,
                             mat_apply(D, q_s, sol.node_axis(d)),
                             d,
                             va,
                         )
-                if sol.source_fn is not None:
+                if sol.rhs_all_fn is not None:
+                    r = r + dtv * dyn_scalar(W, s) * sol.rhs_all_fn(
+                        q_s, phys_grads(q_s), va
+                    )
+                elif sol.source_fn is not None:
                     r = r + dtv * dyn_scalar(W, s) * sol.source_fn(q_s, va)
                 return r
 
@@ -474,7 +493,7 @@ class PallasADERDG:
                     u + dtv * avg[3] if sol.source_fn is not None else u
                 )
                 return _epilogue(
-                    u, new, qbar, fbar, lams,
+                    u, new, qbar, fbar, lams, dtv,
                     out_vol_ref, face_refs, emit_fused_fhat,
                 )
 
@@ -497,20 +516,26 @@ class PallasADERDG:
                         for d in lam_axes
                     ]
                     derivs = [[dF[d]] * nn for d in lam_axes]
-                    srcs = (
-                        [sol.source_fn(u, va)] * nn
-                        if sol.source_fn is not None
-                        else None
-                    )
-                    ncps = None
-                    if sol.ncp_fn is not None:
-                        ncp0 = [
-                            sol.ncp_fn(
-                                u, mat_apply(D, u, sol.node_axis(d)), d, va
-                            )
-                            for d in lam_axes
-                        ]
-                        ncps = [[ncp0[d]] * nn for d in lam_axes]
+                    if sol.rhs_all_fn is not None:
+                        gr0 = g0 if g0 is not None else phys_grads(u)
+                        srcs = [sol.rhs_all_fn(u, gr0, va)] * nn
+                        ncps = None
+                    else:
+                        srcs = (
+                            [sol.source_fn(u, va)] * nn
+                            if sol.source_fn is not None
+                            else None
+                        )
+                        ncps = None
+                        if sol.ncp_fn is not None:
+                            ncp0 = [
+                                sol.ncp_fn(
+                                    u, mat_apply(D, u, sol.node_axis(d)),
+                                    d, va
+                                )
+                                for d in lam_axes
+                            ]
+                            ncps = [[ncp0[d]] * nn for d in lam_axes]
                     rhs = []
                     for s in range(nn):
                         r = PHI0[s] * u
@@ -574,18 +599,29 @@ class PallasADERDG:
             else:
                 new = u
             return _epilogue(
-                u, new, qbar, fbar, lams,
+                u, new, qbar, fbar, lams, dtv,
                 out_vol_ref, face_refs, emit_fused_fhat,
             )
 
         def _epilogue(
-            u, new, qbar, fbar, lams, out_vol_ref, face_refs, emit_fused_fhat
+            u, new, qbar, fbar, lams, dtv,
+            out_vol_ref, face_refs, emit_fused_fhat,
         ):
             """Volume integral + Riemann/face handling, shared by the
             unrolled and slice-streamed predictor paths."""
+            if sol.ncp_fn is not None and sol.rhs_all_fn is not None:
+                # Fused strong-form NCP volume term (base solver order:
+                # before the per-axis volume integrals): two algebra
+                # evaluations instead of 2·dim.
+                dqs = phys_grads(qbar)
+                zeros = tuple(jnp.zeros_like(qbar) for _ in range(dim))
+                new = new + dtv * (
+                    sol.rhs_all_fn(qbar, dqs, va)
+                    - sol.rhs_all_fn(qbar, zeros, va)
+                )
             for d in lam_axes:
                 new = new + lams[d] * mat_apply(Kvol, fbar[d], sol.node_axis(d))
-                if sol.ncp_fn is not None:
+                if sol.ncp_fn is not None and sol.rhs_all_fn is None:
                     new = new - lams[d] * sol.ncp_fn(
                         qbar,
                         mat_apply(D, qbar, sol.node_axis(d)),

@@ -190,11 +190,21 @@ def main():
             from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
             # Streamed predictor (round 4): fori over Picard iterations
-            # AND time slices bounds the kernel body to ONE slice's RHS —
-            # the 38-var algebra unrolls once, not picard_iters x nn
-            # times, which is what OOM-killed the Mosaic compile helper
-            # (docs/PERFORMANCE.md "Fused-Pallas status for Z4").
-            fused = PallasADERDG(solver, picard_loop=True, slice_loop=True)
+            # AND time slices bounds the kernel body to ONE slice's RHS,
+            # and the solver's fused ``rhs_all_fn`` hook (supported by the
+            # kernel since round 4) makes that RHS ONE algebra evaluation
+            # instead of source + 2·dim NCP evaluations (7 for dim=3) —
+            # together ~25× less MLIR than the config that OOM-killed the
+            # Mosaic compile helper (docs/PERFORMANCE.md "Dynamic GR").
+            # fuse_interior_riemann=False keeps the face fluctuations (more
+            # per-axis algebra instances) in the XLA epilogue.
+            fsolver = make_z4_solver(
+                dim=3, order=ORDER, grid_shape=grid, dx=DX,
+                impl="soa", fused_rhs="soa",
+            )
+            fused = PallasADERDG(fsolver, picard_loop=True,
+                                 slice_loop=True,
+                                 fuse_interior_riemann=False)
             pout = np.asarray(fused.step(Q, DT), dtype=np.float64)
             perr = float(np.max(np.abs(pout - out)))
             assert perr < 1e-4, (name, "pallas", perr)

@@ -1014,3 +1014,49 @@ def test_pallas_slice_loop_source_and_ncp_parity():
         ).step(q0, 1e-3)
     )
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13)
+
+
+def test_fused_rhs_all_hook_pallas_parity():
+    """The Pallas predictor consumes ``rhs_all_fn`` (one fused algebra
+    evaluation per Picard slice + the two-evaluation epilogue NCP —
+    the code-size lever that lets 38-var Z4 compile on chip): with a
+    synthesized hook ``rhs_all = −Σ_d ncp(Q, grads[d], d)`` on the SWE
+    NCP system, every kernel mode matches the base solver's own
+    rhs_all path, which in turn matches the plain NCP path."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.models.swe import lake_at_rest, make_swe_solver, swe_physics
+
+    dim, cells = 2, 4
+    flux, eig, ncp = swe_physics(dim)
+
+    def rhs_all(Q, grads, va):
+        out = -ncp(Q, grads[0], 0, va)
+        for d in range(1, dim):
+            out = out - ncp(Q, grads[d], d, va)
+        return out
+
+    base = make_swe_solver(dim, 2, (cells, cells), dx=1.0 / cells)
+    fused_base = make_swe_solver(dim, 2, (cells, cells), dx=1.0 / cells,
+                                 rhs_all_fn=rhs_all)
+    Q = lake_at_rest(base)
+    # Perturb so the answer is non-trivial (dam-break-ish bump).
+    q = jnp.moveaxis(Q, base.var_axis, -1)
+    x = np.linspace(0, 1, q.shape[-2], endpoint=False)
+    q = q.at[..., 0].add(
+        jnp.asarray(0.3 * np.exp(-20 * (x - 0.5) ** 2))
+    )
+    Q = jnp.moveaxis(q, -1, base.var_axis)
+    ref = np.asarray(base.step(Q, 1e-3))
+    ref_fused = np.asarray(fused_base.step(Q, 1e-3))
+    # The fused-hook base path itself is only a refactor: tight parity.
+    np.testing.assert_allclose(ref_fused, ref, rtol=0, atol=1e-12)
+    for kw in (
+        dict(),                                        # unrolled
+        dict(picard_loop=True),                        # iteration fori
+        dict(picard_loop=True, slice_loop=True),       # doubly streamed
+        dict(fuse_interior_riemann=False),
+    ):
+        fused = PallasADERDG(fused_base, interpret=True, tile0=2, **kw)
+        got = np.asarray(fused.step(Q, 1e-3))
+        np.testing.assert_allclose(got, ref_fused, rtol=0, atol=1e-12,
+                                   err_msg=str(kw))
