@@ -373,16 +373,30 @@ def make_z4_grmhd_solver(
     c_h: float = 1.0,
     glm_kappa: float = 0.0,
     impl: str = "einsum",
+    fused_rhs=False,
     **kwargs,
 ):
-    """A fully-configured coupled Z4+GRMHD ADER-DG solver."""
+    """A fully-configured coupled Z4+GRMHD ADER-DG solver.  ``fused_rhs``
+    installs the one-evaluation ``rhs_all_fn`` hook ("soa" = from the
+    SoA twin — the fused-Pallas on-chip configuration)."""
     from exahype_tpu.models.aderdg import ADERDGSolver
+    from exahype_tpu.models.z4 import _rhs_all_of
 
+    kw = dict(gamma=gamma, iters=iters, slicing=slicing, f=f, m=m,
+              kappa1=kappa1, kappa2=kappa2, glm_kappa=glm_kappa)
     flux, eig, ncp, source = z4_grmhd_system(
-        gamma=gamma, iters=iters, slicing=slicing, f=f, m=m,
-        kappa1=kappa1, kappa2=kappa2, c_h=c_h, glm_kappa=glm_kappa,
-        impl=impl,
+        c_h=c_h, impl=impl, **kw
     )
+    if fused_rhs == "soa":
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_grmhd_rhs_soa(q, dq3, **kw), N_VARS
+        )
+    elif fused_rhs:
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_grmhd_rhs(q, dq3, **kw), N_VARS
+        )
+    else:
+        rhs_all = None
     return ADERDGSolver(
         dim=dim,
         order=order,
@@ -392,6 +406,7 @@ def make_z4_grmhd_solver(
         max_eigenvalue_fn=eig,
         ncp_fn=ncp,
         source_fn=source,
+        rhs_all_fn=rhs_all,
         dx=dx,
         **kwargs,
     )

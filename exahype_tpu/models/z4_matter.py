@@ -315,15 +315,29 @@ def make_z4_matter_solver(
     kappa1: float = 0.0,
     kappa2: float = 0.0,
     impl: str = "einsum",
+    fused_rhs=False,
     **kwargs,
 ):
-    """A fully-configured coupled Z4+GRHD ADER-DG solver."""
+    """A fully-configured coupled Z4+GRHD ADER-DG solver.  ``fused_rhs``
+    installs the one-evaluation ``rhs_all_fn`` hook ("soa" = from the
+    SoA twin — the fused-Pallas on-chip configuration, see
+    :func:`~exahype_tpu.models.z4.make_z4_solver`)."""
     from exahype_tpu.models.aderdg import ADERDGSolver
+    from exahype_tpu.models.z4 import _rhs_all_of
 
-    flux, eig, ncp, source = z4_matter_system(
-        gamma=gamma, iters=iters, slicing=slicing, f=f, m=m,
-        kappa1=kappa1, kappa2=kappa2, impl=impl,
-    )
+    kw = dict(gamma=gamma, iters=iters, slicing=slicing, f=f, m=m,
+              kappa1=kappa1, kappa2=kappa2)
+    flux, eig, ncp, source = z4_matter_system(impl=impl, **kw)
+    if fused_rhs == "soa":
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_matter_rhs_soa(q, dq3, **kw), N_VARS
+        )
+    elif fused_rhs:
+        rhs_all = _rhs_all_of(
+            lambda q, dq3: z4_matter_rhs(q, dq3, **kw), N_VARS
+        )
+    else:
+        rhs_all = None
     return ADERDGSolver(
         dim=dim,
         order=order,
@@ -333,6 +347,7 @@ def make_z4_matter_solver(
         max_eigenvalue_fn=eig,
         ncp_fn=ncp,
         source_fn=source,
+        rhs_all_fn=rhs_all,
         dx=dx,
         **kwargs,
     )

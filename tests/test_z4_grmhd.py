@@ -404,3 +404,43 @@ def test_sharded_coupled_mhd_matches_single_device():
                 in_shardings=(sharding,), out_shardings=sharding)(Qs)
     )
     np.testing.assert_allclose(got, want, atol=5e-12)
+
+
+@pytest.mark.slow
+def test_fused_rhs_hook_matches_plain_step():
+    """``fused_rhs='soa'`` (the fused-Pallas on-chip configuration) is a
+    pure refactor of the Picard RHS: one coupled step matches the plain
+    per-axis solver to rounding — for BOTH coupled systems."""
+    from exahype_tpu.models.z4_matter import make_z4_matter_solver
+
+    solver = make_z4_grmhd_solver(
+        dim=2, order=2, grid_shape=(4, 4), dx=0.25, gamma=GAMMA,
+    )
+    fused = make_z4_grmhd_solver(
+        dim=2, order=2, grid_shape=(4, 4), dx=0.25, gamma=GAMMA,
+        impl="soa", fused_rhs="soa",
+    )
+    Q = _magnetized_wave_state(solver)
+    a = np.asarray(solver.step(Q, 5e-4))
+    b = np.asarray(fused.step(Q, 5e-4))
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+
+    from exahype_tpu.models.z4_matter import flrw_state
+
+    hs = make_z4_matter_solver(dim=2, order=2, grid_shape=(4, 4), dx=0.25,
+                               gamma=GAMMA, slicing="harmonic", f=0.0)
+    hf = make_z4_matter_solver(dim=2, order=2, grid_shape=(4, 4), dx=0.25,
+                               gamma=GAMMA, slicing="harmonic", f=0.0,
+                               impl="soa", fused_rhs="soa")
+    rho0 = 0.02
+    Qh = flrw_state(hs, 1.0, float(np.sqrt(8 * np.pi * rho0 / 3)),
+                    rho0=rho0, gamma=GAMMA)
+    qh = jnp.moveaxis(Qh, hs.var_axis, -1)
+    x = np.linspace(0, 1, qh.shape[-2], endpoint=False)
+    qh = qh.at[..., 38].mul(
+        jnp.asarray(1.0 + 0.05 * np.sin(2 * np.pi * x))[:, None]
+    )
+    Qh = jnp.moveaxis(qh, -1, hs.var_axis)
+    a = np.asarray(hs.step(Qh, 5e-4))
+    b = np.asarray(hf.step(Qh, 5e-4))
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
