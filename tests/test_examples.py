@@ -238,3 +238,24 @@ def test_z4_gauge_wave(tmp_path, monkeypatch, capsys):
     run_example("z4_gauge_wave.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "Z4 gauge wave" in out
+
+
+def test_tov_star_cowling(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["tov_star.py", "--cpu", "--cells", "4"])
+    run_example("tov_star.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "held stationary" in out
+
+
+@pytest.mark.slow
+def test_tov_star_coupled(tmp_path, monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv", ["tov_star.py", "--cpu", "--coupled", "--cells", "4"]
+    )
+    run_example("tov_star.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "held stationary" in out
