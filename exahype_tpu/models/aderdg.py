@@ -311,6 +311,36 @@ class ADERDGSolver:
     #: (1.01 → 0.87 GDOF/s: keeping the fluxes live across the iteration
     #: forces materialization XLA otherwise fuses away) — default off.
     reuse_last_flux: bool = False
+    #: Predictor variant.  ``"picard"`` (default) is the nonlinear
+    #: space-time Picard iteration above.  ``"ck"`` is the
+    #: Cauchy–Kovalewski predictor — the ExaHyPE kernel generator's
+    #: LINEAR kernel class (the ``linear`` aderdg kernels ExaSeis runs
+    #: on): for systems whose flux/NCP/source callbacks are LINEAR in the
+    #: evolved variables, the space-time polynomial is the truncated
+    #: time-Taylor series q(t) = Σ_k (t^k/k!) ∂_t^k q with
+    #: ∂_t^{k+1} q = L(∂_t^k q) and L the spatial operator
+    #: −Σ_d ∂_d F_d − Σ_d B_d ∂_d + S.  No space-time array exists at
+    #: all: N applications of L on the SPATIAL nodal array replace
+    #: (N+1) Picard sweeps over an (N+1)×-larger space-time array, and
+    #: every time-average collapses by linearity (q̄ = Σ_k q_k/(k+1),
+    #: F̄_d = F_d(q̄), S̄ = S(q̄)).  On TPU the whole predictor becomes a
+    #: chain of D-tensordots (MXU-eligible) + linear combinations.
+    #: The Taylor and Galerkin space-time polynomials differ at
+    #: O(dt^{N+1}) — the scheme's own order, as in the reference family.
+    #: LINEARITY IS USER-ASSERTED (as in ExaHyPE's specification files):
+    #: selecting ``"ck"`` for a nonlinear system silently degrades to
+    #: first order.  Not composable with ``visc_flux_fn``.
+    predictor_mode: str = "picard"
+    #: With ``predictor_mode="ck"``: variable slots carrying FROZEN
+    #: material parameters (e.g. per-cell (ρ, λ, μ) of
+    #: ``elastic_heterogeneous``, slots (5, 6, 7)).  Taylor derivative
+    #: vectors are zero there, but the callbacks need the materials to
+    #: evaluate — the CK recursion injects the initial state's material
+    #: rows into every L-operand and zeroes them in every L-output.
+    #: Requires the callbacks be linear HOMOGENEOUS in the evolved slots
+    #: given the materials (F(0; m) = 0) with zero material flux rows —
+    #: the catalog's heterogeneous models satisfy both.
+    ck_material_slots: tuple | None = None
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -377,6 +407,31 @@ class ADERDGSolver:
             raise SemanticError(
                 "visc_flux_fn and visc_eigenvalue_fn must be set together"
             )
+        if self.predictor_mode not in ("picard", "ck"):
+            raise SemanticError(
+                "predictor_mode must be 'picard' or 'ck', got "
+                f"{self.predictor_mode!r}"
+            )
+        if self.predictor_mode == "ck" and self.visc_flux_fn is not None:
+            raise SemanticError(
+                "the Cauchy–Kovalewski (linear) predictor does not support "
+                "viscous fluxes — use predictor_mode='picard'"
+            )
+        if self.ck_material_slots is not None:
+            if self.predictor_mode != "ck":
+                raise SemanticError(
+                    "ck_material_slots only applies to predictor_mode='ck'"
+                )
+            self.ck_material_slots = tuple(
+                int(s) for s in self.ck_material_slots
+            )
+            if any(
+                s < 0 or s >= self.n_vars for s in self.ck_material_slots
+            ):
+                raise SemanticError(
+                    "ck_material_slots must be variable indices in "
+                    f"[0, {self.n_vars})"
+                )
         if self.wall_axes is not None:
             if self.boundary not in ("reflective", "outflow", "farfield",
                                      "dirichlet"):
@@ -453,6 +508,58 @@ class ADERDGSolver:
 
     # ------------------------------------------------------------- predictor
 
+    def _predictor_ck(self, u, dt):
+        """Cauchy–Kovalewski predictor (``predictor_mode="ck"``): the
+        linear-kernel class of the ExaHyPE generator.  Taylor terms
+        q_k = (dt^k/k!)·∂_t^k q(0) follow from N applications of the
+        spatial operator L on the SPATIAL nodal array; by linearity the
+        corrector inputs collapse to q̄ = Σ_{k≤N} q_k/(k+1),
+        F̄_d = F_d(q̄) and S̄ = S(q̄) (frozen material slots are constant
+        in time, so per-cell heterogeneous coefficients commute with the
+        time average).  Returns exactly what :meth:`predictor` returns."""
+        ops = self.ops
+        va = self.var_axis
+        mat = self.ck_material_slots
+        if mat is not None:
+            mat_idx = (slice(None),) * va + (jnp.asarray(mat),)
+            u_mat = u[mat_idx]
+
+        def _grads(x):
+            return tuple(
+                _apply(ops.D, x, axis=self.node_axis(e)) / self._dxs[e]
+                for e in range(self.dim)
+            )
+
+        def L(v):
+            if mat is not None:
+                v = v.at[mat_idx].set(u_mat)
+            rhs = None
+            for d in range(self.dim):
+                F = self.flux_fn(v, d, va)
+                term = -_apply(ops.D, F, axis=self.node_axis(d)) / self._dxs[d]
+                rhs = term if rhs is None else rhs + term
+                if self.ncp_fn is not None and self.rhs_all_fn is None:
+                    dq = _apply(ops.D, v, axis=self.node_axis(d))
+                    rhs = rhs - self.ncp_fn(v, dq, d, va) / self._dxs[d]
+            if self.rhs_all_fn is not None:
+                rhs = rhs + self.rhs_all_fn(v, _grads(v), va)
+            elif self.source_fn is not None:
+                rhs = rhs + self.source_fn(v, va)
+            if mat is not None:
+                # d/dt of a frozen material slot is identically zero.
+                rhs = rhs.at[mat_idx].set(0.0)
+            return rhs
+
+        qk = u
+        qbar = u  # k = 0 term of Σ q_k/(k+1)
+        for k in range(1, self.n_nodes):  # k = 1..N (degree-N polynomial)
+            qk = (dt / k) * L(qk)
+            qbar = qbar + qk / (k + 1)
+        fbar = [self.flux_fn(qbar, d, va) for d in range(self.dim)]
+        if self.source_fn is not None:
+            return qbar, fbar, self.source_fn(qbar, va)
+        return qbar, fbar
+
     def predictor(self, u, dt, return_visc: bool = False):
         """Picard iteration; returns time-averaged state ``qbar`` and
         time-averaged fluxes ``fbar[d]``.  Space-time arrays carry a leading
@@ -463,7 +570,14 @@ class ADERDGSolver:
         last — the wall face stage needs the split because the ghost-flux
         symmetry (``reflect_flux_fn``) applies to the advective part only;
         the wall's viscous flux is taken one-sided from the interior
-        space-time polynomial (the diffusive GRP is cell-local anyway)."""
+        space-time polynomial (the diffusive GRP is cell-local anyway).
+
+        With ``predictor_mode="ck"`` dispatches to the Cauchy–Kovalewski
+        linear predictor (same return contract)."""
+        if self.predictor_mode == "ck":
+            # visc_flux_fn is excluded at construction, so return_visc
+            # can never be requested here (step() derives it from it).
+            return self._predictor_ck(u, dt)
         ops = self.ops
         va = 1 + self.var_axis  # var axis inside space-time arrays
         q = jnp.broadcast_to(u, (self.n_nodes,) + u.shape)
