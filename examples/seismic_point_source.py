@@ -12,6 +12,9 @@ Checks printed at the end: mirror symmetry of the radiated field across
 the source axis, and the P-wave arrival time at the nearest receiver.
 
 Run on CPU with ``--cpu``; on the chip the grid is lane-tiled.
+``--ck`` selects the Cauchy–Kovalewski linear predictor — the kernel
+class the reference family's generator emits for seismic (linear) PDEs;
+elasticity is exactly linear, so the physics checks are unchanged.
 """
 
 import sys
@@ -42,6 +45,7 @@ solver = ADERDGSolver(
     flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
     dx=1.0 / cells, boundary="reflective",
     reflect_fn=reflect, reflect_flux_fn=reflect_flux,
+    predictor_mode="ck" if "--ck" in sys.argv else "picard",
 )
 
 # Vertical point force at the domain centre (a cell centre for odd grids).

@@ -186,6 +186,19 @@ def test_seismic_point_source(tmp_path, monkeypatch, capsys):
     assert "OK" in out and "P arrival" in out
 
 
+def test_seismic_point_source_ck(tmp_path, monkeypatch, capsys):
+    """Same demonstrator on the Cauchy–Kovalewski (linear) kernels —
+    the class the reference generator emits for seismic PDEs."""
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv", ["seismic_point_source.py", "--cpu", "--ck"]
+    )
+    run_example("seismic_point_source.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "P arrival" in out
+
+
 def test_rmhd_vortex(tmp_path, monkeypatch, capsys):
     import sys
 
