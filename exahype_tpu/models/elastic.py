@@ -339,3 +339,63 @@ def plane_s_wave_3d(x, t, *, rho: float = 1.0, lam: float = 2.0,
     return np.stack(
         [z, vy, z, z, z, z, z, z, -mu / cs * vy], axis=-1
     )
+
+
+# ------------------------------------- heterogeneous materials in 3-D
+# The production ExaSeis configuration: the 9-variable velocity–stress
+# system extended with per-cell (ρ, λ, μ) as frozen variables —
+# Q = [v_x, v_y, v_z, σ_xx, σ_yy, σ_zz, σ_yz, σ_xz, σ_xy, ρ, λ, μ]
+# (12 variables).  Fluxes are linear HOMOGENEOUS in the evolved slots
+# given the materials with zero material flux rows, so the system
+# composes with the CK linear predictor via
+# ``ck_material_slots=(9, 10, 11)`` exactly.
+
+N_VARS_3D_HET = 12
+
+
+def elastic3d_het_flux(Q, normal):
+    n = int(normal)
+    v = [Q[..., i] for i in range(3)]
+    rho, lam, mu = Q[..., 9], Q[..., 10], Q[..., 11]
+    inv_rho = 1.0 / rho
+    z = jnp.zeros_like(v[0])
+    comps = [None] * N_VARS_3D_HET
+    for i in range(3):
+        comps[i] = -Q[..., _sig_idx(i, n)] * inv_rho
+    for i in range(3):
+        for j in range(i, 3):
+            val = lam * v[n] if i == j else z
+            if i == n:
+                val = val + mu * v[j] + (mu * v[j] if j == n else 0.0)
+            elif j == n:
+                val = val + mu * v[i]
+            comps[_sig_idx(i, j)] = -val
+    comps[9] = comps[10] = comps[11] = z
+    return jnp.stack(comps, axis=-1)
+
+
+def elastic3d_het_eigenvalue(Q, normal):
+    rho, lam, mu = Q[..., 9], Q[..., 10], Q[..., 11]
+    return jnp.sqrt((lam + 2 * mu) / rho)
+
+
+def elastic3d_heterogeneous():
+    """(flux, max_eigenvalue) for 3-D elasticity with per-cell materials."""
+    return elastic3d_het_flux, elastic3d_het_eigenvalue
+
+
+def elastic3d_free_surface_het():
+    """Traction-free hooks for the 12-variable heterogeneous 3-D system:
+    per wall axis n the state ghost negates the three σ_in rows, the flux
+    ghost negates the velocity (traction) rows; the frozen material slots
+    mirror evenly (their flux rows are identically zero)."""
+    state_signs = []
+    for n in range(3):
+        s = [1.0] * N_VARS_3D_HET
+        for i in range(3):
+            s[_sig_idx(i, n)] = -1.0
+        state_signs.append(s)
+    flux_signs = [
+        [-1.0] * 3 + [1.0] * 6 + [1.0] * 3 for _ in range(3)
+    ]
+    return _sign_reflect(state_signs), _sign_reflect(flux_signs)

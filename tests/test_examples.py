@@ -272,3 +272,14 @@ def test_tov_star_coupled(tmp_path, monkeypatch, capsys):
     run_example("tov_star.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "held stationary" in out
+
+
+def test_seismic3d_layered(tmp_path, monkeypatch, capsys):
+    """The 3-D ExaSeis shape: layered heterogeneous medium on CK kernels,
+    free surface, sponge edges, point source, surface receivers."""
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["seismic3d_layered.py", "--cpu"])
+    run_example("seismic3d_layered.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "materials frozen" in out

@@ -2305,3 +2305,131 @@ def test_row_gathered_sharded_grmhd_matches_single_device():
         )(Qs)
     )
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+# ------------------------------------------- heterogeneous elasticity, 3-D
+
+
+def test_elastic3d_het_flux_matches_homogeneous():
+    """The 12-variable heterogeneous flux with constant material slots
+    equals the homogeneous 9-variable flux on the evolved rows, with zero
+    material rows — all three normals."""
+    from exahype_tpu.models.elastic import elastic3d_flux, elastic3d_het_flux
+
+    rng = np.random.default_rng(0)
+    Q9 = rng.normal(size=(4, 9))
+    rho, lam, mu = 1.3, 2.2, 0.8
+    Q12 = np.concatenate(
+        [Q9, np.broadcast_to([rho, lam, mu], (4, 3))], -1
+    )
+    for n in range(3):
+        het = np.asarray(elastic3d_het_flux(jnp.asarray(Q12), n))
+        hom = np.asarray(
+            elastic3d_flux(jnp.asarray(Q9), n, rho=rho, lam=lam, mu=mu)
+        )
+        np.testing.assert_allclose(het[:, :9], hom, atol=1e-14)
+        assert np.all(het[:, 9:] == 0)
+
+
+def test_elastic3d_het_layered_ck():
+    """3-D layered medium on the CK (linear) kernels with frozen material
+    injection: finite, materials bitwise frozen, and parity with the
+    Picard predictor at the superconvergent-difference level."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.elastic import (
+        N_VARS_3D_HET,
+        elastic3d_heterogeneous,
+        plane_p_wave_3d,
+    )
+
+    flux, eig = elastic3d_heterogeneous()
+    cells = 8
+    mask = (1,) * 9 + (0, 0, 0)
+    mk = lambda mode, **kw: ADERDGSolver(
+        dim=3, order=2, n_vars=N_VARS_3D_HET, grid_shape=(cells, 2, 2),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, dissipation_mask=mask, predictor_mode=mode, **kw,
+    )
+    ck = mk("ck", ck_material_slots=(9, 10, 11))
+    pc = mk("picard")
+    coords = ck.nodes_meshgrid()
+    no_var = tuple(
+        s for e, s in enumerate(ck.state_shape) if e != ck.var_axis
+    )
+    X = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), ck.var_axis), no_var
+    )
+    soft = X < 0.5
+    mats = np.stack(
+        [
+            np.where(soft, 1.0, 2.0),
+            np.where(soft, 2.0, 8.0),
+            np.where(soft, 1.0, 4.0),
+        ],
+        axis=ck.var_axis,
+    )
+    pulse = plane_p_wave_3d(X, 0.0, k=4 * np.pi)
+    window = np.exp(-(((X - 0.25) / 0.08) ** 2))
+    wave = np.moveaxis(pulse * window[..., None], -1, ck.var_axis)
+    Q0 = jnp.asarray(np.concatenate([wave, mats], axis=ck.var_axis))
+    out_ck = np.asarray(ck.run(Q0, 20, 1e-3))
+    out_pc = np.asarray(pc.run(Q0, 20, 1e-3))
+    assert np.isfinite(out_ck).all()
+    sel = lambda k: (slice(None),) * ck.var_axis + (k,)
+    for k in (9, 10, 11):
+        np.testing.assert_array_equal(out_ck[sel(k)], np.asarray(Q0)[sel(k)])
+    # Same scheme order: only the predictor-polynomial difference remains.
+    assert float(np.max(np.abs(out_ck - out_pc))) < 1e-9
+    assert not np.allclose(out_ck[sel(0)], np.asarray(Q0)[sel(0)])
+
+
+def test_elastic3d_het_free_surface_momentum():
+    """Closed free-surface box on the heterogeneous 3-D system conserves
+    total momentum exactly (traction-free walls carry zero momentum flux)."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.elastic import (
+        N_VARS_3D_HET,
+        elastic3d_free_surface_het,
+        elastic3d_heterogeneous,
+        plane_p_wave_3d,
+    )
+
+    flux, eig = elastic3d_heterogeneous()
+    reflect, reflect_flux = elastic3d_free_surface_het()
+    cells = 4
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=N_VARS_3D_HET,
+        grid_shape=(cells, cells, cells),
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, boundary="reflective",
+        reflect_fn=reflect, reflect_flux_fn=reflect_flux,
+        dissipation_mask=(1,) * 9 + (0, 0, 0),
+        predictor_mode="ck", ck_material_slots=(9, 10, 11),
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = tuple(
+        s for e, s in enumerate(solver.state_shape)
+        if e != solver.var_axis
+    )
+    X = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), solver.var_axis), no_var
+    )
+    Z = np.broadcast_to(
+        np.squeeze(np.asarray(coords[2]), solver.var_axis), no_var
+    )
+    mats = np.stack(
+        [
+            np.where(Z < 0.5, 1.0, 1.5),
+            np.where(Z < 0.5, 2.0, 4.0),
+            np.where(Z < 0.5, 1.0, 2.0),
+        ],
+        axis=solver.var_axis,
+    )
+    pulse = plane_p_wave_3d(X, 0.0, k=4 * np.pi)
+    window = np.exp(-(((X - 0.5) / 0.1) ** 2))
+    wave = np.moveaxis(pulse * window[..., None], -1, solver.var_axis)
+    Q0 = jnp.asarray(np.concatenate([wave, mats], axis=solver.var_axis))
+    out = solver.run(Q0, 15, 1e-3)
+    m0 = np.asarray(solver.total_mass(Q0))
+    m1 = np.asarray(solver.total_mass(out))
+    np.testing.assert_allclose(m1[:3], m0[:3], rtol=0, atol=1e-15)
