@@ -1,0 +1,205 @@
+"""Curvilinear (mapped-mesh) tests: exact metrics, identity reduction,
+free-stream convergence, deformed-mesh accuracy, conservation, CK
+composition — the validation set for the seismic-topography capability.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+from exahype_tpu.models.curvilinear import (
+    curvilinear_dissipation_mask,
+    curvilinear_material_slots,
+    curvilinear_physics,
+    densitize,
+    metric_fields,
+    n_vars_curvilinear,
+    undensitize,
+)
+
+A_DEF = 0.03  # periodic deformation amplitude (J stays within ~4 % of 1)
+
+
+def _mapping(p):
+    """Periodic-compatible smooth deformation of the unit square."""
+    two_pi = 2 * np.pi
+    return (
+        p[0] + A_DEF * jnp.sin(two_pi * p[1]),
+        p[1] + A_DEF * jnp.sin(two_pi * p[0]),
+    )
+
+
+def _advection_physics(v):
+    def flux(q, normal):
+        return v[int(normal)] * q
+
+    def eig(q, normal):
+        return jnp.full(q.shape[:-1], abs(v[int(normal)]))
+
+    return flux, eig
+
+
+def _solver(cells, order, n_wave, cflux, ceig, mode="picard", **kw):
+    nv = n_vars_curvilinear(n_wave, 2)
+    extra = {}
+    if mode == "ck":
+        extra["ck_material_slots"] = curvilinear_material_slots(n_wave, 2)
+    return ADERDGSolver(
+        dim=2, order=order, n_vars=nv, grid_shape=(cells, cells),
+        flux_fn=wrap_var_last(cflux), max_eigenvalue_fn=wrap_var_last(ceig),
+        dx=1.0 / cells, predictor_mode=mode,
+        dissipation_mask=curvilinear_dissipation_mask(n_wave, 2),
+        **extra, **kw,
+    )
+
+
+def test_identity_mapping_reduces_to_cartesian():
+    """J = 1, a = I: the curvilinear step equals the plain Cartesian step
+    on the wave slots to rounding.  Equal axis speeds, because the
+    curvilinear eigenvalue is the isotropic bound ‖a^k‖·max_i λ_i — for
+    anisotropic speeds it is a (valid) stronger Rusanov coefficient."""
+    v = (0.8, 0.8)
+    flux, eig = _advection_physics(v)
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    cells, order = 6, 3
+    cur = _solver(cells, order, 1, cflux, ceig)
+    metric, (X, Y) = metric_fields(cur, lambda p: (p[0], p[1]))
+    np.testing.assert_allclose(
+        np.take(metric, 0, cur.var_axis), 1.0, atol=1e-15
+    )
+    plain = ADERDGSolver(
+        dim=2, order=order, n_vars=1, grid_shape=(cells, cells),
+        flux_fn=lambda Q, a, va: v[a] * Q,
+        max_eigenvalue_fn=lambda Q, a, va: jnp.full_like(
+            Q.sum(axis=va), abs(v[a])
+        ),
+        dx=1.0 / cells,
+    )
+    q0 = np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+    q0 = q0[..., None, :, :]  # var axis
+    Q0 = densitize(jnp.asarray(q0), metric, cur.var_axis)
+    out_c = np.asarray(
+        undensitize(cur.step(Q0, 1e-3), 1, cur.var_axis)
+    )
+    out_p = np.asarray(plain.step(jnp.asarray(q0), 1e-3))
+    np.testing.assert_allclose(out_c, out_p, atol=1e-13)
+
+
+def test_free_stream_preservation_converges():
+    """A constant physical state on the deformed mesh: the discrete
+    metric-identity residual must converge at scheme order (analytic
+    metrics ⇒ not exactly zero — the standard nodal-DG behavior)."""
+    flux, eig = _advection_physics((1.0, 0.5))
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    order = 3
+    res = []
+    for cells in (4, 8):
+        sol = _solver(cells, order, 1, cflux, ceig)
+        metric, _ = metric_fields(sol, _mapping)
+        q0 = jnp.ones(
+            tuple(
+                1 if e == sol.var_axis else s
+                for e, s in enumerate(sol.state_shape)
+            )
+        )
+        Q0 = densitize(jnp.broadcast_to(
+            q0, sol.state_shape[: sol.var_axis] + (1,)
+            + sol.state_shape[sol.var_axis + 1:]
+        ), metric, sol.var_axis)
+        out = undensitize(sol.step(Q0, 1e-3), 1, sol.var_axis)
+        res.append(float(jnp.max(jnp.abs(out - 1.0))))
+    rate = np.log2(res[0] / res[1])
+    assert res[1] < 1e-6, res
+    assert rate > order - 0.5, (res, rate)
+
+
+@pytest.mark.parametrize("mode", ["picard", "ck"])
+def test_advection_on_deformed_mesh_converges(mode):
+    """Constant-velocity advection through the deformed mesh matches the
+    exact physically-translated solution at scheme order; the CK linear
+    kernels compose via the metric material slots."""
+    v = (1.0, 0.5)
+    flux, eig = _advection_physics(v)
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    order = 3
+    errs = []
+    for cells in (4, 8):
+        sol = _solver(cells, order, 1, cflux, ceig, mode=mode)
+        metric, (X, Y) = metric_fields(sol, _mapping)
+
+        def q_exact(t):
+            val = (
+                np.sin(2 * np.pi * (X - v[0] * t))
+                * np.cos(2 * np.pi * (Y - v[1] * t))
+            )
+            return jnp.asarray(val[..., None, :, :])
+
+        Q0 = densitize(q_exact(0.0), metric, sol.var_axis)
+        t_end = 0.1
+        n_steps = 10 * (cells // 4)
+        out = sol.run(Q0, n_steps, t_end / n_steps)
+        q = undensitize(out, 1, sol.var_axis)
+        errs.append(float(jnp.max(jnp.abs(q - q_exact(t_end)))))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order + 0.5, (errs, rate)
+
+
+def test_conservation_of_densitized_total():
+    """Σ w·Q̃ = ∫ q dx is exact on the periodic deformed mesh, and the
+    metric slots are bitwise frozen."""
+    flux, eig = _advection_physics((1.0, 0.5))
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    sol = _solver(6, 3, 1, cflux, ceig)
+    metric, (X, Y) = metric_fields(sol, _mapping)
+    q0 = jnp.asarray(
+        (1.0 + 0.4 * np.sin(2 * np.pi * X))[..., None, :, :]
+    )
+    Q0 = densitize(q0, metric, sol.var_axis)
+    out = sol.run(Q0, 10, 1e-3)
+    m0 = np.asarray(sol.total_mass(Q0))
+    m1 = np.asarray(sol.total_mass(out))
+    np.testing.assert_allclose(m1[0], m0[0], rtol=0, atol=1e-13)
+    sl = [slice(None)] * out.ndim
+    sl[sol.var_axis] = slice(1, None)
+    np.testing.assert_array_equal(
+        np.asarray(out)[tuple(sl)], np.asarray(Q0)[tuple(sl)]
+    )
+
+
+def test_elastic_wave_on_deformed_mesh():
+    """The seismic case: an exact elastic P-wave (physical coordinates)
+    propagated through the deformed mesh — accuracy at the Cartesian
+    test's level, CK and Picard agreeing at the superconvergent level."""
+    from exahype_tpu.models.elastic import elastic, plane_p_wave
+
+    flux, eig = elastic()
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=5)
+    cells, order = 8, 3
+    outs = {}
+    for mode in ("picard", "ck"):
+        sol = _solver(cells, order, 5, cflux, ceig, mode=mode)
+        metric, (X, Y) = metric_fields(sol, _mapping)
+
+        def state(t):
+            w = plane_p_wave(X, Y, t)
+            return jnp.asarray(np.moveaxis(w, -1, sol.var_axis))
+
+        Q0 = densitize(state(0.0), metric, sol.var_axis)
+        t_end, n_steps = 0.05, 40
+        out = sol.run(Q0, n_steps, t_end / n_steps)
+        q = undensitize(out, 5, sol.var_axis)
+        err = float(jnp.max(jnp.abs(q - state(t_end))))
+        assert err < 0.05 * 1e-3, (mode, err)
+        outs[mode] = np.asarray(q)
+    assert float(np.max(np.abs(outs["ck"] - outs["picard"]))) < 1e-9
+
+
+def test_mapping_must_be_orientation_preserving():
+    flux, eig = _advection_physics((1.0, 0.5))
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    sol = _solver(4, 2, 1, cflux, ceig)
+    with pytest.raises(ValueError, match="orientation"):
+        metric_fields(sol, lambda p: (-p[0], p[1]))
