@@ -23,7 +23,13 @@ x(ξ) by forward-mode autodiff at every node (no finite differences).
 The discrete metric identities ∂_ξk(J a^k_i) = 0 then hold only to
 truncation order, so a constant state is preserved to scheme order, not
 to rounding (free-stream error must CONVERGE, which is tested) — the
-standard behavior of nodal DG with analytic metrics.  Conservation is
+standard behavior of nodal DG with analytic metrics.  The identity
+defect is O(h^N): in the 2-D tests it sits below the scheme error
+(advection measured at N+1), in 3-D it is the visible floor (measured
+≈ N).  The known refinement is Kopriva's conservative curl-form
+discrete metrics (volume-exact identities), a candidate for a future
+round; for the smooth moderate deformations topography needs, analytic
+metrics at these rates are the documented trade.  Conservation is
 exact in the densitized field: Σ w·Q̃ = ∫ q J dξ = ∫ q dx telescopes to
 rounding on periodic domains.
 

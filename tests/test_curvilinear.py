@@ -203,3 +203,90 @@ def test_mapping_must_be_orientation_preserving():
     sol = _solver(4, 2, 1, cflux, ceig)
     with pytest.raises(ValueError, match="orientation"):
         metric_fields(sol, lambda p: (-p[0], p[1]))
+
+
+def test_3d_deformed_advection_converges():
+    """The 3-D lift (n+10 slots): deformed-mesh advection converges to the
+    exact translated solution.  With analytic (autodiff) metrics the
+    discrete metric-identity residual is O(h^N) and in 3-D it is the
+    visible error floor (measured rate ≈ N here; the 2-D cases converge
+    at N+1 because the identity defect there sits below the scheme error
+    at these deformations) — the standard analytic-metric nodal-DG
+    behavior, documented in the module docstring."""
+    v = (1.0, 0.5, 0.25)
+
+    def flux(q, normal):
+        return v[int(normal)] * q
+
+    def eig(q, normal):
+        return jnp.full(q.shape[:-1], abs(v[int(normal)]))
+
+    cflux, ceig = curvilinear_physics(flux, eig, dim=3, n_wave=1)
+    order = 2
+    two_pi = 2 * np.pi
+
+    def mp(p):
+        return (
+            p[0] + 0.02 * jnp.sin(two_pi * p[1]),
+            p[1] + 0.02 * jnp.sin(two_pi * p[2]),
+            p[2] + 0.02 * jnp.sin(two_pi * p[0]),
+        )
+
+    errs = []
+    for cells in (4, 8):
+        sol = ADERDGSolver(
+            dim=3, order=order, n_vars=n_vars_curvilinear(1, 3),
+            grid_shape=(cells, cells, cells),
+            flux_fn=wrap_var_last(cflux),
+            max_eigenvalue_fn=wrap_var_last(ceig),
+            dx=1.0 / cells,
+            dissipation_mask=curvilinear_dissipation_mask(1, 3),
+        )
+        metric, (X, Y, Z) = metric_fields(sol, mp)
+
+        def q_exact(t):
+            val = np.sin(two_pi * (X - v[0] * t)) * np.cos(
+                two_pi * (Y - v[1] * t)
+            )
+            return jnp.asarray(np.expand_dims(val, sol.var_axis))
+
+        Q0 = densitize(q_exact(0.0), metric, sol.var_axis)
+        n_steps = 10 * (cells // 4)
+        t_end = 0.02
+        out = sol.run(Q0, n_steps, t_end / n_steps)
+        q = undensitize(out, 1, sol.var_axis)
+        errs.append(float(jnp.max(jnp.abs(q - q_exact(t_end)))))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.5, (errs, rate)
+
+
+def test_curvilinear_sharded_parity():
+    """The metric slots shard with the state: the GSPMD curvilinear step
+    over an 8-device mesh matches single-device to rounding."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from exahype_tpu.parallel import make_mesh
+
+    flux, eig = _advection_physics((1.0, 0.5))
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    sol = _solver(8, 3, 1, cflux, ceig)
+    metric, (X, Y) = metric_fields(sol, _mapping)
+    q0 = jnp.asarray(
+        np.expand_dims(
+            np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y), sol.var_axis
+        )
+    )
+    Q0 = densitize(q0, metric, sol.var_axis)
+    ref = np.asarray(jax.jit(lambda q: sol.step(q, 1e-3))(Q0))
+    mesh = make_mesh(8)
+    spec = [None] * Q0.ndim
+    spec[sol.grid_axis(0)] = "patches"
+    sh = NamedSharding(mesh, PartitionSpec(*spec))
+    got = np.asarray(
+        jax.jit(
+            lambda q: sol.step(q, 1e-3), in_shardings=(sh,),
+            out_shardings=sh,
+        )(jax.device_put(Q0, sh))
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
