@@ -342,6 +342,80 @@ class PallasADERDG:
             dtv = dt_ref[0]
             lams = [dtv / sol._dxs[d] for d in lam_axes]
 
+            if sol.predictor_mode == "ck":
+                # Cauchy–Kovalewski (linear-kernel) predictor, fused: the
+                # Taylor recursion on the SPATIAL block — no space-time
+                # stack exists, so the kernel body is SMALLER than one
+                # Picard iteration (N operator applications total) and
+                # every corrector input collapses by linearity
+                # (q̄ = Σ q_k/(k+1), F̄ = F(q̄), S̄ = S(q̄)); mirrors
+                # ADERDGSolver._predictor_ck.
+                mat = sol.ck_material_slots
+
+                def _rows(x):
+                    return [
+                        jax.lax.index_in_dim(x, k, va, keepdims=False)
+                        for k in range(nv)
+                    ]
+
+                if mat is not None:
+                    u_rows = _rows(u)
+
+                    def inject(v):
+                        rows = _rows(v)
+                        return jnp.stack(
+                            [
+                                u_rows[k] if k in mat else rows[k]
+                                for k in range(nv)
+                            ],
+                            axis=va,
+                        )
+
+                    def zero_mat(v):
+                        rows = _rows(v)
+                        return jnp.stack(
+                            [
+                                jnp.zeros_like(rows[k])
+                                if k in mat else rows[k]
+                                for k in range(nv)
+                            ],
+                            axis=va,
+                        )
+                else:
+                    inject = zero_mat = lambda v: v
+
+                qk = u
+                qbar = u  # k = 0 term of Σ q_k/(k+1)
+                for k in range(1, nn):
+                    v = inject(qk)
+                    r = None
+                    for d in lam_axes:
+                        dF = mat_apply(
+                            D, full_flux(v, d, None), sol.node_axis(d)
+                        )
+                        term = lams[d] * dF
+                        r = -term if r is None else r - term
+                        if sol.ncp_fn is not None and sol.rhs_all_fn is None:
+                            r = r - lams[d] * sol.ncp_fn(
+                                v, mat_apply(D, v, sol.node_axis(d)), d, va
+                            )
+                    if sol.rhs_all_fn is not None:
+                        r = r + dtv * sol.rhs_all_fn(v, phys_grads(v), va)
+                    elif sol.source_fn is not None:
+                        r = r + dtv * sol.source_fn(v, va)
+                    qk = zero_mat(r) / float(k)
+                    qbar = qbar + qk / float(k + 1)
+                fbar = [full_flux(qbar, d, None) for d in lam_axes]
+                new = (
+                    u + dtv * sol.source_fn(qbar, va)
+                    if sol.source_fn is not None
+                    else u
+                )
+                return _epilogue(
+                    u, new, qbar, fbar, lams, dtv,
+                    out_vol_ref, face_refs, emit_fused_fhat,
+                )
+
             def picard_update(q):
                 """One streamed Picard iteration (time-slice-outer: each
                 slice's flux derivative is traced, folded into rhs[s], and

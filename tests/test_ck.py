@@ -281,3 +281,84 @@ def test_ck_guards():
         ADERDGSolver(ck_material_slots=(1,), **kw)
     with pytest.raises(SemanticError, match="ck_material_slots"):
         ADERDGSolver(predictor_mode="ck", ck_material_slots=(7,), **kw)
+
+
+def test_ck_fused_pallas_parity():
+    """The fused Pallas kernel's CK branch (interpret mode) matches the
+    base XLA CK step — the seismic speed path is the same scheme."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.models.elastic import elastic3d, plane_p_wave_3d
+
+    flux, eig = elastic3d()
+    cells = 4
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=9, grid_shape=(cells,) * 3,
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, predictor_mode="ck",
+    )
+    fused = PallasADERDG(solver, interpret=True)
+    coords = solver.nodes_meshgrid()
+    no_var = tuple(
+        s for e, s in enumerate(solver.state_shape)
+        if e != solver.var_axis
+    )
+    X = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), solver.var_axis), no_var
+    )
+    u = jnp.asarray(
+        np.moveaxis(plane_p_wave_3d(X, 0.0), -1, solver.var_axis)
+    )
+    dt = 1e-3
+    ref = np.asarray(solver.step(u, dt))
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15)
+
+
+def test_ck_fused_pallas_materials_parity():
+    """Fused CK with frozen material injection (heterogeneous 3-D
+    elasticity): interpret-mode kernel == base XLA CK, materials bitwise
+    frozen."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.models.elastic import (
+        N_VARS_3D_HET,
+        elastic3d_heterogeneous,
+        plane_p_wave_3d,
+    )
+
+    flux, eig = elastic3d_heterogeneous()
+    cells = 4
+    solver = ADERDGSolver(
+        dim=3, order=2, n_vars=N_VARS_3D_HET, grid_shape=(cells,) * 3,
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / cells, predictor_mode="ck",
+        ck_material_slots=(9, 10, 11),
+        dissipation_mask=(1,) * 9 + (0, 0, 0),
+    )
+    fused = PallasADERDG(solver, interpret=True)
+    coords = solver.nodes_meshgrid()
+    no_var = tuple(
+        s for e, s in enumerate(solver.state_shape)
+        if e != solver.var_axis
+    )
+    X = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), solver.var_axis), no_var
+    )
+    Z = np.broadcast_to(
+        np.squeeze(np.asarray(coords[2]), solver.var_axis), no_var
+    )
+    wave = np.moveaxis(plane_p_wave_3d(X, 0.0), -1, solver.var_axis)
+    mats = np.stack(
+        [
+            np.where(Z < 0.5, 1.0, 1.5),
+            np.where(Z < 0.5, 2.0, 4.0),
+            np.where(Z < 0.5, 1.0, 2.0),
+        ],
+        axis=solver.var_axis,
+    )
+    u = jnp.asarray(np.concatenate([wave, mats], axis=solver.var_axis))
+    dt = 1e-3
+    ref = np.asarray(solver.step(u, dt))
+    got = np.asarray(fused.step(u, dt))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15)
+    sel = (slice(None),) * solver.var_axis + (slice(9, 12),)
+    np.testing.assert_array_equal(got[sel], np.asarray(u)[sel])
