@@ -283,3 +283,15 @@ def test_seismic3d_layered(tmp_path, monkeypatch, capsys):
     run_example("seismic3d_layered.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "materials frozen" in out
+
+
+def test_seismic_topography(tmp_path, monkeypatch, capsys):
+    """Curvilinear seismic: hill-deformed mesh on CK kernels — flat limit
+    matches the Cartesian solver, topography measurably deflects the
+    seismograms."""
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["seismic_topography.py", "--cpu"])
+    run_example("seismic_topography.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "OK" in out and "flat limit" in out
