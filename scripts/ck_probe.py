@@ -86,9 +86,13 @@ def main():
             times[mode] = chained_time(solver.step, Q, dt) * 1e3
         # Same scheme order: the predictors are different degree-N
         # polynomials, so steps agree to O(dt^{N+2}) — far below the
-        # field scale on smooth data.
+        # field scale on smooth data.  In f32 the scheme-order gap sits
+        # below roundoff, so the bound is the accumulation of ~N
+        # operator applications in single precision (same 2e-5 scale as
+        # the Z4 SoA/einsum f32 parity, docs/PERFORMANCE.md).
         err = float(np.max(np.abs(outs["ck"] - outs["picard"])))
-        assert err < 1e-6, err
+        tol = 1e-6 if dtype == np.float64 else 2e-5
+        assert err < tol, err
         dofs = int(np.prod(grid)) * (order + 1) ** 3 * 9
         print(
             json.dumps(
