@@ -103,7 +103,16 @@ class PallasPrinter(CodePrinter):
             self.patch_tail = (cfg.n_patches,)
         self._tail_rest = math.prod(self.patch_tail[1:]) if len(self.patch_tail) > 1 else 1
 
-        budget = (vmem_limit_bytes or 16 * 1024 * 1024) * 3 // 4
+        # The dominant scoped-VMEM consumer is NOT the blocks+scratch this
+        # estimate counts but Mosaic's register-allocator intermediates
+        # (~3x the modeled bytes, measured on the 2-D FV kernel at a
+        # 48x48 lattice: 18.6-20.4 MB scoped vs a 6-12 MB model, against
+        # the 16 MB default scoped limit).  So (a) raise the compiled
+        # kernel's VMEM limit to 64 MiB by default (v5e has 128 MiB;
+        # blocks here are small) and (b) spend at most a quarter of it on
+        # the modeled working set, leaving the allocator 3x headroom.
+        self._vmem_limit_effective = vmem_limit_bytes or 64 * 1024 * 1024
+        budget = self._vmem_limit_effective // 4
         if tile_patches is None:
             tile_patches = self._default_tile(vmem_budget=budget)
         if tile_patches % self._tail_rest != 0 or (
@@ -256,9 +265,9 @@ class PallasPrinter(CodePrinter):
                 jnp.asarray(s, dtype=Q.dtype).reshape(1) for s in scalars
             ]
             kwargs = {}
-            if not self.interpret and self.vmem_limit_bytes is not None:
+            if not self.interpret:
                 kwargs["compiler_params"] = pltpu.CompilerParams(
-                    vmem_limit_bytes=self.vmem_limit_bytes
+                    vmem_limit_bytes=self._vmem_limit_effective
                 )
             return pl.pallas_call(
                 body,

@@ -479,9 +479,15 @@ class PatchPoolRefinement:
                     s[1 + dd] = slice(h, h + P)
             return filled[tuple(s)]
 
-        F_lo = self._rusanov_face(row(h - 1), row(h), d)
-        F_hi = self._rusanov_face(row(h + P - 1), row(h + P), d)
-        return self._pool_transverse(F_lo), self._pool_transverse(F_hi)
+        # One batched Riemann evaluation per axis: the lo and hi faces
+        # concatenate on the slot axis (identical elementwise math, half
+        # the op count — the entry-size cost here is XLA thunk count,
+        # not bytes; docs/PERFORMANCE.md "Tree-AMR economics").
+        M = filled.shape[0]
+        left = jnp.concatenate([row(h - 1), row(h + P - 1)], axis=0)
+        right = jnp.concatenate([row(h), row(h + P)], axis=0)
+        F = self._pool_transverse(self._rusanov_face(left, right, d))
+        return F[:M], F[M:]
 
     def _face_flux_sample(self, filled):
         """All per-axis (lo, hi) pooled face fluxes of one substep."""
@@ -517,6 +523,36 @@ class PatchPoolRefinement:
 
         return rows(out_i), rows(in_i), out_i
 
+    def _coarse_face_rows_both(self, cg_pre, tables, d):
+        """Both sides' (Riemann-left, Riemann-right, outside-cell) rows in
+        ONE footprint gather, concatenated on the slot axis (lo ‖ hi).
+
+        Row roles per side: side 0 (lo face) has the outside cell on the
+        Riemann LEFT (``base-1`` vs ``base``); side 1 (hi face) has it on
+        the RIGHT (``base+w-1`` vs ``base+w``) — concatenating in Riemann
+        order makes one :func:`rusanov_face` call serve both sides."""
+        cfg = self.coarse.grid.config
+        w = cfg.patch_size // self.factor
+        n_d = cg_pre.shape[d]
+        base = tables.coords[:, d] * w
+        left_i = jnp.concatenate([base - 1, base + w - 1])
+        right_i = jnp.concatenate([base, base + w])
+        out_i = jnp.concatenate([base - 1, base + w])
+        trans = self._coarse_cell_footprint(tables)
+        trans2 = [jnp.concatenate([t, t], axis=0) for t in trans]
+
+        def rows(cell_idx):
+            ix_axes = []
+            for dd in range(cfg.dim):
+                if dd == d:
+                    ix_axes.append(jnp.mod(cell_idx, n_d)[:, None])
+                else:
+                    ix_axes.append(jnp.mod(trans2[dd], cg_pre.shape[dd]))
+            g = self._gather(cg_pre, ix_axes)
+            return jnp.squeeze(g, axis=1 + d)
+
+        return rows(left_i), rows(right_i), out_i
+
     def _apply_reflux(self, new_coarse, cg_pre, flux_acc, tables, dt):
         """Correct the coarse cells just outside every coarse–fine face:
         their face flux becomes the substep-averaged fine aggregate."""
@@ -524,45 +560,51 @@ class PatchPoolRefinement:
         n_real = cfg.n_real
         lam = dt / self.coarse.dx
         cg = _assemble_jnp(self.coarse.grid, new_coarse)
+        M = tables.active.shape[0]
+        sign = jnp.concatenate(
+            [jnp.full((M,), -1.0, cg.dtype), jnp.full((M,), 1.0, cg.dtype)]
+        )
+        trans = self._coarse_cell_footprint(tables)
+        trans2 = [jnp.concatenate([t, t], axis=0) for t in trans]
         for d in range(cfg.dim):
             n_d = cg.shape[d]
-            for side in (0, 1):
-                out_row, in_row, out_i = self._coarse_face_rows(
-                    cg_pre, tables, d, side
-                )
-                if side == 0:
-                    Fc = self._rusanov_face(out_row, in_row, d)
-                    sign = -1.0
-                else:
-                    Fc = self._rusanov_face(in_row, out_row, d)
-                    sign = +1.0
-                Ff = flux_acc[d][side]
-                delta = sign * lam * (Ff - Fc)
-                delta_full = jnp.zeros(delta.shape[:-1] + (cfg.n_vars,), delta.dtype)
-                delta_full = delta_full.at[..., :n_real].set(delta)
-                # The scatter window is 1 cell wide along the face axis.
-                delta_full = jnp.expand_dims(delta_full, axis=1 + d)
-                # Scatter-add at (out_i, transverse footprint); faces with a
-                # fine neighbour (or inactive slots) get an OOB index → drop.
-                is_cf = (
-                    tables.active
-                    & (tables.neighbor[:, d, side] < 0)
-                    & ~tables.wall[:, d, side]
-                )
-                cell = jnp.where(is_cf, jnp.mod(out_i, n_d), n_d)
-                trans = self._coarse_cell_footprint(tables)
-                ix_axes = []
-                for dd in range(cfg.dim):
-                    ix_axes.append(
-                        cell[:, None] if dd == d else trans[dd]
+            # Both sides batched on the slot axis (lo ‖ hi): one footprint
+            # gather, one Riemann evaluation, one scatter-add per axis —
+            # the entry-size cost of the reflux is op count, not bytes.
+            left_row, right_row, out_i = self._coarse_face_rows_both(
+                cg_pre, tables, d
+            )
+            Fc = self._rusanov_face(left_row, right_row, d)
+            Ff = jnp.concatenate([flux_acc[d][0], flux_acc[d][1]], axis=0)
+            delta = sign.reshape((2 * M,) + (1,) * (Ff.ndim - 1)) * lam * (
+                Ff - Fc
+            )
+            delta_full = jnp.zeros(delta.shape[:-1] + (cfg.n_vars,), delta.dtype)
+            delta_full = delta_full.at[..., :n_real].set(delta)
+            # The scatter window is 1 cell wide along the face axis.
+            delta_full = jnp.expand_dims(delta_full, axis=1 + d)
+            # Scatter-add at (out_i, transverse footprint); faces with a
+            # fine neighbour (or inactive slots) get an OOB index → drop.
+            is_cf = (
+                jnp.concatenate([tables.active, tables.active])
+                & (
+                    jnp.concatenate(
+                        [tables.neighbor[:, d, 0], tables.neighbor[:, d, 1]]
                     )
-                idx = []
-                M = ix_axes[0].shape[0]
-                for dd, ix in enumerate(ix_axes):
-                    shape = [M] + [1] * cfg.dim
-                    shape[1 + dd] = ix.shape[1]
-                    idx.append(ix.reshape(shape))
-                cg = cg.at[tuple(idx)].add(delta_full, mode="drop")
+                    < 0
+                )
+                & ~jnp.concatenate([tables.wall[:, d, 0], tables.wall[:, d, 1]])
+            )
+            cell = jnp.where(is_cf, jnp.mod(out_i, n_d), n_d)
+            ix_axes = []
+            for dd in range(cfg.dim):
+                ix_axes.append(cell[:, None] if dd == d else trans2[dd])
+            idx = []
+            for dd, ix in enumerate(ix_axes):
+                shape = [2 * M] + [1] * cfg.dim
+                shape[1 + dd] = ix.shape[1]
+                idx.append(ix.reshape(shape))
+            cg = cg.at[tuple(idx)].add(delta_full, mode="drop")
         return disassemble_global(self.coarse.grid, new_coarse, cg)
 
     # ----------------------------------------------------------------- step

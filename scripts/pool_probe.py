@@ -42,7 +42,12 @@ from exahype_tpu.utils.config import KernelConfig
 PATCH = 4
 FACTOR = 2
 DT = 2e-4
-N_CHAIN = 20
+N_INNER = 25  # coarse steps scanned INSIDE one jit dispatch: the
+# per-dispatch tunnel round-trip is ~0.5-1 ms — the same magnitude as
+# one coarse step — so per-step dispatch timing swings 0.7x-1.6x
+# between runs.  One dispatch per 25 device steps puts device time
+# >10x above the dispatch floor.
+N_OUTER = 8  # timed dispatches (200 coarse steps total per config)
 
 
 def euler_blob_state(grid, seed=0):
@@ -108,16 +113,16 @@ def time_uniform(gx_fine, backend):
     run = jax.jit(
         lambda q: jax.lax.scan(
             lambda c, _: (solver.step(c, dtf), None), q, None,
-            length=FACTOR,
+            length=FACTOR * N_INNER,
         )[0]
     )
     q = run(Q)
     _ = np.asarray(jax.tree.leaves(q)[0]).ravel()[0]
     t0 = time.perf_counter()
-    for _ in range(N_CHAIN):
+    for _ in range(N_OUTER):
         q = run(q)
     _ = np.asarray(jax.tree.leaves(q)[0]).ravel()[0]
-    return (time.perf_counter() - t0) / N_CHAIN
+    return (time.perf_counter() - t0) / (N_OUTER * N_INNER)
 
 
 def time_pool(gx, frac, fine_backend):
@@ -142,15 +147,20 @@ def time_pool(gx, frac, fine_backend):
     tables = pool.build_tables(mask)
     Qc = euler_blob_state(solver.grid)
     Qf = pool.init_pool(Qc, tables)
-    run = jax.jit(lambda c, f: pool.step(c, f, tables, DT))
+    run = jax.jit(
+        lambda c, f: jax.lax.scan(
+            lambda cf, _: (pool.step(cf[0], cf[1], tables, DT), None),
+            (c, f), None, length=N_INNER,
+        )[0]
+    )
     c, f = run(Qc, Qf)
     _ = np.asarray(c).ravel()[0]
     t0 = time.perf_counter()
-    for _ in range(N_CHAIN):
+    for _ in range(N_OUTER):
         c, f = run(c, f)
     _ = np.asarray(c).ravel()[0]
     assert np.isfinite(np.asarray(c)).all()
-    return (time.perf_counter() - t0) / N_CHAIN, n_ref / (gx * gx)
+    return (time.perf_counter() - t0) / (N_OUTER * N_INNER), n_ref / (gx * gx)
 
 
 def main():
