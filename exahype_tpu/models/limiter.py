@@ -145,6 +145,15 @@ class LimitedADERDG:
     #: 22 → 928 by step 30 → NaN by ~35), the means policy keeps the run
     #: admissible.  Only meaningful with ``troubled_capacity``.
     overflow_fallback: str = "means"
+    #: Post-step conservative admissibility guard
+    #: (:meth:`_admissibility_scale`): contract any cell the
+    #: interface-matching/overflow passes pushed out of the admissible set
+    #: toward its own (preserved) cell mean.  On by default whenever
+    #: ``admissible`` is set — disabling it removes the safety net that
+    #: keeps strong walled interactions from detonating
+    #: (tests/test_limiter_walls.py) and is only meant for cost
+    #: decomposition probes (scripts/limited_probe.py).
+    post_step_guard: bool = True
 
     def __post_init__(self):
         from exahype_tpu.models.dg import (
@@ -1690,7 +1699,7 @@ class LimitedADERDG:
                 out = jax.lax.cond(
                     over.any(), _degrade_overflow, lambda o: o, out
                 )
-            if self.admissible is not None:
+            if self.admissible is not None and self.post_step_guard:
                 out = self._admissibility_scale(out)
             if not return_face_fluxes:
                 return out
@@ -1728,7 +1737,8 @@ class LimitedADERDG:
             fb = self.fv_fallback(u, dt)
         mask = troubled.reshape((1,) * (self.solver.dim + 1) + troubled.shape)
         out = jnp.where(mask, fb, candidate)
-        if self.admissible is not None and self.fallback == "subcell":
+        if (self.admissible is not None and self.fallback == "subcell"
+                and self.post_step_guard):
             out = self._admissibility_scale(out)
         if not return_face_fluxes:
             return out

@@ -77,6 +77,224 @@ def _rng_fields(n=32, seed=3, curved=True, B_scale=0.3):
     return z4, rho, v_low, p, B_up
 
 
+# --------------------------------------- full 47-component autodiff oracle
+
+
+def _make_mhd_fields(seed=3, B_scale=0.05):
+    """Smooth analytic metric + matter + magnetic fields of x ∈ R³ —
+    the magnetized extension of ``test_z4_matter._make_fields`` (same
+    near-flat metric and mildly relativistic fluid, plus a smooth B^i
+    and GLM scalar)."""
+    from tests.test_z4_matter import _make_fields
+
+    base = _make_fields(seed=seed)
+    rng = np.random.default_rng(seed + 101)
+
+    def fourier(amp):
+        k = rng.integers(1, 3, size=(2, 3)).astype(np.float64)
+        ph = rng.uniform(0, 2 * np.pi, size=2)
+        a = rng.uniform(-amp, amp, size=2)
+
+        def fn(x):
+            return sum(
+                a[i] * jnp.sin(2 * np.pi * (k[i] @ x) + ph[i])
+                for i in range(2)
+            )
+
+        return fn
+
+    f_B = [fourier(B_scale) for _ in range(3)]
+    f_psi = fourier(0.02)
+
+    def B_up(x):
+        return jnp.stack([f_B[i](x) for i in range(3)])
+
+    def psi(x):
+        return f_psi(x)
+
+    return base + (B_up, psi)
+
+
+def _mhd_state(alpha, gam, K, theta, Z, rho, p, v_low, B_up, psi):
+    """x → the 47-component coupled state (D/A from autodiff, hydro and
+    magnetic sectors densitized on the local metric)."""
+    from exahype_tpu.models.z4 import pack
+
+    def state(x):
+        al = alpha(x)
+        g = gam(x)
+        A = jax.jacfwd(alpha)(x) / al
+        dg = jax.jacfwd(gam)(x)  # [i, j, k] = ∂_k γ_ij
+        D = 0.5 * jnp.transpose(dg, (2, 0, 1))
+        z4 = pack(al, g, K(x), theta(x), Z(x), A, D)
+        return pack_matter_mhd(
+            z4, rho(x), v_low(x), p(x), B_up(x), gamma=GAMMA,
+            psi_glm=psi(x),
+        )
+
+    return state
+
+
+def _oracle_full_rhs(fields, *, slicing, f, m, kappa1, kappa2, c_h,
+                     glm_kappa):
+    """Independent FULL time derivative of all 47 components.
+
+    Construction (everything from first principles — no module algebra):
+    the 4-metric (zero shift), u^μ, the fluid-frame field b^μ, the total
+    T^{μν} = (ρh + b²)u^μu^ν + (p + b²/2)g^{μν} − b^μb^ν, and the dual
+    Faraday tensor F*^{μν} = b^μu^ν − b^νu^μ.  Conserved densities and
+    their fluxes are the covariant conservation laws in coordinates:
+    ∂_t(√−g T^{0ν}-contractions) + ∂_d(√−g T^{dν}-contractions) = sources
+    with √−g = α√γ, and ∂_t B̃^i = −∂_d[α√γ F*^{id}] (homogeneous
+    Maxwell) + the GLM coupling.  Every spatial divergence comes from
+    ``jax.jacfwd`` of the flux-as-a-function-of-x; the Z4 sector rides
+    the (autodiff-geometry) oracle of ``test_z4_matter`` fed the TOTAL
+    projections through its ``matter_fn`` hook — so all magnetic-sector ×
+    dynamic-metric cross terms are independently covered."""
+    from tests.test_z4_matter import _oracle_rhs
+
+    alpha, gam, K, theta, Z, rho_f, p_f, v_f, B_f, psi_f = fields
+
+    def prim(x):
+        g = gam(x)
+        gi = jnp.linalg.inv(g)
+        vl = v_f(x)
+        vup = gi @ vl
+        W = 1.0 / jnp.sqrt(1.0 - vl @ vup)
+        return alpha(x), g, gi, vl, vup, W, B_f(x), vl @ B_f(x)
+
+    def g4(x):
+        al = alpha(x)
+        g = gam(x)
+        top = jnp.concatenate([-(al * al)[None], jnp.zeros(3)])
+        rows = jnp.concatenate([jnp.zeros((3, 1)), g], axis=1)
+        return jnp.concatenate([top[None], rows], axis=0)
+
+    def u4(x):
+        al, g, gi, vl, vup, W, B, vB = prim(x)
+        return jnp.concatenate([(W / al)[None], W * vup])
+
+    def b4(x):
+        al, g, gi, vl, vup, W, B, vB = prim(x)
+        return jnp.concatenate(
+            [(W * vB / al)[None], B / W + (W * vB) * vup]
+        )
+
+    def T4(x):
+        """Contravariant total stress-energy."""
+        al, g, gi, vl, vup, W, B, vB = prim(x)
+        u = u4(x)
+        b = b4(x)
+        G4 = g4(x)
+        b2 = b @ G4 @ b
+        rho, p = rho_f(x), p_f(x)
+        h = 1.0 + GAMMA / (GAMMA - 1.0) * p / rho
+        return (
+            (rho * h + b2) * jnp.outer(u, u)
+            + (p + 0.5 * b2) * jnp.linalg.inv(G4)
+            - jnp.outer(b, b)
+        )
+
+    def matter_fn(x):
+        """Total (E, S_i, S_ij, tr S) by normal/projector contraction."""
+        al, g, gi, vl, vup, W, B, vB = prim(x)
+        T = T4(x)
+        Tmix = T @ g4(x)  # T^μ_ν
+        E = al * al * T[0, 0]
+        S_low = al * Tmix[0, 1:]
+        S_ij = g @ T[1:, 1:] @ g
+        return E, S_low, S_ij, jnp.einsum("ij,ij->", gi, S_ij)
+
+    z4_oracle = _oracle_rhs(
+        alpha, gam, K, theta, Z, rho_f, p_f, v_f,
+        slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+        matter_fn=matter_fn,
+    )
+
+    def fluxes(x):
+        """[3, 9] — flux along d of (D̃, S̃_j, τ̃, B̃^i, φ̃)."""
+        al, g, gi, vl, vup, W, B, vB = prim(x)
+        sg = jnp.sqrt(jnp.linalg.det(g))
+        T = T4(x)
+        Tmix = T @ g4(x)
+        u = u4(x)
+        b = b4(x)
+        F_D = al * sg * rho_f(x) * u[1:]                 # √−g ρ u^d
+        F_S = al * sg * Tmix[1:, 1:]                     # √−g T^d_j
+        F_tau = sg * al * al * T[0, 1:] - F_D            # √γ α(αT^{0d}) − F_D
+        F_B = al * sg * (
+            jnp.outer(u[1:], b[1:]) - jnp.outer(b[1:], u[1:])
+        ) + al * psi_f(x) * jnp.eye(3)                   # [d, i] = α√γ F*^{id} + GLM
+        F_psi = al * c_h * c_h * sg * B
+        return jnp.concatenate(
+            [F_D[:, None], F_S, F_tau[:, None], F_B, F_psi[:, None]],
+            axis=1,
+        )
+
+    def rhs(x):
+        zrows = z4_oracle(x)  # [43]: z4(38) + [0, s_S(3), s_tau]
+        J = jax.jacfwd(fluxes)(x)  # [3, 9, 3]
+        div = sum(J[d, :, d] for d in range(3))  # [9]
+        src = jnp.concatenate(
+            [
+                jnp.zeros(1),
+                zrows[N_Z4 + 1: N_Z4 + 4],
+                zrows[N_Z4 + 4][None],
+                jnp.zeros(3),
+                (-glm_kappa * alpha(x) * psi_f(x))[None],
+            ]
+        )
+        return jnp.concatenate([zrows[:N_Z4], src - div])
+
+    return rhs
+
+
+@pytest.mark.parametrize(
+    "slicing,f,kappa1,kappa2,glm_kappa",
+    [("harmonic", 1.0, 0.0, 0.0, 0.0), ("1+log", 1.0, 0.2, 0.1, 0.5)],
+)
+def test_full_rhs_matches_autodiff_oracle(slicing, f, kappa1, kappa2,
+                                          glm_kappa):
+    """Every one of the 47 coupled RHS components — INCLUDING the flux
+    divergence, so the densitized induction and GLM on the evolving
+    γ_ij/α are covered — equals the independent covariant-4-tensor +
+    autodiff-geometry oracle on random smooth fields."""
+    m, c_h = 2.0, 1.2
+    fields = _make_mhd_fields(seed=3)
+    state = _mhd_state(*fields)
+    oracle = _oracle_full_rhs(
+        fields, slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
+        c_h=c_h, glm_kappa=glm_kappa,
+    )
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, size=(5, 3)))
+
+    kw = dict(gamma=GAMMA, iters=30, slicing=slicing, f=f, m=m,
+              kappa1=kappa1, kappa2=kappa2)
+
+    def got_fn(x):
+        q = state(x)
+        dq3 = jnp.swapaxes(jax.jacfwd(state)(x), -1, -2)
+        ncp_src = z4_grmhd_rhs(q, dq3, glm_kappa=glm_kappa, **kw)
+        J = jax.jacfwd(
+            lambda y: jnp.stack(
+                [
+                    z4_grmhd_flux(state(y), d, var_axis=-1, gamma=GAMMA,
+                                  iters=30, c_h=c_h)
+                    for d in range(3)
+                ]
+            )
+        )(x)  # [3, 47, 3]
+        div = sum(J[d, :, d] for d in range(3))
+        return ncp_src - div
+
+    got = jax.vmap(got_fn)(pts)
+    want = jax.vmap(oracle)(pts)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=5e-9
+    )
+
+
 # --------------------------------------------------- recovery round-trip
 
 

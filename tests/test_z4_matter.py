@@ -129,11 +129,18 @@ def _first_order_state(alpha, gam, K, theta, Z, rho, p, v_low):
 
 
 def _oracle_rhs(alpha, gam, K, theta, Z, rho_f, p_f, v_f, *,
-                slicing="harmonic", f=1.0, m=2.0, kappa1=0.0, kappa2=0.0):
+                slicing="harmonic", f=1.0, m=2.0, kappa1=0.0, kappa2=0.0,
+                matter_fn=None):
     """Independent coupled RHS: vacuum Z4 oracle (autodiff geometry) plus
     independently-typed matter terms — 3+1 perfect-fluid projections and
     the zero-shift Valencia sources, every metric derivative from
-    ``jax.jacfwd`` (no D/A anywhere)."""
+    ``jax.jacfwd`` (no D/A anywhere).
+
+    ``matter_fn(x) -> (E, S_low, S_ij, S_tr)`` overrides the perfect-fluid
+    stress-energy projections — the hook `tests/test_z4_grmhd.py` uses to
+    drive the SAME independent geometry with the TOTAL (fluid + EM)
+    projections from a covariant 4-tensor construction.  The Valencia
+    sources (rows 39-42) then also carry the supplied total S^{ik}."""
     from exahype_tpu.models.z4 import _slicing, pack
 
     g_of, _ = _slicing(slicing, f)
@@ -163,7 +170,7 @@ def _oracle_rhs(alpha, gam, K, theta, Z, rho_f, p_f, v_f, *,
             - jnp.einsum("kli,lkj->ij", G, G)
         )
 
-    def matter(x):
+    def _perfect_fluid_matter(x):
         """(E, S_i, S_ij, S) of the perfect fluid at x."""
         g = gam(x)
         gi = jnp.linalg.inv(g)
@@ -178,6 +185,8 @@ def _oracle_rhs(alpha, gam, K, theta, Z, rho_f, p_f, v_f, *,
         Sij = rhohW2 * jnp.outer(vl, vl) + p * g
         Str = rhohW2 * v2 + 3.0 * p
         return E, S, Sij, Str
+
+    matter = matter_fn if matter_fn is not None else _perfect_fluid_matter
 
     def rhs(x):
         al = alpha(x)
