@@ -213,6 +213,19 @@ class PallasADERDG:
         # the single epilogue axis and blocks hold >1 row.
         bfo = self.boundary_faces_only and epilogue_axes == (0,) and tile0 > 1
         self.boundary_faces_only = bfo
+        # Viscous solvers with a wall on an epilogue axis: the wall ghost
+        # flux needs the advective/viscous SPLIT (the reflect/dirichlet
+        # flux hook applies to the advective part only, the viscous flux
+        # is taken one-sided — ADERDGSolver.face_update fv_lo/fv_hi), so
+        # the kernel additionally accumulates the viscous-only
+        # time-averaged flux for those axes and emits its two face
+        # projections.  Walls force fuse_interior_riemann=False (all axes
+        # epilogue, no bfo), so this never co-exists with the fused-axes
+        # or boundary-faces-only output layouts.
+        visc_wall_axes = tuple(
+            d for d in epilogue_axes
+            if sol.visc_flux_fn is not None and sol.is_wall(d)
+        )
 
         def _shift(x, sh, axis):
             """Periodic shift by concatenated slices (Mosaic-lowerable; the
@@ -539,8 +552,12 @@ class PallasADERDG:
 
                 # Time averages, streamed over slices as well.
                 zero = jnp.zeros_like(u)
-                init = (qs, zero, (zero,) * dim) + (
-                    (zero,) if sol.source_fn is not None else ()
+                src_idx = 3
+                visc_idx = src_idx + (1 if sol.source_fn is not None else 0)
+                init = (
+                    (qs, zero, (zero,) * dim)
+                    + ((zero,) if sol.source_fn is not None else ())
+                    + (zero,) * len(visc_wall_axes)
                 )
 
                 def avg_body(s, carry):
@@ -549,26 +566,43 @@ class PallasADERDG:
                     w_s = dyn_scalar(W, s)
                     qbar_acc = carry[1] + w_s * q_s
                     g_s = grads_of(q_s)
+                    fs, fvs = [], {}
+                    for d in lam_axes:
+                        F = sol.flux_fn(q_s, d, va)
+                        if g_s is not None:
+                            Fv = sol.visc_flux_fn(q_s, g_s, d, va)
+                            F = F + Fv
+                            if d in visc_wall_axes:
+                                fvs[d] = Fv
+                        fs.append(F)
                     fbar_acc = tuple(
-                        f + w_s * full_flux(q_s, d, g_s)
-                        for d, f in zip(lam_axes, carry[2])
+                        f + w_s * fn for f, fn in zip(carry[2], fs)
                     )
                     out = (rot(qs_rot), qbar_acc, fbar_acc)
                     if sol.source_fn is not None:
                         out = out + (
                             carry[3] + w_s * sol.source_fn(q_s, va),
                         )
+                    out = out + tuple(
+                        carry[visc_idx + k] + w_s * fvs[d]
+                        for k, d in enumerate(visc_wall_axes)
+                    )
                     return out
 
                 avg = jax.lax.fori_loop(0, nn, avg_body, init)
                 qbar = avg[1]
                 fbar = list(avg[2])
+                fvbar = {
+                    d: avg[visc_idx + k]
+                    for k, d in enumerate(visc_wall_axes)
+                } or None
                 new = (
-                    u + dtv * avg[3] if sol.source_fn is not None else u
+                    u + dtv * avg[src_idx]
+                    if sol.source_fn is not None else u
                 )
                 return _epilogue(
                     u, new, qbar, fbar, lams, dtv,
-                    out_vol_ref, face_refs, emit_fused_fhat,
+                    out_vol_ref, face_refs, emit_fused_fhat, fvbar,
                 )
 
             # --- space-time predictor, time axis unrolled into a list ---
@@ -656,9 +690,21 @@ class PallasADERDG:
             # list form (bitwise equal), one live flux transient.
             qbar = sum(W[s] * q[s] for s in range(nn))
             fbar = None
+            fvbar = {d: None for d in visc_wall_axes} or None
             for s in range(nn):
                 g_s = grads_of(q[s])
-                fs = [full_flux(q[s], d, g_s) for d in lam_axes]
+                fs = []
+                for d in lam_axes:
+                    F = sol.flux_fn(q[s], d, va)
+                    if g_s is not None:
+                        Fv = sol.visc_flux_fn(q[s], g_s, d, va)
+                        F = F + Fv
+                        if fvbar is not None and d in fvbar:
+                            fvbar[d] = (
+                                W[s] * Fv if fvbar[d] is None
+                                else fvbar[d] + W[s] * Fv
+                            )
+                    fs.append(F)
                 fbar = (
                     [W[0] * f for f in fs]
                     if fbar is None
@@ -674,15 +720,17 @@ class PallasADERDG:
                 new = u
             return _epilogue(
                 u, new, qbar, fbar, lams, dtv,
-                out_vol_ref, face_refs, emit_fused_fhat,
+                out_vol_ref, face_refs, emit_fused_fhat, fvbar,
             )
 
         def _epilogue(
             u, new, qbar, fbar, lams, dtv,
-            out_vol_ref, face_refs, emit_fused_fhat,
+            out_vol_ref, face_refs, emit_fused_fhat, fvbar=None,
         ):
             """Volume integral + Riemann/face handling, shared by the
-            unrolled and slice-streamed predictor paths."""
+            unrolled and slice-streamed predictor paths.  ``fvbar`` maps
+            each viscous-wall epilogue axis to its viscous-only
+            time-averaged flux (emitted as two extra face outputs)."""
             if sol.ncp_fn is not None and sol.rhs_all_fn is not None:
                 # Fused strong-form NCP volume term (base solver order:
                 # before the per-axis volume integrals): two algebra
@@ -786,6 +834,19 @@ class PallasADERDG:
                 base = 4 * len(epilogue_axes)
                 for j, fhat_d in enumerate(fused_fhats):
                     face_refs[base + j][...] = fhat_d
+            if visc_wall_axes:
+                # Viscous-only face projections for the wall face stage.
+                vbase = 4 * len(epilogue_axes) + (
+                    len(fused_axes) if emit_fused_fhat else 0
+                )
+                for k, d in enumerate(visc_wall_axes):
+                    na = sol.node_axis(d)
+                    face_refs[vbase + 2 * k][...] = vec_project(
+                        PHI0, fvbar[d], na
+                    )
+                    face_refs[vbase + 2 * k + 1][...] = vec_project(
+                        PHI1, fvbar[d], na
+                    )
 
         state_shape = sol.state_shape
         if bfo:
@@ -832,6 +893,14 @@ class PallasADERDG:
                 out_specs += [
                     pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
                 ] * n_extra
+            # Viscous-wall face splits (fv_lo, fv_hi per wall epilogue
+            # axis; mutually exclusive with bfo — walls disable it).
+            out_shapes += [
+                jax.ShapeDtypeStruct(face_shape, u.dtype)
+            ] * (2 * len(visc_wall_axes))
+            out_specs += [
+                pl.BlockSpec(face_block, face_map, memory_space=pltpu.VMEM)
+            ] * (2 * len(visc_wall_axes))
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
@@ -931,7 +1000,14 @@ class PallasADERDG:
                     fhat_by_dir[d] = fused_fhats[j]
                 return new, [fhat_by_dir[d] for d in range(dim)]
             faces = outs[1 : 1 + n_face_out]
-            fused_fhats = list(outs[1 + n_face_out :])
+            k0 = 1 + n_face_out
+            n_extra = len(fused_axes) if return_face_fluxes else 0
+            fused_fhats = list(outs[k0 : k0 + n_extra])
+            visc_faces = outs[k0 + n_extra :]
+            fv_by_dir = {
+                d: {"fv_lo": visc_faces[2 * k], "fv_hi": visc_faces[2 * k + 1]}
+                for k, d in enumerate(visc_wall_axes)
+            }
             dtv = jnp.asarray(dt, u.dtype)
             fhat_by_dir = {}
             for i, d in enumerate(epilogue_axes):
@@ -941,7 +1017,8 @@ class PallasADERDG:
                     # predictor kernel is boundary-independent); also the
                     # flux-returning path, so fluxes match the base solver.
                     new, fhat_d = sol.face_update(
-                        new, q_lo, q_hi, f_lo, f_hi, d, dtv
+                        new, q_lo, q_hi, f_lo, f_hi, d, dtv,
+                        **fv_by_dir.get(d, {}),
                     )
                 else:
                     new, fhat_d = surface_update(
@@ -960,6 +1037,7 @@ class PallasADERDG:
         # boundary-aware face_update with a pluggable neighbour shift.
         self._predictor_call_fn = predictor_call
         self._epilogue_axes = epilogue_axes
+        self._visc_wall_axes = visc_wall_axes
         self._step = step
         return step
 

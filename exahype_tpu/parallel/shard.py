@@ -361,6 +361,36 @@ def make_sharded_pallas_step_2axis(
     return jax.jit(mapped), sharding
 
 
+def _localize_dirichlet(solver, shard_info):
+    """Wrap ``solver.dirichlet_fn`` so each shard reads ITS window of the
+    globally-prescribed wall rows (round-5: closes the sharded-dirichlet
+    hole).  ``shard_info`` maps a sharded GRID axis to
+    ``(mesh_axis_name, local_extent)``; the wrapper dynamic-slices the
+    global row along every sharded transverse grid axis at
+    ``axis_index * local_extent`` (the wall axis itself is the singleton
+    row dimension and broadcast rows are shard-invariant).  Must be
+    called inside ``shard_map`` (it reads ``jax.lax.axis_index``)."""
+    base = solver.dirichlet_fn
+    if base is None:
+        return None
+    dim = solver.dim
+
+    def fn(axis, side):
+        row = jnp.asarray(base(axis, side))
+        for gax, (name, local) in shard_info.items():
+            pos = dim + gax  # grid axis position in the face-row layout
+            if gax == axis or pos >= row.ndim or row.shape[pos] <= 1:
+                continue
+            idx = jax.lax.axis_index(name)
+            row = jax.lax.dynamic_slice_in_dim(
+                row, idx * local, local, axis=pos
+            )
+        return row
+
+    fn.basis = getattr(base, "basis", None)
+    return fn
+
+
 def _edge_shift(x, sh, axis, axis_name, n_shards, wire_dtype=None):
     """Periodic shift by one along a GRID axis that is sharded over
     ``axis_name``: local roll + ``ppermute`` of the one-row edge the
@@ -417,25 +447,6 @@ def make_sharded_aderdg_step(
     """
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
-    if solver.boundary == "dirichlet" and (
-        solver.wall_axes is None or any(d != 0 for d in solver.wall_axes)
-    ):
-        raise SemanticError(
-            "sharded dirichlet walls are supported on grid axis 0 only: "
-            "rows for unsharded wall axes are built for the GLOBAL grid "
-            "and do not broadcast to the shard-local face arrays"
-        )
-    if solver.visc_flux_fn is not None and any(
-        solver.is_wall(d) for d in range(solver.dim)
-    ):
-        raise SemanticError(
-            "viscous solvers with walls are not supported on the fused "
-            "sharded path: the fused predictor emits combined "
-            "advective+viscous face fluxes, but the wall ghost flux needs "
-            "the advective/viscous split (ADERDGSolver.face_update fv_lo/"
-            "fv_hi) — use the plain GSPMD-sharded ADERDGSolver.step for "
-            "viscous wall domains"
-        )
     n_shards = mesh.shape[axis_name]
     if solver.grid_shape[0] % n_shards != 0:
         raise SemanticError(
@@ -445,11 +456,19 @@ def make_sharded_aderdg_step(
     local_grid = (solver.grid_shape[0] // n_shards,) + tuple(
         solver.grid_shape[1:]
     )
-    local_solver = dataclasses.replace(solver, grid_shape=local_grid)
+    # Dirichlet rows are prescribed for the GLOBAL grid; each shard slices
+    # its own window along the sharded transverse axis (round 5).
+    local_dirichlet = _localize_dirichlet(
+        solver, {0: (axis_name, local_grid[0])}
+    )
+    local_solver = dataclasses.replace(
+        solver, grid_shape=local_grid, dirichlet_fn=local_dirichlet
+    )
     fused = PallasADERDG(local_solver, interpret=interpret, **pallas_kwargs)
     fused.build()
     predictor_call = fused._predictor_call_fn
     epilogue_axes = fused._epilogue_axes
+    visc_wall_axes = fused._visc_wall_axes
     fused_axes = tuple(
         d for d in range(solver.dim) if d not in epilogue_axes
     )
@@ -473,7 +492,14 @@ def make_sharded_aderdg_step(
         )
         new = outs[0]
         faces = outs[1 : 1 + n_face_out]
-        fused_fhats = list(outs[1 + n_face_out :])
+        k0 = 1 + n_face_out
+        n_extra = len(fused_axes) if return_face_fluxes else 0
+        fused_fhats = list(outs[k0 : k0 + n_extra])
+        visc_faces = outs[k0 + n_extra :]
+        fv_by_dir = {
+            d: {"fv_lo": visc_faces[2 * k], "fv_hi": visc_faces[2 * k + 1]}
+            for k, d in enumerate(visc_wall_axes)
+        }
         dtv = jnp.asarray(dt, Q_local.dtype)
         idx = jax.lax.axis_index(axis_name)
         fhat_by_dir = {}
@@ -493,12 +519,14 @@ def make_sharded_aderdg_step(
                     shift=shift,
                     holds_lo_wall=idx == 0,
                     holds_hi_wall=idx == n_shards - 1,
+                    **fv_by_dir.get(d, {}),
                 )
             else:
                 # Interior grid axes are whole within the shard: the plain
                 # (boundary-aware) local face stage is exactly right.
                 new, fhat_d = local_solver.face_update(
-                    new, q_lo, q_hi, f_lo, f_hi, d, dtv
+                    new, q_lo, q_hi, f_lo, f_hi, d, dtv,
+                    **fv_by_dir.get(d, {}),
                 )
             fhat_by_dir[d] = fhat_d
         if not return_face_fluxes:
@@ -550,32 +578,18 @@ def make_sharded_aderdg_step_2axis(
     ``== n-1`` on that mesh axis), exactly like the 1-axis path — so the
     capstone production shape, a LIMITED run in a walled box on an
     ICI × DCN mesh, is supported via :class:`ShardedPallasADERDG2Axis`.
-    Dirichlet walls and viscous walls stay unsupported here (prescribed
-    rows are built for the GLOBAL grid; the fused faces carry no
-    advective/viscous split) and raise.
+    Round 5 closes the last two wall holes: DIRICHLET rows (prescribed
+    for the global grid) are dynamic-sliced to each shard's window along
+    both sharded transverse axes (:func:`_localize_dirichlet`), and
+    VISCOUS walls ride the fused kernel's new viscous-only face outputs
+    (``fv_lo``/``fv_hi``) through the advective/viscous wall split of
+    ``ADERDGSolver.face_update``.
 
     Returns ``(step_fn, sharding)``; ``return_face_fluxes`` follows the
     :func:`make_sharded_aderdg_step` contract.
     """
     from exahype_tpu.models.aderdg_pallas import PallasADERDG
 
-    if solver.boundary == "dirichlet":
-        raise SemanticError(
-            "2-axis sharded dirichlet walls are not supported: prescribed "
-            "rows are built for the GLOBAL grid and do not broadcast to "
-            "the shard-local face arrays (shard axis 0 only via "
-            "make_sharded_aderdg_step)"
-        )
-    if solver.visc_flux_fn is not None and any(
-        solver.is_wall(d) for d in range(solver.dim)
-    ):
-        raise SemanticError(
-            "viscous solvers with walls are not supported on the fused "
-            "sharded path: the fused predictor emits combined "
-            "advective+viscous face fluxes, but the wall ghost flux needs "
-            "the advective/viscous split — use the plain GSPMD-sharded "
-            "ADERDGSolver.step for viscous wall domains"
-        )
     n0 = mesh.shape[axis_names[0]]
     n1 = mesh.shape[axis_names[1]]
     g0, g1 = solver.grid_shape[0], solver.grid_shape[1]
@@ -584,7 +598,16 @@ def make_sharded_aderdg_step_2axis(
             f"grid axes ({g0},{g1}) must divide the mesh ({n0},{n1})"
         )
     local_grid = (g0 // n0, g1 // n1) + tuple(solver.grid_shape[2:])
-    local_solver = dataclasses.replace(solver, grid_shape=local_grid)
+    # Dirichlet rows slice per shard along BOTH sharded transverse axes
+    # (round 5 — closes the 2-axis dirichlet hole).
+    local_dirichlet = _localize_dirichlet(
+        solver,
+        {0: (axis_names[0], local_grid[0]),
+         1: (axis_names[1], local_grid[1])},
+    )
+    local_solver = dataclasses.replace(
+        solver, grid_shape=local_grid, dirichlet_fn=local_dirichlet
+    )
     fused = PallasADERDG(
         local_solver, interpret=interpret, epilogue_axes=(0, 1),
         **pallas_kwargs,
@@ -592,6 +615,7 @@ def make_sharded_aderdg_step_2axis(
     fused.build()
     predictor_call = fused._predictor_call_fn
     epilogue_axes = fused._epilogue_axes
+    visc_wall_axes = fused._visc_wall_axes
     fused_axes = tuple(d for d in range(solver.dim) if d not in epilogue_axes)
     n_face_out = 4 * len(epilogue_axes)
     n_mesh = {0: n0, 1: n1}
@@ -613,7 +637,14 @@ def make_sharded_aderdg_step_2axis(
         outs = predictor_call(Q_local, dt, emit_fused_fhat=return_face_fluxes)
         new = outs[0]
         faces = outs[1 : 1 + n_face_out]
-        fused_fhats = list(outs[1 + n_face_out :])
+        k0 = 1 + n_face_out
+        n_extra = len(fused_axes) if return_face_fluxes else 0
+        fused_fhats = list(outs[k0 : k0 + n_extra])
+        visc_faces = outs[k0 + n_extra :]
+        fv_by_dir = {
+            d: {"fv_lo": visc_faces[2 * k], "fv_hi": visc_faces[2 * k + 1]}
+            for k, d in enumerate(visc_wall_axes)
+        }
         dtv = jnp.asarray(dt, Q_local.dtype)
         fhat_by_dir = {}
         # DCN axis (1) first: its edge ppermutes are issued before axis 0's,
@@ -634,11 +665,13 @@ def make_sharded_aderdg_step_2axis(
                     new, q_lo, q_hi, f_lo, f_hi, d, dtv, shift=shift,
                     holds_lo_wall=idx == 0,
                     holds_hi_wall=idx == n_sh - 1,
+                    **fv_by_dir.get(d, {}),
                 )
             else:
                 # Interior epilogue axes are whole within the shard.
                 new, fhat_d = local_solver.face_update(
-                    new, q_lo, q_hi, f_lo, f_hi, d, dtv
+                    new, q_lo, q_hi, f_lo, f_hi, d, dtv,
+                    **fv_by_dir.get(d, {}),
                 )
             fhat_by_dir[d] = fhat_d
         if not return_face_fluxes:

@@ -61,6 +61,13 @@ VARIANTS = {
     "dmp3e4": {"dmp_delta0": 3e-4},
     "dmp1e3": {"dmp_delta0": 1e-3},
     "dmp3e4_cap192": {"dmp_delta0": 3e-4, "troubled_capacity": 192},
+    "dmp5e4": {"dmp_delta0": 5e-4},
+    "dmp5e4_noguard": {"dmp_delta0": 5e-4, "post_step_guard": False},
+    "dmp1e3_noguard": {"dmp_delta0": 1e-3, "post_step_guard": False},
+    # The unlimited fused solver on the same blast: its drift is the
+    # f32 conservation floor of the scheme+measurement (the limited
+    # paths cannot beat it).
+    "unlimited": {"__unlimited__": True},
 }
 
 
@@ -102,15 +109,17 @@ def initial_state(solver):
 
 
 def run_variant(name, overrides):
+    unlimited = overrides.pop("__unlimited__", False)
     solver, accel, limited = build(overrides)
     Q = initial_state(solver)
     dt = jnp.asarray(1.5e-4, DTYPE)
     adm_fn = euler_admissible(dim=DIM, gamma=1.4)
+    stepper = accel if unlimited else limited
 
     @jax.jit
     def run_chunk(q):
         def body(carry, _):
-            return limited.step(carry, dt), None
+            return stepper.step(carry, dt), None
 
         out, _ = jax.lax.scan(body, q, None, length=CHUNK)
         return out
@@ -122,14 +131,21 @@ def run_variant(name, overrides):
         finite = jnp.isfinite(q).all()
         adm = adm_fn(q, solver.var_axis).all()
         rho_min = jnp.min(jnp.take(q, 0, solver.var_axis))
-        mass = jnp.sum(jnp.take(q, 0, solver.var_axis))
-        return t.any(axis=-1).sum(), finite, adm, rho_min, mass
+        # ACCURATE conserved mass: reduce on device down to one value per
+        # grid-axis-0 row (f32 pairwise over ~1M elements each), f64-sum
+        # the 256-vector on the host — so the drift measures the SCHEME,
+        # not the 80M-element f32 reduction.
+        rho = jnp.take(q, 0, solver.var_axis)
+        red_axes = tuple(a for a in range(rho.ndim) if a != solver.dim)
+        mass_rows = jnp.sum(rho, axis=red_axes)
+        return t.any(axis=-1).sum(), finite, adm, rho_min, mass_rows
 
     t_c0 = time.perf_counter()
     Q = run_chunk(Q)  # warmup 5 steps (matches bench)
     np.asarray(jax.device_get(Q[0, 0, 0, 0, 0]))
     compile_s = time.perf_counter() - t_c0
-    _, _, _, _, mass0 = (np.asarray(v) for v in jax.device_get(probe_state(Q)))
+    _, _, _, _, rows0 = (np.asarray(v) for v in jax.device_get(probe_state(Q)))
+    mass0 = float(rows0.astype(np.float64).sum())
 
     t0 = time.perf_counter()
     for _ in range(N_ROUNDS):
@@ -137,9 +153,10 @@ def run_variant(name, overrides):
     tail = np.asarray(jax.device_get(Q[0, 0, 0, 0, :4]))
     elapsed = time.perf_counter() - t0
     steps = N_ROUNDS * CHUNK
-    rows, finite, adm, rho_min, mass1 = (
+    rows, finite, adm, rho_min, rows1 = (
         np.asarray(v) for v in jax.device_get(probe_state(Q))
     )
+    mass1 = float(rows1.astype(np.float64).sum())
     rec = {
         "variant": name,
         "ms_per_step": 1e3 * elapsed / steps,

@@ -5,6 +5,8 @@ Multi-chip behaviour is validated on the 8-virtual-device CPU mesh
 single-device run, and its compiled HLO must actually contain collectives.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -801,49 +803,167 @@ def test_two_axis_sharded_aderdg_walls_match_single_device(boundary):
         )
 
 
-def test_two_axis_sharded_aderdg_rejects_dirichlet_and_viscous_walls():
-    """The two documented 2-axis wall holes raise clearly: dirichlet rows
-    (global-grid prescribed data) and viscous walls (no advective/viscous
-    face split from the fused predictor)."""
-    from jax.sharding import Mesh
-
-    from exahype_tpu.models import navier_stokes as ns
+def _dirichlet_wall_solver(grid_shape=(8, 4, 8)):
+    """3-D Euler box with SPATIALLY-VARYING prescribed wall rows (the
+    variation is what exercises the per-shard row slicing)."""
     from exahype_tpu.models.aderdg import (
         ADERDGSolver,
         euler_physics,
         make_dirichlet_fn,
-        wrap_var_last,
     )
+
+    flux, eig = euler_physics(dim=3, n_real=5)
+
+    def state_fn(x, y, z):
+        rho = 1.0 + 0.2 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y)
+        p = 1.0 + 0.1 * np.cos(2 * np.pi * z)
+        return np.stack(
+            [rho, np.zeros_like(x), np.zeros_like(x), np.zeros_like(x),
+             p / 0.4], axis=-1,
+        )
+
+    dfn = make_dirichlet_fn(state_fn, dim=3, order=2,
+                            grid_shape=grid_shape, dx=1.0 / grid_shape[0])
+    return ADERDGSolver(
+        dim=3, order=2, n_vars=5, grid_shape=grid_shape, flux_fn=flux,
+        max_eigenvalue_fn=eig, dx=1.0 / grid_shape[0],
+        boundary="dirichlet", dirichlet_fn=dfn,
+    )
+
+
+def test_two_axis_sharded_aderdg_dirichlet_walls_match_single_device():
+    """Round 5: the 2-axis dirichlet hole is closed — the globally
+    prescribed wall rows are dynamic-sliced to each shard's window along
+    BOTH sharded transverse axes; matches the unsharded boundary-aware
+    fused step to 1e-12 including the face-flux contract."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
     from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
-    from exahype_tpu.utils.errors import SemanticError
+
+    solver = _dirichlet_wall_solver()
+    Q0 = _aderdg_euler_state(solver)
+    ref_new, ref_fluxes = PallasADERDG(
+        solver, interpret=True, tile0=2, epilogue_axes=(0, 1)
+    ).step(Q0, 1e-3, return_face_fluxes=True)
 
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
-    flux, eig = euler_physics(dim=3, n_real=5)
-    state_fn = lambda x, y, z: np.stack(
-        [np.ones_like(x), np.zeros_like(x), np.zeros_like(x),
-         np.zeros_like(x), np.ones_like(x)], axis=-1,
+    step, sharding = make_sharded_aderdg_step_2axis(
+        solver, mesh, interpret=True, tile0=1, return_face_fluxes=True
     )
-    dfn = make_dirichlet_fn(state_fn, dim=3, order=2, grid_shape=(8, 4, 8),
-                            dx=1.0 / 8)
-    solver = ADERDGSolver(
-        dim=3, order=2, n_vars=5, grid_shape=(8, 4, 8), flux_fn=flux,
-        max_eigenvalue_fn=eig, dx=1.0 / 8, boundary="dirichlet",
-        dirichlet_fn=dfn,
+    Qs = jax.device_put(Q0, sharding)
+    got_new, got_fluxes = jax.jit(step)(Qs, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_new), np.asarray(ref_new), rtol=0, atol=1e-12
     )
-    with pytest.raises(SemanticError, match="dirichlet"):
-        make_sharded_aderdg_step_2axis(solver, mesh, interpret=True, tile0=1)
+    for a, b in zip(got_fluxes, ref_fluxes):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-12
+        )
 
-    f, e, vf, ve = ns.navier_stokes(dim=2, mu=1e-2)
-    vsolver = ADERDGSolver(
-        dim=2, order=2, n_vars=4, grid_shape=(8, 8),
+
+def test_sharded_aderdg_dirichlet_transverse_wall_matches():
+    """Round 5 (1-axis flavour): a dirichlet wall on an UNSHARDED axis
+    while grid axis 0 is sharded — the prescribed rows span the sharded
+    axis and are sliced per shard."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    solver = dataclasses.replace(_dirichlet_wall_solver(), wall_axes=(1,))
+    Q0 = _aderdg_euler_state(solver)
+    ref = np.asarray(
+        PallasADERDG(solver, interpret=True, tile0=2).step(Q0, 1e-3)
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("patches",))
+    step, sharding = make_sharded_aderdg_step(
+        solver, mesh, interpret=True, tile0=1
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-3))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def _noslip_ns_solver(cells=8, order=2, dim=2):
+    from exahype_tpu.models import navier_stokes as ns
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+
+    f, e, vf, ve = ns.navier_stokes(dim=dim, mu=1e-2)
+    return ADERDGSolver(
+        dim=dim, order=order, n_vars=dim + 2, grid_shape=(cells,) * dim,
         flux_fn=wrap_var_last(f), max_eigenvalue_fn=wrap_var_last(e),
         visc_flux_fn=ns.wrap_visc_var_last(vf),
-        visc_eigenvalue_fn=wrap_var_last(ve), dx=1.0 / 8,
-        boundary="reflective", reflect_fn=ns.noslip_reflect(2),
-        reflect_flux_fn=ns.noslip_reflect_flux(2),
+        visc_eigenvalue_fn=wrap_var_last(ve), dx=1.0 / cells,
+        boundary="reflective", reflect_fn=ns.noslip_reflect(dim),
+        reflect_flux_fn=ns.noslip_reflect_flux(dim),
     )
-    with pytest.raises(SemanticError, match="viscous"):
-        make_sharded_aderdg_step_2axis(vsolver, mesh, interpret=True, tile0=1)
+
+
+def _ns_state(solver, seed=2):
+    rng = np.random.default_rng(seed)
+    dim = solver.dim
+    no_var = (solver.state_shape[: solver.var_axis]
+              + solver.state_shape[solver.var_axis + 1 :])
+    rho = 1.0 + 0.2 * rng.random(no_var)
+    m = 0.1 * rng.standard_normal(no_var + (dim,))
+    p = 1.0 + 0.2 * rng.random(no_var)
+    E = p / 0.4 + 0.5 * (m**2).sum(-1) / rho
+    Qv = np.concatenate([rho[..., None], m, E[..., None]], -1)
+    return jnp.asarray(np.moveaxis(Qv, -1, solver.var_axis))
+
+
+def test_fused_viscous_walls_match_base_solver():
+    """Round 5: the fused predictor now emits the viscous-only face
+    projections, so no-slip (viscous) walls on the fused path reproduce
+    the base solver's advective/viscous wall split to 1e-12."""
+    from exahype_tpu.models.aderdg_pallas import PallasADERDG
+
+    solver = _noslip_ns_solver()
+    Q0 = _ns_state(solver)
+    want = np.asarray(solver.step(Q0, 1e-3))
+    got = np.asarray(
+        PallasADERDG(solver, interpret=True, tile0=2).step(Q0, 1e-3)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_two_axis_sharded_aderdg_viscous_walls_match_base_solver():
+    """Round 5: the 2-axis viscous-wall hole is closed — the per-shard
+    fused kernel emits fv_lo/fv_hi and the wall face stage applies the
+    advective/viscous split; matches the (validated) base solver."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step_2axis
+
+    solver = _noslip_ns_solver()
+    Q0 = _ns_state(solver)
+    want = np.asarray(solver.step(Q0, 1e-3))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("ici", "dcn"))
+    step, sharding = make_sharded_aderdg_step_2axis(
+        solver, mesh, interpret=True, tile0=1
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-3))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_sharded_aderdg_viscous_walls_match_base_solver():
+    """Round 5 (1-axis flavour of the viscous-wall fix)."""
+    from jax.sharding import Mesh
+
+    from exahype_tpu.parallel.shard import make_sharded_aderdg_step
+
+    solver = _noslip_ns_solver()
+    Q0 = _ns_state(solver)
+    want = np.asarray(solver.step(Q0, 1e-3))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("patches",))
+    step, sharding = make_sharded_aderdg_step(
+        solver, mesh, interpret=True, tile0=1
+    )
+    Qs = jax.device_put(Q0, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-3))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
 
 def test_sharded_aderdg_high_order_p5():
