@@ -16,6 +16,7 @@ from exahype_tpu.models.curvilinear import (
     curvilinear_physics,
     densitize,
     metric_fields,
+    metric_fields_curl,
     n_vars_curvilinear,
     undensitize,
 )
@@ -258,6 +259,157 @@ def test_3d_deformed_advection_converges():
         errs.append(float(jnp.max(jnp.abs(q - q_exact(t_end)))))
     rate = np.log2(errs[0] / errs[1])
     assert rate > order - 0.5, (errs, rate)
+
+
+# ----------------------------------------- Kopriva curl-form metrics (r5)
+
+
+def _mapping3(p):
+    two_pi = 2 * np.pi
+    return (
+        p[0] + A_DEF * jnp.sin(two_pi * p[1]) * jnp.cos(two_pi * p[2]),
+        p[1] + A_DEF * jnp.sin(two_pi * p[2]) * jnp.cos(two_pi * p[0]),
+        p[2] + A_DEF * jnp.sin(two_pi * p[0]) * jnp.cos(two_pi * p[1]),
+    )
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_curl_metric_in_cell_identity_exact(dim):
+    """The core Kopriva property: Σ_k D_k(J a^k_i) = 0 to ROUNDING per
+    cell (commuting tensor-product collocation derivatives), for any
+    smooth mapping — where the analytic metrics leave an O(h^N) defect."""
+    from exahype_tpu.models.aderdg import _apply
+
+    flux, eig = _advection_physics((1.0, 0.5, 0.25)[:dim])
+    cflux, ceig = curvilinear_physics(flux, eig, dim=dim, n_wave=1)
+    nv = n_vars_curvilinear(1, dim)
+    sol = ADERDGSolver(
+        dim=dim, order=3, n_vars=nv, grid_shape=(4,) * dim,
+        flux_fn=wrap_var_last(cflux), max_eigenvalue_fn=wrap_var_last(ceig),
+        dx=0.25, dissipation_mask=curvilinear_dissipation_mask(1, dim),
+    )
+    mp = _mapping if dim == 2 else _mapping3
+    for mf in (metric_fields_curl, metric_fields):
+        metric, _ = mf(sol, mp)
+        m = jnp.moveaxis(jnp.asarray(metric), sol.var_axis, -1)
+        defect = 0.0
+        for i in range(dim):
+            div = None
+            for k in range(dim):
+                Jak_i = m[..., 1 + k * dim + i]
+                term = _apply(sol.ops.D, Jak_i, axis=k) / sol._dxs[k]
+                div = term if div is None else div + term
+            defect = max(defect, float(jnp.max(jnp.abs(div))))
+        if mf is metric_fields_curl:
+            assert defect < 1e-12, defect
+        elif dim == 3:
+            # The analytic-metric gap is real for non-separable mappings
+            # (the separable 2-D test mapping satisfies the identity
+            # per-axis by accident of its structure).
+            assert defect > 1e-4, defect
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_free_stream_exact_with_curl_lobatto(dim):
+    """Curl-form metrics + Lobatto basis: face nodes are shared, so the
+    curl form's normal metric (tangential derivatives only) is
+    single-valued — a constant state is preserved to MACHINE PRECISION
+    on the deformed mesh, closing the 3-D free-stream floor the module
+    previously documented as the analytic-metric trade."""
+    flux, eig = _advection_physics((1.0, 0.5, 0.25)[:dim])
+    cflux, ceig = curvilinear_physics(flux, eig, dim=dim, n_wave=1)
+    nv = n_vars_curvilinear(1, dim)
+    cells = 6 if dim == 2 else 4
+    sol = ADERDGSolver(
+        dim=dim, order=3, n_vars=nv, grid_shape=(cells,) * dim,
+        flux_fn=wrap_var_last(cflux), max_eigenvalue_fn=wrap_var_last(ceig),
+        dx=1.0 / cells, basis="lobatto",
+        dissipation_mask=curvilinear_dissipation_mask(1, dim),
+    )
+    mp = _mapping if dim == 2 else _mapping3
+    metric, _ = metric_fields_curl(sol, mp)
+    shape_one = (sol.state_shape[: sol.var_axis] + (1,)
+                 + sol.state_shape[sol.var_axis + 1:])
+    Q0 = densitize(jnp.ones(shape_one), metric, sol.var_axis)
+    out = undensitize(sol.run(Q0, 5, 1e-3), 1, sol.var_axis)
+    assert float(jnp.max(jnp.abs(out - 1.0))) < 1e-12
+
+
+def test_advection_curl_lobatto_converges():
+    """Physics accuracy is retained on the curl-metric Lobatto
+    configuration: deformed-mesh advection converges at ≥ N (the
+    Lobatto rate — lumped mass)."""
+    v = (1.0, 0.5)
+    flux, eig = _advection_physics(v)
+    cflux, ceig = curvilinear_physics(flux, eig, dim=2, n_wave=1)
+    order = 3
+    two_pi = 2 * np.pi
+    errs = []
+    for cells in (4, 8):
+        sol = ADERDGSolver(
+            dim=2, order=order, n_vars=n_vars_curvilinear(1, 2),
+            grid_shape=(cells, cells),
+            flux_fn=wrap_var_last(cflux),
+            max_eigenvalue_fn=wrap_var_last(ceig),
+            dx=1.0 / cells, basis="lobatto",
+            dissipation_mask=curvilinear_dissipation_mask(1, 2),
+        )
+        metric, (X, Y) = metric_fields_curl(sol, _mapping)
+
+        def q_exact(t):
+            val = np.sin(two_pi * (X - v[0] * t)) * np.cos(
+                two_pi * (Y - v[1] * t)
+            )
+            return jnp.asarray(np.expand_dims(val, sol.var_axis))
+
+        Q0 = densitize(q_exact(0.0), metric, sol.var_axis)
+        n_steps = 10 * (cells // 4)
+        t_end = 0.02
+        out = sol.run(Q0, n_steps, t_end / n_steps)
+        q = undensitize(out, 1, sol.var_axis)
+        errs.append(float(jnp.max(jnp.abs(q - q_exact(t_end)))))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.5, (errs, rate)
+
+
+def test_euler_free_stream_over_topography_exact():
+    """NONLINEAR curvilinear (round 5): 3-D compressible Euler with a
+    uniform moving state over a terrain-deformed mesh — free stream to
+    machine precision on curl metrics + Lobatto (the nonlinear flux of a
+    constant state is constant, so the same metric identity applies)."""
+    from exahype_tpu.models import euler
+
+    dim, n_wave = 3, 5
+    flux = euler.flux_v_fn(dim=dim, n_real=n_wave)
+    eig = euler.max_eigenvalue_v_fn(dim=dim)
+    cflux, ceig = curvilinear_physics(flux, eig, dim=dim, n_wave=n_wave)
+    nv = n_vars_curvilinear(n_wave, dim)
+    cells = 4
+    sol = ADERDGSolver(
+        dim=dim, order=2, n_vars=nv, grid_shape=(cells,) * dim,
+        flux_fn=wrap_var_last(cflux), max_eigenvalue_fn=wrap_var_last(ceig),
+        dx=1.0 / cells, basis="lobatto",
+        dissipation_mask=curvilinear_dissipation_mask(n_wave, dim),
+    )
+    metric, _ = metric_fields_curl(sol, _mapping3)
+    rho, vx, p = 1.0, 0.3, 0.8
+    E = p / 0.4 + 0.5 * rho * vx * vx
+    shape_one = (sol.state_shape[: sol.var_axis] + (1,)
+                 + sol.state_shape[sol.var_axis + 1:])
+    one = jnp.ones(shape_one)
+    q0 = jnp.concatenate(
+        [rho * one, rho * vx * one, 0.0 * one, 0.0 * one, E * one],
+        axis=sol.var_axis,
+    )
+    Q0 = densitize(q0, metric, sol.var_axis)
+    out = undensitize(sol.run(Q0, 5, 1e-3), n_wave, sol.var_axis)
+    want = np.moveaxis(
+        np.broadcast_to(
+            np.array([rho, rho * vx, 0.0, 0.0, E]),
+            np.moveaxis(np.asarray(out), sol.var_axis, -1).shape,
+        ), -1, sol.var_axis,
+    )
+    assert float(jnp.max(jnp.abs(out - want))) < 1e-12
 
 
 def test_curvilinear_sharded_parity():

@@ -295,3 +295,15 @@ def test_seismic_topography(tmp_path, monkeypatch, capsys):
     run_example("seismic_topography.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
     assert "OK" in out and "flat limit" in out
+
+
+def test_euler_topography(tmp_path, monkeypatch, capsys):
+    """Nonlinear curvilinear (round 5): compressible Euler over an
+    exactly-periodic terrain dome on Kopriva curl-form metrics — free
+    stream at rounding, pulse run conservative."""
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["euler_topography.py", "--cpu"])
+    run_example("euler_topography.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "nonlinear curvilinear OK" in out
