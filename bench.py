@@ -123,6 +123,7 @@ def main():
     roofline_s = max(cost.flops / vpu, bytes_per_step / hbm)
 
     limited = bench_limited(solver, dtype)
+    ck = bench_ck(dtype)
 
     print(
         json.dumps(
@@ -141,9 +142,135 @@ def main():
                     "pct_of_roofline": 100.0 * roofline_s / step_seconds,
                 },
                 "limited": limited,
+                "ck": ck,
             }
         )
     )
+
+
+def bench_ck(dtype):
+    """Third official metric (round 5): the LINEAR kernel class — p3 3-D
+    HETEROGENEOUS elasticity (12 vars: velocity–stress + frozen per-cell
+    ρ, λ, μ — the production ExaSeis layered-medium shape) on the
+    Cauchy–Kovalewski predictor, full step (CK predictor + Riemann +
+    corrector).  Driver-captured so the linear-kernel north-star claim
+    (PERFORMANCE.md "Linear kernels") is regression-watched like the
+    Euler pair.  Integrity: full-state finiteness, the material slots
+    BITWISE frozen over the whole run, and the seismic energy
+    non-increasing (Rusanov dissipates; growth = instability)."""
+    from exahype_tpu.models.aderdg import ADERDGSolver, wrap_var_last
+    from exahype_tpu.models.elastic import (
+        elastic3d_heterogeneous,
+        plane_p_wave_3d,
+    )
+
+    order = 3
+    grid = (64, 4, 32)  # lane-tiled; the scripts/ck_probe.py chip config
+    flux, eig = elastic3d_heterogeneous()
+    solver = ADERDGSolver(
+        dim=3, order=order, n_vars=12, grid_shape=grid,
+        flux_fn=wrap_var_last(flux), max_eigenvalue_fn=wrap_var_last(eig),
+        dx=1.0 / grid[0], predictor_mode="ck", ck_material_slots=(9, 10, 11),
+        dissipation_mask=(1,) * 9 + (0, 0, 0),
+    )
+    coords = solver.nodes_meshgrid()
+    no_var = (
+        solver.state_shape[: solver.var_axis]
+        + solver.state_shape[solver.var_axis + 1 :]
+    )
+    X = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), solver.var_axis), no_var
+    )
+    Z = np.broadcast_to(
+        np.squeeze(np.asarray(coords[2]), solver.var_axis), no_var
+    )
+    # Layered medium: the lower half-space is stiffer (faster), the
+    # canonical two-layer seismic benchmark material.
+    wave = np.moveaxis(plane_p_wave_3d(X, 0.0), -1, solver.var_axis)
+    wave = wave[
+        tuple(
+            slice(0, 9) if e == solver.var_axis else slice(None)
+            for e in range(wave.ndim)
+        )
+    ]
+    lower = Z < 0.5 * grid[2] / grid[0]
+    rho_m = np.where(lower, 1.2, 1.0)
+    lam_m = np.where(lower, 3.0, 2.0)
+    mu_m = np.where(lower, 1.5, 1.0)
+    mat = np.stack([rho_m, lam_m, mu_m], axis=solver.var_axis)
+    Q = jnp.asarray(
+        np.concatenate([wave, mat], axis=solver.var_axis), dtype
+    )
+    dt = jnp.asarray(2e-4, dtype)
+    chunk = 5
+
+    @jax.jit
+    def run_chunk(q):
+        def body(carry, _):
+            return solver.step(carry, dt), None
+
+        out, _ = jax.lax.scan(body, q, None, length=chunk)
+        return out
+
+    def vslice(q, lo, hi):
+        return q[
+            tuple(
+                slice(lo, hi) if e == solver.var_axis else slice(None)
+                for e in range(q.ndim)
+            )
+        ]
+
+    @jax.jit
+    def integrity(q):
+        finite = jnp.isfinite(q).all()
+        mats_frozen = (vslice(q, 9, 12) == jnp.asarray(mat, dtype)).all()
+        # Seismic energy: ½ρv² + ½σ:C⁻¹:σ bounded by ~tr σ²/(2μ) — use
+        # the simple quadratic monitor Σ(ρv² + σ²), sufficient for a
+        # non-increase-at-scale check under Rusanov dissipation.
+        v2 = jnp.sum(
+            jnp.asarray(rho_m, dtype) * vslice(q, 0, 3) ** 2,
+            axis=solver.var_axis,
+        )
+        s2 = jnp.sum(vslice(q, 3, 9) ** 2, axis=solver.var_axis)
+        return finite, mats_frozen, jnp.sum(v2 + s2)
+
+    Q = run_chunk(Q)
+    _, _, e0 = (np.asarray(v) for v in jax.device_get(integrity(Q)))
+
+    n_rounds = 8
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        Q = run_chunk(Q)
+    tail = np.asarray(jax.device_get(Q[0, 0, 0, 0, :4]))
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(tail).all(), "ck bench state went non-finite"
+    steps = n_rounds * chunk
+    # DOF accounting: the 9 EVOLVED wave variables (frozen material slots
+    # are storage, not updates).
+    dof = int(np.prod(grid)) * solver.n_nodes**3 * 9
+    dof_per_sec = dof * steps / elapsed
+
+    finite, mats_frozen, e1 = (
+        np.asarray(v) for v in jax.device_get(integrity(Q))
+    )
+    assert bool(finite), "ck bench: non-finite value in final state"
+    assert bool(mats_frozen), "ck bench: material slots drifted"
+    energy_ratio = float(e1) / float(e0)
+    assert energy_ratio < 1.0 + 1e-3, (
+        f"ck bench: seismic energy grew ({energy_ratio})"
+    )
+    return {
+        "metric": "ck_p3_elastic3d_het_dof_updates_per_sec_per_chip",
+        "value": dof_per_sec,
+        "unit": "DOF-updates/s",
+        "vs_baseline": dof_per_sec / BASELINE_DOF_PER_SEC,
+        "step_seconds": elapsed / steps,
+        "integrity": {
+            "full_state_finite": bool(finite),
+            "materials_bitwise_frozen": bool(mats_frozen),
+            "energy_ratio_30_steps": energy_ratio,
+        },
+    }
 
 
 def bench_limited(solver, dtype):

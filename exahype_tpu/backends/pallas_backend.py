@@ -83,8 +83,12 @@ class PallasPrinter(CodePrinter):
         super().__init__(kernel, function_name=function_name)
         self.policy = policy
         self.interpret = interpret
-        #: Raise the Mosaic scoped-VMEM ceiling (bytes); None keeps the
-        #: compiler default (~16 MiB).
+        #: Mosaic scoped-VMEM ceiling (bytes).  ``None`` resolves to an
+        #: explicit 64 MiB passed to CompilerParams (the ~16 MiB compiler
+        #: default under-serves the register-allocator intermediates —
+        #: see the measurement note below; 64 MiB assumes ≥128 MiB-VMEM
+        #: parts, i.e. v4/v5e+).  This attribute records the requested
+        #: value; the resolved one is ``_vmem_limit_effective``.
         self.vmem_limit_bytes = vmem_limit_bytes
         #: State dtype assumed by the VMEM tile-size estimate (the kernel
         #: itself is dtype-polymorphic).  Default f32; pass f64 when running

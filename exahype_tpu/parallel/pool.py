@@ -496,41 +496,18 @@ class PatchPoolRefinement:
             for d in range(self.coarse.grid.config.dim)
         ]
 
-    def _coarse_face_rows(self, cg_pre, tables, d, side):
-        """(outside, inside) pre-step coarse rows at every slot's ``(d,
-        side)`` face, restricted to the slot's transverse footprint."""
-        cfg = self.coarse.grid.config
-        w = cfg.patch_size // self.factor
-        n_d = cg_pre.shape[d]
-        base = tables.coords[:, d] * w
-        if side == 0:
-            out_i, in_i = base - 1, base
-        else:
-            out_i, in_i = base + w, base + w - 1
-        trans = self._coarse_cell_footprint(tables)
-
-        def rows(cell_idx):
-            ix_axes = []
-            for dd in range(cfg.dim):
-                if dd == d:
-                    ix_axes.append(jnp.mod(cell_idx, n_d)[:, None])
-                else:
-                    # footprint uses the OOB sentinel for inactive slots;
-                    # wrap for the gather (the scatter still drops them).
-                    ix_axes.append(jnp.mod(trans[dd], cg_pre.shape[dd]))
-            g = self._gather(cg_pre, ix_axes)
-            return jnp.squeeze(g, axis=1 + d)
-
-        return rows(out_i), rows(in_i), out_i
-
-    def _coarse_face_rows_both(self, cg_pre, tables, d):
+    def _coarse_face_rows_both(self, cg_pre, tables, d, trans2):
         """Both sides' (Riemann-left, Riemann-right, outside-cell) rows in
         ONE footprint gather, concatenated on the slot axis (lo ‖ hi).
 
         Row roles per side: side 0 (lo face) has the outside cell on the
         Riemann LEFT (``base-1`` vs ``base``); side 1 (hi face) has it on
         the RIGHT (``base+w-1`` vs ``base+w``) — concatenating in Riemann
-        order makes one :func:`rusanov_face` call serve both sides."""
+        order makes one :func:`rusanov_face` call serve both sides.
+        ``trans2`` is the doubled (lo ‖ hi) transverse footprint the
+        caller already built — footprint entries use the OOB sentinel for
+        inactive slots; wrap for the gather (the scatter still drops
+        them)."""
         cfg = self.coarse.grid.config
         w = cfg.patch_size // self.factor
         n_d = cg_pre.shape[d]
@@ -538,8 +515,6 @@ class PatchPoolRefinement:
         left_i = jnp.concatenate([base - 1, base + w - 1])
         right_i = jnp.concatenate([base, base + w])
         out_i = jnp.concatenate([base - 1, base + w])
-        trans = self._coarse_cell_footprint(tables)
-        trans2 = [jnp.concatenate([t, t], axis=0) for t in trans]
 
         def rows(cell_idx):
             ix_axes = []
@@ -572,7 +547,7 @@ class PatchPoolRefinement:
             # gather, one Riemann evaluation, one scatter-add per axis —
             # the entry-size cost of the reflux is op count, not bytes.
             left_row, right_row, out_i = self._coarse_face_rows_both(
-                cg_pre, tables, d
+                cg_pre, tables, d, trans2
             )
             Fc = self._rusanov_face(left_row, right_row, d)
             Ff = jnp.concatenate([flux_acc[d][0], flux_acc[d][1]], axis=0)
