@@ -288,15 +288,20 @@ def bench_limited(solver, dtype):
     n_cells = int(np.prod(grid_shape))
     # Row-granular gathering: capacity counts LAST-AXIS ROWS (128 cells
     # each).  The real limiting demand (the shock/contact front) needs
-    # ~80-120 rows; the DMP additionally trips on parasitic Gibbs waves
-    # radiating from the front at the DG group-velocity bound (measured:
-    # far-band violations <=2.6e-4 vs 9.6e-3 at the front — see
-    # docs/PERFORMANCE.md).  Capacity 128 serves the real front while the
-    # default overflow_fallback="means" first-orders the noise flags,
-    # which also damps them (demand plateaus at ~160-230 rows and the
-    # 40-step trajectory stays admissible with rho_min pinned at the
-    # correct post-shock 0.125).  The fused Pallas subcell sweeps beat
-    # the XLA formulation 37.4 vs 48.6 ms/step at this config.
+    # ~30-90 rows; the DMP's default delta0=1e-4 additionally trips on
+    # parasitic Gibbs waves radiating from the front at the DG
+    # group-velocity bound — measured far-band violations <=2.6e-4 vs
+    # 9.6e-3 at the front (docs/PERFORMANCE.md) — which ran demand to 304
+    # rows by step 35 in round 4 and engaged the means overflow policy at
+    # a measured 5.0e-3/30-step conservation cost.  Round 5 sets
+    # dmp_delta0=5e-4: BETWEEN the two measured amplitudes, so the front
+    # stays fully flagged (rho_min pinned at the correct post-shock
+    # 0.125, full state admissible) while the noise flags drop out —
+    # demand 64 rows < capacity 128, overflow never engages, drift
+    # 1.3e-3 (the measured chip-f32 floor of the limited path; the
+    # capacity sweep 128->320 shows MORE gathered rows only increase
+    # drift, scripts/limited_probe.py).  The post-step admissibility
+    # guard stays ON (3.6 ms measured; removing it NaNs walled blasts).
     capacity = 128
     accel = PallasADERDG(
         solver, tile0=4, boundary_faces_only=True,
@@ -309,6 +314,7 @@ def bench_limited(solver, dtype):
         troubled_granularity="row",
         accelerator=accel,
         subcell_pallas=True,
+        dmp_delta0=5e-4,
     )
 
     # Planar Sod-like shock along axis 0: the front is a ~1k-cell surface.

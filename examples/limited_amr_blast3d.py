@@ -19,8 +19,11 @@ Prints per-chunk refinement counts, wall-clock, composite DOF/s, and
 verifies conservation and mean-sense admissibility at the end.
 
 Run: python examples/limited_amr_blast3d.py [--cpu] [--size N] [--chunks K]
+                                            [--no-overlap]
 (defaults are a small CPU-friendly config; the chip capstone in
-docs/PERFORMANCE.md used --size 24 --chunks 7)
+docs/PERFORMANCE.md used --size 24 --chunks 7.  ``--no-overlap`` runs
+the same configuration with sequential host re-gridding so the overlap
+win is a measured split, not an estimate.)
 """
 
 import sys
@@ -120,7 +123,7 @@ def main():
         DriverConfig(
             checkpoint_every=2,
             checkpoint_dir=tempfile.mkdtemp(prefix="amr_blast3d_"),
-            overlap_regrid=True,
+            overlap_regrid="--no-overlap" not in sys.argv,
         ),
     )
     t0 = time.perf_counter()

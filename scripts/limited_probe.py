@@ -16,15 +16,24 @@ over the 30 timed steps, full-state admissibility + rho_min.  Prints one
 JSON line per variant (and a summary file if --out is given).
 
 Usage: python scripts/limited_probe.py [--variants a,b,...] [--out FILE]
+                                       [--cpu]
+  (--cpu runs the SAME f32 configuration on the CPU backend — the
+  chip-vs-CPU f32 drift split that separates "TPU approximate
+  div/sqrt" from "f32 rounding of the algorithm"; expect minutes/step.)
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
+
+CPU = "--cpu" in sys.argv
+if CPU:
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -63,6 +72,16 @@ VARIANTS = {
     "dmp3e4_cap192": {"dmp_delta0": 3e-4, "troubled_capacity": 192},
     "dmp5e4": {"dmp_delta0": 5e-4},
     "dmp5e4_noguard": {"dmp_delta0": 5e-4, "post_step_guard": False},
+    # Drift decomposition at the no-overflow configuration: swap the
+    # Pallas subcell sweeps and/or the fused Pallas candidate for their
+    # XLA twins — if the residual drift is the round-3 AMR mechanism
+    # (TPU f32 div/sqrt approximations differing between fusion
+    # contexts of the SAME face flux), homogenizing the contexts moves
+    # it.
+    "dmp5e4_xla_subcell": {"dmp_delta0": 5e-4, "subcell_pallas": False},
+    "dmp5e4_xla_cand": {
+        "dmp_delta0": 5e-4, "accelerator": None, "subcell_pallas": False,
+    },
     "dmp1e3_noguard": {"dmp_delta0": 1e-3, "post_step_guard": False},
     # The unlimited fused solver on the same blast: its drift is the
     # f32 conservation floor of the scheme+measurement (the limited
@@ -77,7 +96,7 @@ def build(overrides):
         dim=DIM, order=ORDER, n_vars=NV, grid_shape=GRID,
         flux_fn=flux, max_eigenvalue_fn=eig, dx=1.0 / GRID[0],
     )
-    accel = PallasADERDG(
+    accel = None if CPU else PallasADERDG(
         solver, tile0=4, boundary_faces_only=True,
         vmem_limit_bytes=126 * 1024 * 1024,
     )
@@ -86,7 +105,7 @@ def build(overrides):
         troubled_capacity=128,
         troubled_granularity="row",
         accelerator=accel,
-        subcell_pallas=True,
+        subcell_pallas=not CPU,
     )
     kwargs.update(overrides)
     limited = LimitedADERDG(solver, **kwargs)
@@ -126,7 +145,7 @@ def run_variant(name, overrides):
 
     @jax.jit
     def probe_state(q):
-        cand = accel.step(q, dt)
+        cand = (solver if accel is None else accel).step(q, dt)
         t = limited.troubled_mask(q, cand)
         finite = jnp.isfinite(q).all()
         adm = adm_fn(q, solver.var_axis).all()
@@ -177,6 +196,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     recs = []
     for name in args.variants.split(","):

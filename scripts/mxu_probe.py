@@ -16,11 +16,14 @@ tunnel's ``block_until_ready`` does not sync, and identical repeated
 dispatches are served from a cache — see docs/PERFORMANCE.md round-2
 calibration caveat).
 
-Usage: python scripts/mxu_probe.py  (writes one JSON line per config)
+Usage: python scripts/mxu_probe.py [--orders 3,5,7]
+  (writes one JSON line per config; --orders filters the order sweep —
+  e.g. ``--orders 7`` for the long-compile p7 validation run alone)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -62,9 +65,14 @@ def chained_time(step, Q, dt, n_steps=20):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--orders", default="3,5,7")
+    sel = {int(o) for o in ap.parse_args().orders.split(",")}
     # Small tail so the p7 fused block fits VMEM (p7 nodal bytes/cell are
     # (8/4)^3 = 8x the p3 ones).
     for order, grid in ((3, (64, 4, 32)), (5, (32, 4, 32)), (7, (16, 4, 32))):
+        if order not in sel:
+            continue
         flux, eig = euler_physics(dim=3, n_real=5)
         solver = ADERDGSolver(
             dim=3, order=order, n_vars=5, grid_shape=grid,
