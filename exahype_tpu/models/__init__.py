@@ -18,7 +18,7 @@ def __getattr__(name):
                 "limiter", "dg", "riemann", "elastic", "mhd", "swe", "srhd",
                 "muscl", "tracers", "point_source", "rmhd", "grhd", "grmhd",
                 "grhd_cfc", "grmhd_cfc", "michel", "navier_stokes",
-                "riemann_sr", "z4"):
+                "riemann_sr", "z4", "rhs_pallas"):
         import importlib
 
         return importlib.import_module(f"exahype_tpu.models.{name}")

@@ -538,7 +538,10 @@ def make_z4_shift_solver(
     flux, eig, ncp, source = z4_shift_system(impl=impl, **kw)
     if fused_rhs == "soa":
         rhs_all = _rhs_all_of(
-            lambda q, dq3: z4_shift_rhs_soa(q, dq3, **kw), N_VARS_SHIFT
+            lambda q, dq3: z4_shift_rhs_soa(q, dq3, **kw), N_VARS_SHIFT,
+            rhs_fn_vf=lambda q, dq3: z4_shift_rhs_soa(
+                q, dq3, var_first=True, **kw
+            ),
         )
     elif fused_rhs:
         rhs_all = _rhs_all_of(
@@ -670,11 +673,19 @@ def z4_system(
     return flux, eig, ncp, source
 
 
-def _rhs_all_of(rhs_fn, n_vars):
+def _rhs_all_of(rhs_fn, n_vars, rhs_fn_vf=None):
     """Wrap an affine ``rhs(q, dq3)`` as the solver's fused
     ``rhs_all_fn(Q, grads, va)`` hook: by affinity the single full-RHS
     evaluation equals ``source − Σ_d B_d·∂_d Q`` exactly, replacing the
-    2·dim+1 per-axis evaluations in the Picard predictor."""
+    2·dim+1 per-axis evaluations in the Picard predictor.
+
+    ``rhs_fn_vf`` (optional): the var-FIRST twin ``rhs(q[V, ...],
+    dq3[3, V, ...])``.  When given, the returned callable carries a
+    ``var_first`` attribute that :class:`~exahype_tpu.models.rhs_pallas.
+    PallasRHS` calls inside its Mosaic kernel — leading-axis variable
+    slicing is free there, while the var-last convention would put the
+    variable axis on the TPU lanes (measured: the transpose it forces
+    kills the remote Mosaic compile outright)."""
 
     def rhs_all(Q, grads, va):
         q = jnp.moveaxis(Q, va, -1)
@@ -683,6 +694,15 @@ def _rhs_all_of(rhs_fn, n_vars):
         dq3 = jnp.stack(rows, axis=-2)  # stack, not scatter (Mosaic)
         return jnp.moveaxis(rhs_fn(q, dq3), -1, va)
 
+    if rhs_fn_vf is not None:
+
+        def var_first(q, grads):
+            rows = list(grads)
+            rows += [jnp.zeros_like(rows[0])] * (3 - len(rows))
+            dq3 = jnp.stack(rows, axis=0)  # [3, V, ...] — leading, free
+            return rhs_fn_vf(q, dq3)
+
+        rhs_all.var_first = var_first
     return rhs_all
 
 
@@ -790,7 +810,10 @@ def make_z4_solver(
     flux, eig, ncp, source = z4_system(impl=impl, **kw)
     if fused_rhs == "soa":
         rhs_all = _rhs_all_of(
-            lambda q, dq3: z4_rhs_soa(q, dq3, **kw), N_VARS
+            lambda q, dq3: z4_rhs_soa(q, dq3, **kw), N_VARS,
+            rhs_fn_vf=lambda q, dq3: z4_rhs_soa(
+                q, dq3, var_first=True, **kw
+            ),
         )
     elif fused_rhs:
         rhs_all = _rhs_all_of(lambda q, dq3: z4_rhs(q, dq3, **kw), N_VARS)
@@ -962,32 +985,49 @@ def _oinv3(G):
     return out, det
 
 
-def _sym_obj(q, sl):
-    """Pack a [..., 6] slice of q into a symmetric object (3, 3) array."""
+def _vsl(q, k, vf):
+    """Variable slot ``k`` of a var-LAST (``vf=False``) or var-FIRST
+    (``vf=True``) state array.  The var-first form exists for Mosaic
+    kernels (:mod:`~exahype_tpu.models.rhs_pallas`): inside a TPU kernel
+    dims order is physical, so slicing the LEADING axis is free while the
+    var-last convention would put the 38-variable axis on the lanes."""
+    return q[k] if vf else q[..., k]
+
+
+def _dsl(dq3, k, slot, vf):
+    """Derivative ∂_k of variable ``slot`` — dq3 is ``[..., 3, V]``
+    (var-last) or ``[3, V, ...]`` (var-first)."""
+    return dq3[k, slot] if vf else dq3[..., k, slot]
+
+
+def _sym_obj(q, sl, vf=False):
+    """Pack a 6-slot symmetric slice of q into an object (3, 3) array."""
     out = np.empty((3, 3), dtype=object)
     base = sl.start
     for slot, (i, j) in enumerate(SYM6):
-        out[i, j] = q[..., base + slot]
-        out[j, i] = q[..., base + slot]
+        out[i, j] = _vsl(q, base + slot, vf)
+        out[j, i] = out[i, j]
     return out
 
 
-def _vec_obj(q, sl):
+def _vec_obj(q, sl, vf=False):
     out = np.empty((3,), dtype=object)
     for i in range(3):
-        out[i] = q[..., sl.start + i]
+        out[i] = _vsl(q, sl.start + i, vf)
     return out
 
 
-def _z4_unpack_soa(q, dq3):
-    """Slice a var-last [..., 38+] state + [..., 3, 38+] derivative stack
-    into object-array tensors (entries are grid-shaped jnp arrays)."""
-    al = q[..., _AL]
-    g = _sym_obj(q, _G)
-    K = _sym_obj(q, _K)
-    th = q[..., _TH]
-    Z = _vec_obj(q, _Z)
-    A = _vec_obj(q, _A)
+def _z4_unpack_soa(q, dq3, vf=False):
+    """Slice a state + 3-direction derivative stack into object-array
+    tensors (entries are grid-shaped jnp arrays).  Layouts: var-last
+    ``q[..., V], dq3[..., 3, V]`` (default) or var-first ``q[V, ...],
+    dq3[3, V, ...]`` (``vf=True``, the Mosaic-kernel layout)."""
+    al = _vsl(q, _AL, vf)
+    g = _sym_obj(q, _G, vf)
+    K = _sym_obj(q, _K, vf)
+    th = _vsl(q, _TH, vf)
+    Z = _vec_obj(q, _Z, vf)
+    A = _vec_obj(q, _A, vf)
     D = np.empty((3, 3, 3), dtype=object)
     dK = np.empty((3, 3, 3), dtype=object)
     dth = np.empty((3,), dtype=object)
@@ -996,22 +1036,23 @@ def _z4_unpack_soa(q, dq3):
     dD = np.empty((3, 3, 3, 3), dtype=object)
     for k in range(3):
         for slot, (i, j) in enumerate(SYM6):
-            D[k, i, j] = D[k, j, i] = q[..., _D.start + 6 * k + slot]
-            dK[k, i, j] = dK[k, j, i] = dq3[..., k, _K.start + slot]
-        dth[k] = dq3[..., k, _TH]
+            D[k, i, j] = D[k, j, i] = _vsl(q, _D.start + 6 * k + slot, vf)
+            dK[k, i, j] = dK[k, j, i] = _dsl(dq3, k, _K.start + slot, vf)
+        dth[k] = _dsl(dq3, k, _TH, vf)
         for i in range(3):
-            dZ[k, i] = dq3[..., k, _Z.start + i]
-            dA[k, i] = dq3[..., k, _A.start + i]
+            dZ[k, i] = _dsl(dq3, k, _Z.start + i, vf)
+            dA[k, i] = _dsl(dq3, k, _A.start + i, vf)
         for l in range(3):
             for slot, (i, j) in enumerate(SYM6):
-                dD[k, l, i, j] = dD[k, l, j, i] = dq3[
-                    ..., k, _D.start + 6 * l + slot
-                ]
+                dD[k, l, i, j] = dD[k, l, j, i] = _dsl(
+                    dq3, k, _D.start + 6 * l + slot, vf
+                )
     return al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD
 
 
-def _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra=()):
-    """Symmetrize the (i, j) pairs and stack into the packed var axis."""
+def _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra=(), vf=False):
+    """Symmetrize the (i, j) pairs and stack into the packed var axis
+    (last by default; axis 0 in the var-first kernel layout)."""
     parts = [r_al]
     r_g = _osym(r_g)
     r_K = _osym(r_K)
@@ -1027,7 +1068,7 @@ def _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra=()):
         for (i, j) in SYM6:
             parts.append(rDs[i, j])
     parts.extend(extra)
-    return jnp.stack(parts, axis=-1)
+    return jnp.stack(parts, axis=0 if vf else -1)
 
 
 def z4_rhs_soa(
@@ -1039,17 +1080,22 @@ def z4_rhs_soa(
     m: float = 2.0,
     kappa1: float = 0.0,
     kappa2: float = 0.0,
+    var_first: bool = False,
 ):
     """Component-unrolled twin of :func:`z4_rhs` (identical algebra,
     TPU-friendly layout: every operation is elementwise over the grid).
 
-    Same contract: ``q`` var-last [..., 38], ``dq3`` [..., 3, 38]."""
-    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(q, dq3)
+    Same contract: ``q`` var-last [..., 38], ``dq3`` [..., 3, 38] — or
+    var-first ``q[38, ...], dq3[3, 38, ...]`` with ``var_first=True``
+    (the Mosaic-kernel layout, :mod:`~exahype_tpu.models.rhs_pallas`)."""
+    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(
+        q, dq3, vf=var_first
+    )
     parts = _z4_core_soa(
         al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
         slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
     )
-    return _z4_pack_soa(*parts)
+    return _z4_pack_soa(*parts, vf=var_first)
 
 
 def _z4_core_soa(al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD, *,
@@ -1152,26 +1198,31 @@ def z4_shift_rhs_soa(
     shift: str = "frozen",
     f_b: float = 0.75,
     eta: float = 1.0,
+    var_first: bool = False,
 ):
     """Component-unrolled twin of :func:`z4_shift_rhs` (53 variables).
 
     Identical algebra to rounding (tested); the Gamma-driver's exact
     chain-rule ∂_t Γ^i is written out explicitly instead of ``jax.jvp``
     (∂_t γ^ab = −γ^am γ^bn ∂_t γ_mn, ∂_t Γlow by the same permutation
-    as Γlow itself — both linear, so the result is the same jvp)."""
+    as Γlow itself — both linear, so the result is the same jvp).
+    ``var_first``: the Mosaic-kernel layout, see :func:`z4_rhs_soa`."""
     E = _oein
-    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(q, dq3)
-    beta = _vec_obj(q, _BETA)
-    b = _vec_obj(q, _BSM)
+    vf = var_first
+    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(
+        q, dq3, vf=vf
+    )
+    beta = _vec_obj(q, _BETA, vf)
+    b = _vec_obj(q, _BSM, vf)
     B = np.empty((3, 3), dtype=object)
     db = np.empty((3, 3), dtype=object)
     dB = np.empty((3, 3, 3), dtype=object)
     for k in range(3):
         for i in range(3):
-            B[k, i] = q[..., _BB.start + 3 * k + i]
-            db[k, i] = dq3[..., k, _BSM.start + i]
+            B[k, i] = _vsl(q, _BB.start + 3 * k + i, vf)
+            db[k, i] = _dsl(dq3, k, _BSM.start + i, vf)
             for l in range(3):
-                dB[k, l, i] = dq3[..., k, _BB.start + 3 * l + i]
+                dB[k, l, i] = _dsl(dq3, k, _BB.start + 3 * l + i, vf)
 
     r_al, r_g, r_K, r_th, r_Z, r_A, r_D = _z4_core_soa(
         al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
@@ -1235,4 +1286,4 @@ def z4_shift_rhs_soa(
             extra += [f_b * db[k, i] for i in range(3)]
     else:
         raise ValueError(f"unknown shift mode {shift!r}")
-    return _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra)
+    return _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D, extra, vf=vf)

@@ -187,24 +187,21 @@ def main():
             err = float(np.max(np.abs(out - ref)))
             assert err < 1e-4, (name, err)
         if "--pallas" in sys.argv:
-            from exahype_tpu.models.aderdg_pallas import PallasADERDG
+            # Round 5: the production fused path is the fused-RHS Pallas
+            # kernel (models/rhs_pallas.py) — the whole ~4k-op Z4 algebra
+            # VMEM-resident in its var-FIRST layout, called from the XLA
+            # Picard loop.  (The all-in-one streamed PallasADERDG
+            # predictor — picard_loop+slice_loop, any tile0 — SIGKILLs
+            # the remote Mosaic compile helper after 20-40 min even at
+            # one-slice granularity; measured round 5, see
+            # docs/PERFORMANCE.md "Dynamic GR".)
+            from exahype_tpu.models.rhs_pallas import with_pallas_rhs
 
-            # Streamed predictor (round 4): fori over Picard iterations
-            # AND time slices bounds the kernel body to ONE slice's RHS,
-            # and the solver's fused ``rhs_all_fn`` hook (supported by the
-            # kernel since round 4) makes that RHS ONE algebra evaluation
-            # instead of source + 2·dim NCP evaluations (7 for dim=3) —
-            # together ~25× less MLIR than the config that OOM-killed the
-            # Mosaic compile helper (docs/PERFORMANCE.md "Dynamic GR").
-            # fuse_interior_riemann=False keeps the face fluctuations (more
-            # per-axis algebra instances) in the XLA epilogue.
             fsolver = make_z4_solver(
                 dim=3, order=ORDER, grid_shape=grid, dx=DX,
                 impl="soa", fused_rhs="soa",
             )
-            fused = PallasADERDG(fsolver, picard_loop=True,
-                                 slice_loop=True,
-                                 fuse_interior_riemann=False)
+            fused = with_pallas_rhs(fsolver)
             pout = np.asarray(fused.step(Q, DT), dtype=np.float64)
             perr = float(np.max(np.abs(pout - out)))
             assert perr < 1e-4, (name, "pallas", perr)
@@ -213,7 +210,7 @@ def main():
             print(
                 json.dumps(
                     {
-                        "config": name + "+fused_pallas_streamed",
+                        "config": name + "+pallas_rhs",
                         "ms_per_step": round(pms, 1),
                         "gdof_per_s": round(pdof / pms / 1e6, 4),
                     }

@@ -1,0 +1,112 @@
+"""Fused-RHS Pallas accelerator (`models/rhs_pallas.py`).
+
+The kernel must be numerically IDENTICAL to the wrapped ``rhs_all_fn``:
+it evaluates the same algebra on a relayouted (var-first, spatially
+flattened) view, so interpret-mode parity against the plain SoA solver
+is required at f64 rounding level.  The on-chip compile/perf story
+lives in docs/PERFORMANCE.md ("Dynamic GR", round 5).
+
+Ref: the accelerator-offload hook convention the module implements,
+/root/reference/Unit test/correctness_test.cpp:53-61.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from exahype_tpu.models.rhs_pallas import PallasRHS, with_pallas_rhs
+from exahype_tpu.models.z4 import (
+    gauge_wave_state,
+    make_z4_solver,
+    make_z4_shift_solver,
+    moving_gauge_wave_state,
+)
+from exahype_tpu.utils.errors import LoweringError
+
+
+def test_step_parity_vacuum():
+    base = make_z4_solver(
+        dim=3, order=2, grid_shape=(4, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa",
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    Q = gauge_wave_state(base, amplitude=0.1)
+    o1 = np.asarray(base.step(Q, 1e-4))
+    o2 = np.asarray(acc.step(Q, 1e-4))
+    assert np.max(np.abs(o1 - o2)) < 1e-15
+
+
+def test_step_parity_gamma_driver_shift():
+    base = make_z4_shift_solver(
+        dim=3, order=2, grid_shape=(4, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa", shift="gamma_driver",
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    Q = moving_gauge_wave_state(base, v=0.2, amplitude=0.05)
+    o1 = np.asarray(base.step(Q, 1e-4))
+    o2 = np.asarray(acc.step(Q, 1e-4))
+    assert np.max(np.abs(o1 - o2)) < 1e-15
+
+
+def test_wrap_padding_path():
+    """A spatial size NOT divisible by 1024 exercises the wrap-pad (the
+    pad rows carry real states, and are dropped on return)."""
+    base = make_z4_solver(
+        dim=3, order=1, grid_shape=(3, 3, 3), dx=1.0 / 3,
+        impl="soa", fused_rhs="soa",
+    )
+    # order 1 -> 8 nodes/cell; 27 cells * 8 = 216 per var: pad = 808.
+    acc = with_pallas_rhs(base, interpret=True)
+    Q = gauge_wave_state(base, amplitude=0.1)
+    o1 = np.asarray(base.step(Q, 1e-4))
+    o2 = np.asarray(acc.step(Q, 1e-4))
+    assert np.max(np.abs(o1 - o2)) < 1e-15
+
+
+def test_epilogue_affine_split_respected():
+    """The corrector's NCP volume trick calls rhs_all twice with
+    DIFFERENT explicit gradients (real vs zeros); the kernel must honor
+    the passed gradients, not recompute them — checked implicitly by the
+    step-parity tests, and explicitly here."""
+    base = make_z4_solver(
+        dim=3, order=2, grid_shape=(4, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa",
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    Q = gauge_wave_state(base, amplitude=0.1)
+    va = base.var_axis
+    zeros = tuple(jnp.zeros_like(Q) for _ in range(3))
+    ones = tuple(jnp.ones_like(Q) * 1e-3 for _ in range(3))
+    a0 = np.asarray(acc.rhs_all_fn(Q, zeros, va))
+    a1 = np.asarray(acc.rhs_all_fn(Q, ones, va))
+    b0 = np.asarray(base.rhs_all_fn(Q, zeros, va))
+    b1 = np.asarray(base.rhs_all_fn(Q, ones, va))
+    assert np.max(np.abs(a0 - b0)) < 1e-15
+    assert np.max(np.abs(a1 - b1)) < 1e-15
+    assert np.max(np.abs(a1 - a0)) > 0  # gradients actually matter
+
+
+def test_requires_rhs_all_fn():
+    base = make_z4_solver(
+        dim=3, order=1, grid_shape=(3, 3, 3), dx=1.0 / 3, impl="soa",
+    )
+    assert base.rhs_all_fn is None
+    with pytest.raises(LoweringError):
+        with_pallas_rhs(base)
+
+
+def test_shape_cache_reused():
+    base = make_z4_solver(
+        dim=3, order=1, grid_shape=(4, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa",
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    Q = gauge_wave_state(base, amplitude=0.1)
+    acc.step(Q, 1e-4)
+    wrapped = acc.rhs_all_fn
+    assert isinstance(wrapped, PallasRHS)
+    n = len(wrapped._cache)
+    acc.step(Q, 2e-4)  # same shapes -> no new kernels
+    assert len(wrapped._cache) == n
