@@ -132,6 +132,62 @@ def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 20,
     return rho, v, p, W
 
 
+def con2prim_scalar(D, S_par, S_perp, tau, Bmag, *,
+                    gamma: float = 5.0 / 3.0, iters: int = 20,
+                    z_floor: float = 1e-12):
+    """Scalar-core magnetized con2prim on the field-aligned decomposition
+    ``(D, S_∥, S_⊥, τ, |B|)`` — the same safeguarded Newton on
+    z = ρhW² as :func:`con2prim`, with NO stacked momentum/field axes:
+    every input/output is a plain grid-shaped array.  This is the form
+    Mosaic kernels use (:mod:`~exahype_tpu.models.rhs_pallas`): stacking
+    scalars on a trailing axis inside a TPU kernel puts that axis on the
+    lanes and forces a cross-tile relayout.  The proxy is exact: the
+    iteration depends on (S², s·B, B², τ, D) only, all expressible in
+    the aligned frame.  Returns ``(rho, p, W)`` with the same
+    subluminal clamp as the vector form."""
+    S2 = S_par * S_par + S_perp * S_perp
+    B2 = Bmag * Bmag
+    sB = S_par * Bmag
+    E = tau + D
+    Smag = jnp.sqrt(S2)
+
+    def resid(z):
+        z2 = z * z
+        zB = z + B2
+        v2 = jnp.clip(
+            (S2 * z2 + sB * sB * (B2 + 2.0 * z)) / (z2 * zB * zB),
+            0.0,
+            1.0 - 1e-12,
+        )
+        W = 1.0 / jnp.sqrt(1.0 - v2)
+        p = (gamma - 1.0) / gamma * (z - D * W) / (W * W)
+        return z + B2 - p - 0.5 * (B2 / (W * W) + sB * sB / z2) - E, (W, p)
+
+    tiny = jnp.asarray(z_floor, D.dtype) * (1.0 + Smag + B2)
+    z_lo = jnp.maximum(jnp.maximum(D, Smag - B2) + tiny, z_floor)
+    z_hi = jnp.maximum(gamma * (E + B2) + tiny, z_lo * 2.0)
+    p0 = jnp.maximum((gamma - 1.0) * (tau - 0.5 * B2), z_floor)
+    z = jnp.clip(E - B2 + p0, z_lo, z_hi)
+
+    for _ in range(iters):
+        (f, _), (df, _) = jax.jvp(resid, (z,), (jnp.ones_like(z),))
+        newton = z - f / df
+        z_lo = jnp.where(f < 0, z, z_lo)
+        z_hi = jnp.where(f < 0, z_hi, z)
+        inside = jnp.isfinite(newton) & (newton >= z_lo) & (newton <= z_hi)
+        z = jnp.maximum(
+            jnp.where(inside, newton, 0.5 * (z_lo + z_hi)), z_floor
+        )
+
+    _, (W, p) = resid(z)
+    v_par = (S_par + (sB / z) * Bmag) / (z + B2)
+    v_perp = S_perp / (z + B2)
+    v2 = v_par * v_par + v_perp * v_perp
+    W = 1.0 / jnp.sqrt(1.0 - jnp.clip(v2, 0.0, 1.0 - 1e-12))
+    rho = D / W
+    return rho, p, W
+
+
 def _flux_impl(Q, n, gamma, c_h, iters):
     rho, v, p, W = con2prim(Q, gamma=gamma, iters=iters)
     B = Q[..., 5:8]

@@ -78,11 +78,27 @@ def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 10,
     D = Q[..., 0]
     S = Q[..., 1:-1]
     tau = Q[..., -1]
-    E = tau + D
     S2 = jnp.sum(S * S, axis=-1)
     Smag = jnp.sqrt(S2)
+    rho, p, W = con2prim_smag(D, Smag, tau, gamma=gamma, iters=iters,
+                              p_floor=p_floor)
+    v = S / (tau + D + p)[..., None]
+    return rho, v, p, W
 
-    tiny = jnp.asarray(1e-12, Q.dtype) * (1.0 + Smag)
+
+def con2prim_smag(D, Smag, tau, *, gamma: float = 5.0 / 3.0,
+                  iters: int = 10, p_floor: float = 1e-12):
+    """Scalar-core con2prim on ``(D, |S|, τ)`` — identical iteration to
+    :func:`con2prim` (which wraps it), but with NO stacked momentum
+    axis: every input/output is a plain grid-shaped array.  This is the
+    form Mosaic kernels use (:mod:`~exahype_tpu.models.rhs_pallas`):
+    stacking scalars on a trailing axis inside a TPU kernel would put
+    that axis on the lanes and force a cross-tile relayout.  Returns
+    ``(rho, p, W)``."""
+    E = tau + D
+    S2 = Smag * Smag
+
+    tiny = jnp.asarray(1e-12, D.dtype) * (1.0 + Smag)
     p_lo = jnp.maximum(p_floor, Smag - E + tiny)
     p_hi = jnp.maximum((gamma - 1.0) * E * (1.0 + 1e-6) + 10 * p_floor, p_lo * 2.0)
 
@@ -123,11 +139,10 @@ def con2prim(Q, *, gamma: float = 5.0 / 3.0, iters: int = 10,
         )
 
     Ep = E + p
-    v = S / Ep[..., None]
     v2 = jnp.clip(S2 / (Ep * Ep), 0.0, 1.0 - 1e-12)
     W = 1.0 / jnp.sqrt(1.0 - v2)
     rho = D / W
-    return rho, v, p, W
+    return rho, p, W
 
 
 def srhd_flux(Q, normal, *, gamma: float = 5.0 / 3.0, iters: int = 10):

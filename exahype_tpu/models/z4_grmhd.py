@@ -389,7 +389,10 @@ def make_z4_grmhd_solver(
     )
     if fused_rhs == "soa":
         rhs_all = _rhs_all_of(
-            lambda q, dq3: z4_grmhd_rhs_soa(q, dq3, **kw), N_VARS
+            lambda q, dq3: z4_grmhd_rhs_soa(q, dq3, **kw), N_VARS,
+            rhs_fn_vf=lambda q, dq3: z4_grmhd_rhs_soa(
+                q, dq3, var_first=True, **kw
+            ),
         )
     elif fused_rhs:
         rhs_all = _rhs_all_of(
@@ -496,21 +499,29 @@ def z4_grmhd_rhs_soa(
     kappa1: float = 0.0,
     kappa2: float = 0.0,
     glm_kappa: float = 0.0,
+    var_first: bool = False,
 ):
     """Component-unrolled twin of :func:`z4_grmhd_rhs` (identical algebra
     to rounding — parity-tested): the vacuum SoA core plus total-stress-
     energy matter terms with object-array tensors (the production TPU
-    layout — see :func:`~exahype_tpu.models.z4.z4_rhs_soa`)."""
+    layout — see :func:`~exahype_tpu.models.z4.z4_rhs_soa`).
+    ``var_first``: the Mosaic-kernel layout (``q[V, ...],
+    dq3[3, V, ...]``; con2prim runs the scalar aligned-frame core so
+    nothing stacks onto a trailing axis in-kernel)."""
     from exahype_tpu.models.z4 import (
         _oein,
         _oinv3,
         _vec_obj,
+        _vsl,
         _z4_core_soa,
         _z4_pack_soa,
         _z4_unpack_soa,
     )
 
-    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(q, dq3)
+    vf = var_first
+    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(
+        q, dq3, vf=vf
+    )
     r_al, r_g, r_K, r_th, r_Z, r_A, r_D = _z4_core_soa(
         al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
         slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
@@ -518,10 +529,10 @@ def z4_grmhd_rhs_soa(
 
     gi, detg = _oinv3(g)
     sqg = jnp.sqrt(detg)
-    Dt = q[..., _HD]
-    St = _vec_obj(q, _HS)
-    taut = q[..., _HTAU]
-    Btil = _vec_obj(q, _HB)
+    Dt = _vsl(q, _HD, vf)
+    St = _vec_obj(q, _HS, vf)
+    taut = _vsl(q, _HTAU, vf)
+    Btil = _vec_obj(q, _HB, vf)
     Dh = Dt / sqg
     tau = taut / sqg
     S_low = np.empty((3,), dtype=object)
@@ -538,12 +549,9 @@ def z4_grmhd_rhs_soa(
     safe_B = jnp.maximum(Bmag, 1e-300)
     S_par = sB / safe_B
     S_perp = jnp.sqrt(jnp.maximum(S2 - S_par * S_par, 0.0))
-    zeros = jnp.zeros_like(Dh)
-    flat = jnp.stack(
-        [Dh, S_par, S_perp, zeros, tau, Bmag, zeros, zeros, zeros],
-        axis=-1,
+    rho, p, W = rmhd.con2prim_scalar(
+        Dh, S_par, S_perp, tau, Bmag, gamma=gamma, iters=iters
     )
-    rho, _, p, W = rmhd.con2prim(flat, gamma=gamma, iters=iters)
     h_f = 1.0 + gamma / (gamma - 1.0) * p / rho
     z = rho * h_f * W * W
     v_low = np.empty((3,), dtype=object)
@@ -603,6 +611,6 @@ def z4_grmhd_rhs_soa(
     extra.append(asg * (SupK - SA))
     for j in range(3):
         extra.append(jnp.zeros_like(al))
-    extra.append(-glm_kappa * al * q[..., _HPSI])
+    extra.append(-glm_kappa * al * _vsl(q, _HPSI, vf))
     return _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D,
-                        extra=tuple(extra))
+                        extra=tuple(extra), vf=vf)

@@ -330,7 +330,10 @@ def make_z4_matter_solver(
     flux, eig, ncp, source = z4_matter_system(impl=impl, **kw)
     if fused_rhs == "soa":
         rhs_all = _rhs_all_of(
-            lambda q, dq3: z4_matter_rhs_soa(q, dq3, **kw), N_VARS
+            lambda q, dq3: z4_matter_rhs_soa(q, dq3, **kw), N_VARS,
+            rhs_fn_vf=lambda q, dq3: z4_matter_rhs_soa(
+                q, dq3, var_first=True, **kw
+            ),
         )
     elif fused_rhs:
         rhs_all = _rhs_all_of(
@@ -496,23 +499,30 @@ def z4_matter_rhs_soa(
     m: float = 2.0,
     kappa1: float = 0.0,
     kappa2: float = 0.0,
+    var_first: bool = False,
 ):
     """Component-unrolled twin of :func:`z4_matter_rhs` (identical algebra
     to rounding — parity-tested): the vacuum SoA core plus matter terms
     evaluated with the object-array helpers, every operation elementwise
     over the grid (the production TPU layout — see
-    :func:`~exahype_tpu.models.z4.z4_rhs_soa`)."""
+    :func:`~exahype_tpu.models.z4.z4_rhs_soa`).  ``var_first``: the
+    Mosaic-kernel layout (``q[V, ...], dq3[3, V, ...]``; con2prim runs
+    its scalar core so nothing stacks onto a trailing axis in-kernel)."""
     from exahype_tpu.models.z4 import (
         _oein,
         _oinv3,
         _sym_obj,
         _vec_obj,
+        _vsl,
         _z4_core_soa,
         _z4_pack_soa,
         _z4_unpack_soa,
     )
 
-    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(q, dq3)
+    vf = var_first
+    al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD = _z4_unpack_soa(
+        q, dq3, vf=vf
+    )
     r_al, r_g, r_K, r_th, r_Z, r_A, r_D = _z4_core_soa(
         al, g, K, th, Z, A, D, dK, dth, dZ, dA, dD,
         slicing=slicing, f=f, m=m, kappa1=kappa1, kappa2=kappa2,
@@ -520,9 +530,9 @@ def z4_matter_rhs_soa(
 
     gi, detg = _oinv3(g)
     sqg = jnp.sqrt(detg)
-    Dt = q[..., _HD]
-    St = _vec_obj(q, _HS)
-    taut = q[..., _HTAU]
+    Dt = _vsl(q, _HD, vf)
+    St = _vec_obj(q, _HS, vf)
+    taut = _vsl(q, _HTAU, vf)
     Dh = Dt / sqg
     S_low = np.empty((3,), dtype=object)
     for i in range(3):
@@ -530,8 +540,9 @@ def z4_matter_rhs_soa(
     tau = taut / sqg
     S2 = _oein("ij,i,j->", gi, S_low, S_low)
     Smag = jnp.sqrt(jnp.maximum(S2, 0.0))
-    flat = jnp.stack([Dh, Smag, tau], axis=-1)
-    rho, _, p, W = srhd.con2prim(flat, gamma=gamma, iters=iters)
+    rho, p, W = srhd.con2prim_smag(
+        Dh, Smag, tau, gamma=gamma, iters=iters
+    )
     rhohW2 = tau + Dh + p
     E = rhohW2 - p
     v_low = np.empty((3,), dtype=object)
@@ -570,4 +581,4 @@ def z4_matter_rhs_soa(
         extra.append(asg * (r_S[j] - E * A[j]))
     extra.append(asg * (SupK - SA))
     return _z4_pack_soa(r_al, r_g, r_K, r_th, r_Z, r_A, r_D,
-                        extra=tuple(extra))
+                        extra=tuple(extra), vf=vf)

@@ -174,6 +174,11 @@ def main():
     configs = [(6, 3 / 36), (12, 4 / 144), (24, 12 / 576)]
     if small:
         configs = configs[:1]
+    if "--big" in sys.argv:
+        # Round-5 crossover hunt: at the entry sizes the pool's ~4-6
+        # sequential kernels are dispatch-bound; these are the sizes
+        # where the 1/r² cell saving should start paying.
+        configs = [(48, 24 / 2304), (96, 96 / 9216)]
     for gx, frac in configs:
         row = {"coarse_cells": f"{4*gx}x{4*gx}"}
         uj = time_uniform(gx * FACTOR, "jax")

@@ -110,3 +110,67 @@ def test_shape_cache_reused():
     n = len(wrapped._cache)
     acc.step(Q, 2e-4)  # same shapes -> no new kernels
     assert len(wrapped._cache) == n
+
+
+def test_step_parity_coupled_matter():
+    """43-var Z4+GRHD: the var-first twin runs the SCALAR con2prim core
+    (srhd.con2prim_smag) so nothing stacks onto a trailing axis."""
+    from exahype_tpu.models.z4_matter import flrw_state, make_z4_matter_solver
+
+    base = make_z4_matter_solver(
+        dim=3, order=1, grid_shape=(4, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa", slicing="harmonic", f=0.0,
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    rho0 = 0.02
+    Q = flrw_state(base, 1.0, float(np.sqrt(8 * np.pi * rho0 / 3)),
+                   rho0=rho0)
+    q = jnp.moveaxis(Q, base.var_axis, -1)
+    pert = 1.0 + 0.05 * np.sin(
+        2 * np.pi * np.arange(q.shape[-2]) / q.shape[-2]
+    )
+    q = q.at[..., 38].mul(jnp.asarray(pert))
+    Q = jnp.moveaxis(q, -1, base.var_axis)
+    o1 = np.asarray(base.step(Q, 1e-4))
+    o2 = np.asarray(acc.step(Q, 1e-4))
+    assert np.max(np.abs(o1 - o2)) < 1e-13
+
+
+def test_step_parity_coupled_grmhd():
+    """47-var magnetized: var-first runs rmhd.con2prim_scalar (the
+    field-aligned scalar core)."""
+    from exahype_tpu.models.z4_grmhd import (
+        N_Z4,
+        make_z4_grmhd_solver,
+        pack_matter_mhd,
+    )
+
+    base = make_z4_grmhd_solver(
+        dim=3, order=1, grid_shape=(4, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa", slicing="harmonic",
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    coords = base.nodes_meshgrid()
+    no_var = tuple(
+        s for e, s in enumerate(base.state_shape) if e != base.var_axis
+    )
+    x = np.broadcast_to(
+        np.squeeze(np.asarray(coords[0]), base.var_axis), no_var
+    )
+    z4 = np.zeros(x.shape + (N_Z4,))
+    z4[..., 0] = 1.0
+    z4[..., 1] = 1.0 + 0.05 * np.sin(2 * np.pi * x)
+    z4[..., 4] = z4[..., 6] = 1.0
+    rho = 1.0 + 0.1 * np.sin(2 * np.pi * x)
+    p = 1.0 + 0.05 * np.cos(2 * np.pi * x)
+    v = np.zeros(x.shape + (3,))
+    v[..., 1] = 0.1 * np.sin(2 * np.pi * x)
+    B = np.zeros(x.shape + (3,))
+    B[..., 0] = 0.05
+    Q = jnp.moveaxis(
+        jnp.asarray(pack_matter_mhd(z4, rho, v, p, B, gamma=5.0 / 3.0)),
+        -1, base.var_axis,
+    )
+    o1 = np.asarray(base.step(Q, 1e-4))
+    o2 = np.asarray(acc.step(Q, 1e-4))
+    assert np.max(np.abs(o1 - o2)) < 1e-13
