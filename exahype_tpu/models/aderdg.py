@@ -665,13 +665,23 @@ class ADERDGSolver:
 
     # ------------------------------------------------------------- corrector
 
-    def step(self, u, dt, return_face_fluxes: bool = False):
+    def step(self, u, dt, return_face_fluxes: bool = False,
+             axis0_shift=None, axis0_wall_gates=None):
         """One ADER-DG time step (predictor + volume + Riemann + corrector).
 
         ``return_face_fluxes=True`` additionally returns the per-direction
         high-face Rusanov fluxes ``fhat_hi`` (nodal over the transverse
         axes) — the limiter's interface-matching pass consumes them.
-        """
+
+        ``axis0_shift`` / ``axis0_wall_gates``: the multi-chip hooks
+        (``parallel/shard.py make_sharded_xla_aderdg_step``).  When the
+        grid's axis 0 is sharded under ``shard_map``, every stage of this
+        step is shard-local EXCEPT the axis-0 neighbour access in the
+        face stage — pass the ppermute edge-exchange shift and the
+        per-shard wall-ownership predicates ``(holds_lo, holds_hi)`` and
+        the whole step (XLA predictor included — the path the Z4-class
+        fused-RHS Pallas kernel rides, which GSPMD could not partition)
+        runs per shard."""
         ops = self.ops
         # Viscous solvers with walls need the advective/viscous flux split
         # at the wall faces (the ghost-flux symmetry is advective-only).
@@ -728,6 +738,13 @@ class ADERDGSolver:
                     "fv_lo": _project(ops.phi0, fvbar[d], node_ax),
                     "fv_hi": _project(ops.phi1, fvbar[d], node_ax),
                 }
+            if d == 0 and axis0_shift is not None:
+                gates = axis0_wall_gates or (True, True)
+                fv_kwargs.update(
+                    shift=axis0_shift,
+                    holds_lo_wall=gates[0],
+                    holds_hi_wall=gates[1],
+                )
             new, fhat_hi = self.face_update(
                 new, q_lo, q_hi, f_lo, f_hi, d, dt, **fv_kwargs
             )

@@ -550,6 +550,72 @@ def make_sharded_aderdg_step(
     return step, sharding
 
 
+def make_sharded_xla_aderdg_step(
+    solver,
+    mesh: Mesh,
+    axis_name: str = PATCH_AXIS,
+    wire_dtype=None,
+):
+    """Multi-chip ADER-DG step for solvers whose predictor runs in XLA —
+    the Z4-class path, where the per-shard hot loop is the XLA Picard
+    predictor calling the fused-RHS Pallas kernel
+    (:func:`~exahype_tpu.models.rhs_pallas.with_pallas_rhs`).  GSPMD
+    cannot partition ``pallas_call``, so the whole step runs per shard
+    under ``shard_map``: every stage of :meth:`ADERDGSolver.step` is
+    cell-local except the axis-0 neighbour access in the face stage,
+    which goes through the same one-row ``ppermute`` edge exchange as
+    the fused-Pallas wrapper (:func:`make_sharded_aderdg_step`), with
+    wall ghosts gated to the shards owning a domain wall and Dirichlet
+    rows localized to each shard's window.
+
+    Returns ``(step_fn, sharding)``: jit ``step_fn(Q, dt)`` with ``Q``
+    placed on ``sharding``.
+    """
+    n_shards = mesh.shape[axis_name]
+    if solver.grid_shape[0] % n_shards != 0:
+        raise SemanticError(
+            f"grid axis 0 ({solver.grid_shape[0]}) must be divisible by "
+            f"the mesh size ({n_shards})"
+        )
+    local_grid = (solver.grid_shape[0] // n_shards,) + tuple(
+        solver.grid_shape[1:]
+    )
+    local_dirichlet = _localize_dirichlet(
+        solver, {0: (axis_name, local_grid[0])}
+    )
+    local_solver = dataclasses.replace(
+        solver, grid_shape=local_grid, dirichlet_fn=local_dirichlet
+    )
+
+    shard_axis = solver.grid_axis(0)
+    ndim = len(solver.state_shape)
+    spec_list = [None] * ndim
+    spec_list[shard_axis] = axis_name
+    state_spec = PartitionSpec(*spec_list)
+    sharding = NamedSharding(mesh, state_spec)
+
+    def shift(x, sh, ax):
+        return _edge_shift(x, sh, ax, axis_name, n_shards, wire_dtype)
+
+    def local_step(Q_local, dt):
+        idx = jax.lax.axis_index(axis_name)
+        return local_solver.step(
+            Q_local,
+            jnp.asarray(dt, Q_local.dtype),
+            axis0_shift=shift,
+            axis0_wall_gates=(idx == 0, idx == n_shards - 1),
+        )
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, PartitionSpec()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return step, sharding
+
+
 def make_sharded_aderdg_step_2axis(
     solver,
     mesh: Mesh,

@@ -137,6 +137,31 @@ def main():
                 ),
                 flush=True,
             )
+            if "--pallas" in sys.argv:
+                # Coupled fused-RHS path: the 43-var algebra (incl. the
+                # scalar con2prim core) VMEM-resident per evaluation.
+                from exahype_tpu.models.rhs_pallas import with_pallas_rhs
+
+                fsolver = make_z4_matter_solver(
+                    dim=3, order=ORDER, grid_shape=grid, dx=DX,
+                    slicing="harmonic", f=0.0, impl="soa",
+                    fused_rhs="soa",
+                )
+                fused = with_pallas_rhs(fsolver)
+                pout = np.asarray(fused.step(Q, DT), dtype=np.float64)
+                perr = float(np.max(np.abs(pout - out)))
+                assert perr < 1e-4, (name, "pallas_rhs", perr)
+                pms = chained_time(fused.step, Q, DT) * 1e3
+                print(
+                    json.dumps(
+                        {
+                            "config": name + "+pallas_rhs",
+                            "ms_per_step": round(pms, 1),
+                            "gdof_per_s": round(n_dof / pms / 1e6, 4),
+                        }
+                    ),
+                    flush=True,
+                )
         return
     if shifted:
         # 53-var Gamma-driver gauge (the full-gauge-freedom config).

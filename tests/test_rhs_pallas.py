@@ -174,3 +174,27 @@ def test_step_parity_coupled_grmhd():
     o1 = np.asarray(base.step(Q, 1e-4))
     o2 = np.asarray(acc.step(Q, 1e-4))
     assert np.max(np.abs(o1 - o2)) < 1e-13
+
+
+def test_sharded_xla_step_with_pallas_rhs_matches_single_device():
+    """Multi-chip composition: the Z4-class path (XLA predictor + fused-
+    RHS Pallas kernel) sharded over a 2-device mesh via
+    make_sharded_xla_aderdg_step (shard_map + ppermute edge exchange —
+    GSPMD cannot partition pallas_call) equals the single-device step to
+    rounding."""
+    from exahype_tpu.parallel import make_mesh
+    from exahype_tpu.parallel.shard import make_sharded_xla_aderdg_step
+
+    base = make_z4_solver(
+        dim=3, order=2, grid_shape=(8, 4, 8), dx=0.125,
+        impl="soa", fused_rhs="soa",
+    )
+    acc = with_pallas_rhs(base, interpret=True)
+    Q = gauge_wave_state(base, amplitude=0.1)
+    want = np.asarray(acc.step(Q, 1e-4))
+
+    mesh = make_mesh(2)
+    step, sharding = make_sharded_xla_aderdg_step(acc, mesh)
+    Qs = jax.device_put(Q, sharding)
+    got = np.asarray(jax.jit(step)(Qs, 1e-4))
+    np.testing.assert_allclose(got, want, atol=5e-12)
